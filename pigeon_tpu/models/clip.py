@@ -1,0 +1,349 @@
+"""CLIP vision + text towers in Flax, TPU-first.
+
+Behavioral parity targets (HuggingFace `transformers` CLIP, which the
+reference uses as its backbone — `models/clip_embedder.py:25-26`,
+`training/train_modes.py:43`):
+
+  * pre-LN transformer encoder, quick-GELU MLP, attention softmax in f32;
+  * vision tower: conv patch embed + CLS + learned positions, `pre_layrnorm`,
+    `last_hidden_state` WITHOUT the post-layernorm, pooled = post_LN(CLS);
+  * text tower: causal mask, final LN, pooled at the first EOS position;
+  * contrastive head: L2-normalized projections, learned `logit_scale`,
+    symmetric cross-entropy.
+
+TPU-first design decisions (NOT in the reference):
+  * the encoder stack is an `nn.scan` over a single `TransformerLayer` —
+    layer params are stacked on a leading axis, giving one fused HBM
+    layout, O(1) compile time in depth, and a natural target for
+    per-layer gradient masks (partial freezing) and pipeline sharding;
+  * computation dtype is configurable (bf16 on the MXU by default at
+    train time) with f32 parameters and f32 softmax accumulation;
+  * attention is a pluggable function (`attn_impl='xla'|'flash'`), so the
+    Pallas flash-attention kernel can replace the einsum path without
+    touching the model definition.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pigeon_tpu.config import TextConfig, VisionConfig
+
+Dtype = Any
+
+
+def quick_gelu(x):
+    """CLIP's activation: ``x * sigmoid(1.702 x)``."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+_ACTIVATIONS: dict[str, Callable] = {
+    "quick_gelu": quick_gelu,
+    "gelu": jax.nn.gelu,
+}
+
+
+def xla_attention(q, k, v, mask: Optional[jnp.ndarray], dtype: Dtype):
+    """Plain XLA attention: einsum + f32 softmax.
+
+    Shapes: q/k/v are ``(B, S, H, Dh)``; mask is additive ``(1|B, 1, S, S)``
+    or None. XLA fuses this well on TPU for moderate sequence lengths
+    (ViT-L/14-336 has S=577); the Pallas flash path exists for long-S and
+    memory-bound regimes.
+    """
+    head_dim = q.shape[-1]
+    scale = head_dim**-0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    if mask is not None:
+        logits = logits + mask
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard MHA with separate q/k/v/out projections (HF-compatible)."""
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        d = x.shape[-1]
+        head_dim = d // self.num_heads
+        dense = lambda name: nn.Dense(  # noqa: E731
+            d, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        q = dense("q_proj")(x).reshape(*x.shape[:-1], self.num_heads, head_dim)
+        k = dense("k_proj")(x).reshape(*x.shape[:-1], self.num_heads, head_dim)
+        v = dense("v_proj")(x).reshape(*x.shape[:-1], self.num_heads, head_dim)
+
+        if self.attn_impl == "flash" and mask is None:
+            from pigeon_tpu.kernels import flash_attention
+            out = flash_attention.mha(q, k, v)
+        else:
+            out = xla_attention(q, k, v, mask, self.dtype)
+
+        out = out.reshape(*x.shape[:-1], d)
+        return dense("out_proj")(out)
+
+
+class TransformerLayer(nn.Module):
+    """Pre-LN transformer block: x += attn(LN1(x)); x += mlp(LN2(x))."""
+
+    num_heads: int
+    intermediate_size: int
+    hidden_act: str = "quick_gelu"
+    layer_norm_eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        ln = lambda name: nn.LayerNorm(  # noqa: E731
+            epsilon=self.layer_norm_eps, dtype=self.dtype,
+            param_dtype=jnp.float32, name=name)
+        act = _ACTIVATIONS[self.hidden_act]
+
+        x = x + MultiHeadAttention(
+            self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
+            name="attn")(ln("ln1")(x), mask)
+        h = ln("ln2")(x)
+        h = nn.Dense(self.intermediate_size, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc1")(h)
+        h = act(h)
+        h = nn.Dense(x.shape[-1], dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc2")(h)
+        return x + h
+
+
+class TransformerStack(nn.Module):
+    """`nn.scan`-stacked encoder: params carry a leading layer axis.
+
+    The stacked layout is the TPU-idiomatic encoding of depth: a single
+    (L, ...) buffer per weight instead of L separate allocations, constant
+    compile time, and per-layer freeze masks become a broadcastable
+    ``(L, 1, ..)`` multiply on gradients (see `train/partial_freeze.py`).
+    """
+
+    num_layers: int
+    num_heads: int
+    intermediate_size: int
+    hidden_act: str = "quick_gelu"
+    layer_norm_eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        layer_cls = TransformerLayer
+        if self.remat:
+            layer_cls = nn.remat(layer_cls, prevent_cse=False)
+
+        def body(layer, carry):
+            return layer(carry, mask), None
+
+        stack = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.num_layers,
+            metadata_params={nn.PARTITION_NAME: "layers"},
+        )
+        x, _ = stack(
+            layer_cls(
+                num_heads=self.num_heads,
+                intermediate_size=self.intermediate_size,
+                hidden_act=self.hidden_act,
+                layer_norm_eps=self.layer_norm_eps,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name="layers",
+            ),
+            x,
+        )
+        return x
+
+
+class CLIPVisionTower(nn.Module):
+    """CLIP ViT vision encoder.
+
+    Returns ``(last_hidden_state, pooled)`` where `last_hidden_state` has
+    NO post-layernorm applied (HF contract; the reference's embedding is the
+    token MEAN of this tensor — `models/clip_embedder.py:63-66`) and
+    `pooled` is post_LN(CLS).
+    """
+
+    config: VisionConfig
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, pixel_values):
+        """pixel_values: ``(B, H, W, 3)`` CLIP-normalized, NHWC (TPU-native
+        conv layout; NCHW torch inputs must be transposed by the caller)."""
+        cfg = self.config
+        b = pixel_values.shape[0]
+
+        patches = nn.Conv(
+            features=cfg.hidden_size,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="patch_embed",
+        )(pixel_values.astype(self.dtype))
+        patches = patches.reshape(b, -1, cfg.hidden_size)
+
+        cls = self.param("cls_token", nn.initializers.normal(0.02),
+                         (cfg.hidden_size,), jnp.float32)
+        cls = jnp.broadcast_to(cls.astype(self.dtype),
+                               (b, 1, cfg.hidden_size))
+        x = jnp.concatenate([cls, patches], axis=1)
+
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (cfg.seq_len, cfg.hidden_size), jnp.float32)
+        x = x + pos.astype(self.dtype)
+
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="pre_ln")(x)
+        x = TransformerStack(
+            num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads,
+            intermediate_size=cfg.intermediate_size,
+            hidden_act=cfg.hidden_act,
+            layer_norm_eps=cfg.layer_norm_eps,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            remat=self.remat,
+            name="encoder",
+        )(x)
+
+        pooled = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                              param_dtype=jnp.float32, name="post_ln")(x[:, 0])
+        return x, pooled
+
+
+class CLIPTextTower(nn.Module):
+    """CLIP text encoder with causal masking and first-EOS pooling."""
+
+    config: TextConfig
+    dtype: Dtype = jnp.float32
+    eos_token_id: int = 49407
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, input_ids):
+        """input_ids: ``(B, S)`` int32 token ids (S <= 77)."""
+        cfg = self.config
+        s = input_ids.shape[-1]
+
+        tok = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                       dtype=self.dtype, param_dtype=jnp.float32,
+                       name="token_embed")(input_ids)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (cfg.max_position_embeddings, cfg.hidden_size),
+                         jnp.float32)
+        x = tok + pos[:s].astype(self.dtype)
+
+        # Additive causal mask with a finite large-negative (bf16-safe).
+        causal = jnp.triu(jnp.full((s, s), -1e9, dtype=jnp.float32), k=1)
+        causal = causal[None, None, :, :]
+
+        x = TransformerStack(
+            num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads,
+            intermediate_size=cfg.intermediate_size,
+            hidden_act=cfg.hidden_act,
+            layer_norm_eps=cfg.layer_norm_eps,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="encoder",
+        )(x, causal)
+
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="final_ln")(x)
+
+        # Pool at the FIRST occurrence of the EOS token (HF post-#24773
+        # contract, modeling_clip.py CLIPTextTransformer.forward).
+        eos_pos = jnp.argmax(
+            (input_ids == self.eos_token_id).astype(jnp.int32), axis=-1)
+        pooled = jnp.take_along_axis(
+            x, eos_pos[:, None, None], axis=1).squeeze(1)
+        return x, pooled
+
+
+def clip_contrastive_loss(image_embeds, text_embeds, logit_scale):
+    """Symmetric InfoNCE loss over L2-normalized projections.
+
+    Matches HF `CLIPModel` with ``return_loss=True`` (the reference's
+    pretraining objective, `training/train_modes.py:45-60`). Under data
+    parallelism, gather embeddings across the mesh first (see
+    `train/pretrain.py`) so the in-batch negatives span the global batch.
+    """
+    logits = logit_scale * text_embeds @ image_embeds.T
+    n = logits.shape[0]
+    labels = jnp.arange(n)
+    loss_t = -jnp.mean(jnp.take_along_axis(
+        jax.nn.log_softmax(logits, axis=-1), labels[:, None], axis=1))
+    loss_i = -jnp.mean(jnp.take_along_axis(
+        jax.nn.log_softmax(logits.T, axis=-1), labels[:, None], axis=1))
+    return (loss_t + loss_i) / 2.0
+
+
+class CLIPModel(nn.Module):
+    """Full contrastive CLIP: both towers + projections + logit scale."""
+
+    vision_config: VisionConfig
+    text_config: TextConfig
+    dtype: Dtype = jnp.float32
+    eos_token_id: int = 49407
+    attn_impl: str = "xla"
+    remat: bool = False
+    logit_scale_init: float = float(np.log(1.0 / 0.07))
+
+    @nn.compact
+    def __call__(self, pixel_values, input_ids, return_loss: bool = False):
+        _, vision_pooled = CLIPVisionTower(
+            self.vision_config, dtype=self.dtype, attn_impl=self.attn_impl,
+            remat=self.remat, name="vision")(pixel_values)
+        _, text_pooled = CLIPTextTower(
+            self.text_config, dtype=self.dtype,
+            eos_token_id=self.eos_token_id, attn_impl=self.attn_impl,
+            name="text")(input_ids)
+
+        image_embeds = nn.Dense(
+            self.vision_config.projection_dim, use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32,
+            name="visual_projection")(vision_pooled)
+        text_embeds = nn.Dense(
+            self.text_config.projection_dim, use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32,
+            name="text_projection")(text_pooled)
+
+        image_embeds = image_embeds / jnp.linalg.norm(
+            image_embeds.astype(jnp.float32), axis=-1, keepdims=True)
+        text_embeds = text_embeds / jnp.linalg.norm(
+            text_embeds.astype(jnp.float32), axis=-1, keepdims=True)
+
+        logit_scale = jnp.exp(self.param(
+            "logit_scale",
+            nn.initializers.constant(self.logit_scale_init), (), jnp.float32))
+
+        out = {
+            "image_embeds": image_embeds,
+            "text_embeds": text_embeds,
+            "logit_scale": logit_scale,
+            "logits_per_image": logit_scale * image_embeds @ text_embeds.T,
+        }
+        if return_loss:
+            out["loss"] = clip_contrastive_loss(
+                image_embeds, text_embeds, logit_scale)
+        return out
