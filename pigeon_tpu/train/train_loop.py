@@ -1,0 +1,173 @@
+"""pjit train/eval steps for geocell-head training.
+
+TPU-native replacement for the reference's accelerate/DDP loop
+(`training/train_eval_loop.py:164-253`): one jitted SPMD train step over a
+(data, model) mesh — forward, smoothed-CE + multi-task loss, backward
+(gradient all-reduce rides ICI via GSPMD), optional stacked-layer gradient
+mask (partial freezing), AdamW update. Gradient accumulation is an
+`optax.MultiSteps` wrapper, replacing the reference's manual accumulation
+loop (`train_eval_loop.py:200-223`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from pigeon_tpu.config import HeadConfig
+from pigeon_tpu.models.geocell_head import geocell_loss, geocell_predictions
+from pigeon_tpu.train.mesh import param_specs, spec_for_path
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+class TrainState(flax.struct.PyTreeNode):
+    """Minimal functional train state (params + optimizer + step)."""
+
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+    def replace(self, **kwargs):
+        return super().replace(**kwargs)
+
+
+def create_train_state(rng, model, optimizer, example_inputs, mesh=None,
+                       init_kwargs: Optional[dict] = None) -> TrainState:
+    """Initialize params + optimizer state, sharded over ``mesh``.
+
+    Initialization runs under jit with output sharding constraints derived
+    from the path rules, so large params materialize directly in their
+    sharded layout (no host-memory spike, no resharding transfer).
+    """
+    init_kwargs = init_kwargs or {}
+
+    def init_fn(rng):
+        params = model.init(rng, *example_inputs, **init_kwargs)["params"]
+        if mesh is not None:
+            specs = param_specs(params)
+            params = jax.tree_util.tree_map(
+                lambda x, s: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, s)),
+                params, specs)
+        opt_state = optimizer.init(params)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=opt_state)
+
+    return jax.jit(init_fn)(rng)
+
+
+def make_train_step(model, optimizer, head_cfg: HeadConfig, geocells,
+                    grad_mask=None, donate: bool = True) -> Callable:
+    """Build the jitted SPMD train step.
+
+    Args:
+        model: Flax module whose ``apply`` returns a `GeocellOutput`
+            (either `SuperGuessr` on pixels or `GeocellHead` on embeddings).
+        optimizer: optax gradient transformation (wrap in
+            ``optax.MultiSteps`` for gradient accumulation).
+        head_cfg: loss configuration.
+        geocells: ``(num_cells, 2)`` centroid table (closed over as a
+            constant — baked into the executable, resident in HBM).
+        grad_mask: optional broadcastable mask pytree for partial freezing.
+
+    The returned step has signature ``(state, batch, dropout_rng) ->
+    (state, metrics)`` where ``batch`` is a dict with ``inputs`` and label
+    arrays, all sharded batch-major over the data axis.
+    """
+    geocells = jnp.asarray(geocells, jnp.float32)
+
+    def loss_fn(params, batch, rng):
+        out = model.apply(
+            {"params": params}, batch["inputs"],
+            heading=batch.get("heading"),
+            deterministic=False, rngs={"dropout": rng})
+        total, parts = geocell_loss(
+            out, geocells, head_cfg,
+            labels_lla=batch.get("labels"),
+            labels_clf=batch.get("labels_clf"),
+            labels_multi_task=batch.get("labels_multi_task"),
+            labels_climate=batch.get("labels_climate"),
+            labels_month=batch.get("labels_month"),
+        )
+        return total, parts
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grads, parts = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        if grad_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: g * m, grads, grad_mask)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state)
+        parts = dict(parts, grad_norm=optax.global_norm(grads))
+        return new_state, parts
+
+    return train_step
+
+
+def make_eval_step(model, head_cfg: HeadConfig, geocells,
+                   num_candidates: Optional[int] = None) -> Callable:
+    """Build the jitted eval step: forward + loss + predictions.
+
+    Returns ``(metrics, predictions)`` where predictions carries everything
+    the metric suite and the refiner need: pred (lon,lat), top-k cells +
+    probs, embeddings, multi-task outputs (the reference's evaluate loop
+    collects the same tuple, `training/train_eval_loop.py:67-112`).
+    """
+    geocells = jnp.asarray(geocells, jnp.float32)
+    k = num_candidates or head_cfg.num_candidates
+
+    @jax.jit
+    def eval_step(params, batch):
+        out = model.apply({"params": params}, batch["inputs"],
+                          heading=batch.get("heading"), deterministic=True)
+        total, parts = geocell_loss(
+            out, geocells, head_cfg,
+            labels_lla=batch.get("labels"),
+            labels_clf=batch.get("labels_clf"),
+            labels_multi_task=batch.get("labels_multi_task"),
+            labels_climate=batch.get("labels_climate"),
+            labels_month=batch.get("labels_month"),
+        )
+        preds = geocell_predictions(out.logits, geocells, k)
+        preds = dict(
+            preds,
+            embedding=out.embedding,
+            preds_mt=out.preds_mt,
+            preds_climate=out.preds_climate,
+            preds_month=out.preds_month,
+        )
+        return parts, preds
+
+    return eval_step
+
+
+def adamw(learning_rate, weight_decay: float = 0.0, b1: float = 0.9,
+          b2: float = 0.999, eps: float = 1e-8,
+          max_grad_norm: Optional[float] = None,
+          accum_steps: int = 1) -> optax.GradientTransformation:
+    """AdamW with optional clipping + gradient accumulation.
+
+    Head training: lr 2e-5 plain Adam-ish (reference `config.py:104`);
+    pretraining: betas (0.9, 0.98), eps 1e-6, wd 1e-3, clip 1.0, accum 8
+    (reference `config.py:119-127`).
+    """
+    chain = []
+    if max_grad_norm is not None:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
+                             weight_decay=weight_decay))
+    tx = optax.chain(*chain)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx

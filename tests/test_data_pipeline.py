@@ -1,0 +1,222 @@
+"""Tests for the data pipeline: CLIP preprocessing parity, crops, headings,
+caption synthesis, batching."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pigeon_tpu.data import (
+    BenchmarkDataset,
+    TabularImageDataset,
+    clip_preprocess_batch,
+    clip_preprocess_pil,
+    fov_center_crop,
+    heading_to_sincos,
+    iter_batches,
+    min_side_center_crop,
+)
+from pigeon_tpu.data.captions import (
+    compass_direction,
+    streetview_caption,
+    yfcc_caption,
+)
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+RNG = np.random.default_rng(5)
+
+
+def random_image(w=500, h=400):
+    return Image.fromarray(
+        RNG.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+
+
+class TestClipPreprocessParity:
+    def test_matches_hf_processor(self):
+        transformers = pytest.importorskip("transformers")
+        proc = transformers.CLIPImageProcessor(
+            size={"shortest_edge": 224},
+            crop_size={"height": 224, "width": 224})
+        img = random_image(320, 256)
+        ref = proc(images=img, return_tensors="np")["pixel_values"][0]
+        ours = clip_preprocess_pil(img, image_size=224)
+        # ref is CHW; ours is HWC
+        np.testing.assert_allclose(ours.transpose(2, 0, 1), ref, atol=1e-5)
+
+    def test_square_input(self):
+        transformers = pytest.importorskip("transformers")
+        proc = transformers.CLIPImageProcessor(
+            size={"shortest_edge": 336},
+            crop_size={"height": 336, "width": 336})
+        img = random_image(640, 640)
+        ref = proc(images=img, return_tensors="np")["pixel_values"][0]
+        ours = clip_preprocess_pil(img, image_size=336)
+        np.testing.assert_allclose(ours.transpose(2, 0, 1), ref, atol=1e-5)
+
+    def test_device_path_close(self):
+        # jax path tracks the PIL path within a fraction of a std.
+        img_np = RNG.integers(0, 256, size=(1, 300, 420, 3), dtype=np.uint8)
+        dev = np.asarray(clip_preprocess_batch(img_np, image_size=224))[0]
+        host = clip_preprocess_pil(
+            Image.fromarray(img_np[0]), image_size=224)
+        assert dev.shape == host.shape == (224, 224, 3)
+        # Different bicubic implementations: compare loosely.
+        assert np.abs(dev - host).mean() < 0.15
+
+
+class TestCrops:
+    def test_fov_crop_factor(self):
+        # Reference factor for 96deg: arcsin(rad(45))/arcsin(rad(48)).
+        img = np.zeros((618, 618, 3))
+        out = fov_center_crop(img, original_fov=96)
+        factor = np.arcsin(np.radians(45)) / np.arcsin(np.radians(48))
+        expected = 618 - (int(np.ceil((618 - factor * 618) / 2))
+                          + int(np.floor((618 - factor * 618) / 2)))
+        assert out.shape[0] == expected == out.shape[1]
+
+    def test_min_side_crop(self):
+        img = RNG.normal(size=(100, 160, 3))
+        out = min_side_center_crop(img)
+        assert out.shape == (100, 100, 3)
+        np.testing.assert_array_equal(out, img[:, 30:130])
+
+
+class TestHeading:
+    def test_four_views_rotate_90(self):
+        h = heading_to_sincos(0.0)
+        assert h.shape == (4, 2)
+        # North, East, South, West as (sin, cos).
+        np.testing.assert_allclose(
+            h, [[0, 1], [1, 0], [0, -1], [-1, 0]], atol=1e-7)
+
+    def test_wraps(self):
+        h = heading_to_sincos(270.0)
+        np.testing.assert_allclose(h[1], [0, 1], atol=1e-7)  # 270+90=360=N
+
+
+class TestCaptions:
+    META = {"country_name": "France", "geo_area": "Normandy",
+            "town": "Bayeux", "climate_zone": "a temperate oceanic climate",
+            "driving_right": True, "heading": 10.0, "month": 3}
+
+    def test_streetview_caption_wellformed(self):
+        saw_country = 0
+        for seed in range(20):
+            cap = streetview_caption(self.META,
+                                     rng=np.random.default_rng(seed))
+            assert cap and cap.endswith(".")
+            saw_country += "France" in cap
+        # Location sentence present ~70%+ of the time.
+        assert saw_country >= 10
+
+    def test_the_country_article(self):
+        meta = dict(self.META, country_name="Netherlands")
+        cap = streetview_caption(meta, rng=np.random.default_rng(0),
+                                 auxiliary=False)
+        assert "in the Netherlands." in cap
+
+    def test_usa_rename(self):
+        meta = dict(self.META, country_name="United States Of America")
+        cap = streetview_caption(meta, rng=np.random.default_rng(0),
+                                 auxiliary=False)
+        assert "the United States." in cap
+
+    def test_no_auxiliary_is_deterministic_location(self):
+        meta = {"country_name": "Japan"}
+        cap = streetview_caption(meta, rng=np.random.default_rng(1),
+                                 auxiliary=False)
+        assert cap == "A Street View photo in Japan."
+
+    def test_yfcc_always_shows_region_town(self):
+        cap = yfcc_caption(self.META, rng=np.random.default_rng(2))
+        assert "close to the town of Bayeux" in cap
+        assert "in the region of Normandy" in cap
+        assert cap.startswith("A photo I took") or "France" in cap
+
+    def test_yfcc_rename_truncated(self):
+        meta = {"country_name": "United States Minor Outlying Isl"}
+        cap = yfcc_caption(meta, rng=np.random.default_rng(0),
+                           auxiliary=False)
+        assert "the United States Minor Outlying Islands." in cap
+
+    def test_compass_quantization(self):
+        assert compass_direction(0) == "north"
+        assert compass_direction(45) == "north"
+        assert compass_direction(46) == "east"
+        assert compass_direction(180) == "south"
+        assert compass_direction(315) == "west"
+        assert compass_direction(316) == "north"
+        assert compass_direction(-10) == "north"
+
+
+@pytest.fixture()
+def image_dataset(tmp_path):
+    """Synthetic on-disk dataset: 10 images + metadata CSV."""
+    import pandas as pd
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rows = []
+    for i in range(10):
+        name = f"img_{i}.jpg"
+        random_image(80, 64).save(img_dir / name)
+        rows.append({
+            "image": name, "lng": float(i * 10 - 40), "lat": float(i * 5 - 20),
+            "selection": "train" if i < 8 else "val",
+            "elevation": 1.0, "population": 2.0, "temp_avg": 3.0,
+            "temp_diff": 4.0, "prec_avg": 5.0, "prec_diff": 6.0,
+            "climate_zone_idx": i % 28, "month": i % 12, "heading": i * 36.0,
+            "geocell_idx": i % 4,
+        })
+    csv = tmp_path / "meta.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    return str(csv), str(img_dir)
+
+
+class TestPipeline:
+    def test_split_filter(self, image_dataset):
+        csv, img_dir = image_dataset
+        train = TabularImageDataset.from_csv(csv, "train", img_dir,
+                                             image_size=32)
+        val = TabularImageDataset.from_csv(csv, "val", img_dir,
+                                           image_size=32)
+        assert len(train) == 8 and len(val) == 2
+
+    def test_iter_batches_shapes(self, image_dataset):
+        csv, img_dir = image_dataset
+        ds = TabularImageDataset.from_csv(csv, "train", img_dir,
+                                          image_size=32)
+        batches = list(iter_batches(ds, batch_size=3, num_workers=2))
+        assert len(batches) == 3  # 8 samples -> 3+3+2
+        b = batches[0]
+        assert b["inputs"].shape == (3, 32, 32, 3)
+        assert b["labels"].shape == (3, 2)
+        assert b["labels_multi_task"].shape == (3, 6)
+        assert b["labels_clf"].shape == (3,)
+        assert b["heading"].shape == (3, 4, 2)
+        assert batches[-1]["inputs"].shape[0] == 2
+
+    def test_drop_last_and_shuffle(self, image_dataset):
+        csv, img_dir = image_dataset
+        ds = TabularImageDataset.from_csv(csv, "train", img_dir,
+                                          image_size=32)
+        batches = list(iter_batches(ds, batch_size=3, drop_last=True,
+                                    shuffle=True, seed=1, num_workers=2))
+        assert len(batches) == 2
+        again = list(iter_batches(ds, batch_size=3, drop_last=True,
+                                  shuffle=True, seed=1, num_workers=2))
+        np.testing.assert_array_equal(batches[0]["labels"],
+                                      again[0]["labels"])
+
+    def test_benchmark_registry(self, image_dataset, tmp_path):
+        csv, img_dir = image_dataset
+        registry = tmp_path / "benchmarks.json"
+        registry.write_text(json.dumps(
+            {"tiny": {"meta": csv, "images": img_dir}}))
+        ds = BenchmarkDataset("tiny", str(registry), image_size=32)
+        assert len(ds) == 10
+        with pytest.raises(KeyError):
+            BenchmarkDataset("nope", str(registry))
