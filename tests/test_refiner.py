@@ -1,0 +1,191 @@
+"""Tests for the batched ProtoRefiner vs a literal numpy re-derivation of the
+reference's per-sample loop semantics (`models/proto_refiner.py:121-255`)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from pigeon_tpu.config import RefinerConfig
+from pigeon_tpu.core.geodesy import haversine_np
+from pigeon_tpu.models.refiner import (
+    ProtoBank,
+    build_proto_bank,
+    hedge_probs,
+    make_refine_fn,
+)
+
+RNG = np.random.default_rng(21)
+D = 16
+NUM_CELLS = 8
+
+
+@pytest.fixture(scope="module")
+def bank_and_rows():
+    """Synthetic prototype dataset: 8 cells, 1-3 clusters each."""
+    n_bank = 60
+    bank_emb = RNG.normal(size=(n_bank, D)).astype(np.float32)
+    bank_lla = np.stack([RNG.uniform(-170, 170, n_bank),
+                         RNG.uniform(-60, 60, n_bank)], -1) \
+        .astype(np.float32)
+    rows = []
+    next_idx = 0
+    for cell in range(NUM_CELLS - 1):   # last cell has NO prototypes
+        for _ in range(RNG.integers(1, 4)):
+            size = int(RNG.integers(1, 6))
+            idx = list(range(next_idx, min(next_idx + size, n_bank)))
+            next_idx += size
+            if not idx:
+                continue
+            rows.append({
+                "geocell_idx": cell,
+                "lng": float(bank_lla[idx, 0].mean()),
+                "lat": float(bank_lla[idx, 1].mean()),
+                "count": len(idx),
+                "indices": idx,
+            })
+    bank = build_proto_bank(rows, bank_emb, bank_lla, NUM_CELLS,
+                            max_protos=4, max_members=8)
+    return bank, rows, bank_emb, bank_lla
+
+
+def numpy_reference_refine(rows, bank_emb, bank_lla, emb, initial, cells,
+                           probs, topk, temp, max_ref,
+                           within="reference"):
+    """Literal per-sample reimplementation of the reference semantics."""
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["geocell_idx"], []).append(r)
+
+    out_lla, out_cell, out_idx = [], [], []
+    for b in range(len(emb)):
+        logits, preds = [], []
+        for cell in cells[b, :topk]:
+            clusters = by_cell.get(int(cell))
+            if not clusters:
+                logits.append(-100000.0)
+                preds.append((0.0, 0.0))
+                continue
+            protos = np.stack([bank_emb[c["indices"]].mean(0)
+                               for c in clusters])
+            dist = np.linalg.norm(protos - emb[b], axis=-1)
+            best = int(dist.argmin())
+            logits.append(-dist[best])
+            c = clusters[best]
+            if c["count"] == 1:
+                preds.append((c["lng"], c["lat"]))
+            else:
+                members = np.asarray(c["indices"])
+                md = np.linalg.norm(bank_emb[members] - emb[b], axis=-1)
+                pick = members[md.argmax() if within == "reference"
+                               else md.argmin()]
+                preds.append(tuple(bank_lla[pick]))
+        logits = np.asarray(logits)
+        ex = np.exp(logits / temp - (logits / temp).max())
+        # Match softmax exactly (reference has no max-subtraction but the
+        # result is identical mathematically).
+        pp = ex / ex.sum()
+        final = probs[b, :topk] * pp
+        refined = int(final.argmax())
+        moved = haversine_np(np.asarray([initial[b]]),
+                             np.asarray([preds[refined]]))[0]
+        if moved > max_ref:
+            final = probs[b, :topk]
+        fi = int(final.argmax())
+        out_lla.append(preds[fi])
+        out_cell.append(cells[b, fi])
+        out_idx.append(fi)
+    return (np.asarray(out_lla, np.float32), np.asarray(out_cell),
+            np.asarray(out_idx))
+
+
+class TestParityWithReferenceLoop:
+    @pytest.mark.parametrize("within", ["reference", "nearest"])
+    def test_batched_matches_loop(self, bank_and_rows, within):
+        bank, rows, bank_emb, bank_lla = bank_and_rows
+        cfg = RefinerConfig(topk=4, temperature=1.6,
+                            max_refinement_km=100000.0)
+        refine = make_refine_fn(bank, cfg, within_cluster=within)
+
+        b = 12
+        emb = RNG.normal(size=(b, D)).astype(np.float32)
+        cells = np.stack([RNG.permutation(NUM_CELLS)[:5]
+                          for _ in range(b)]).astype(np.int32)
+        probs = RNG.uniform(0.01, 1, size=(b, 5)).astype(np.float32)
+        initial = np.stack([RNG.uniform(-170, 170, b),
+                            RNG.uniform(-60, 60, b)], -1) \
+            .astype(np.float32)
+
+        got = refine(jnp.asarray(emb), jnp.asarray(initial),
+                     jnp.asarray(cells), jnp.asarray(probs))
+        want_lla, want_cell, want_idx = numpy_reference_refine(
+            rows, bank_emb, bank_lla, emb, initial, cells, probs,
+            topk=4, temp=1.6, max_ref=100000.0, within=within)
+
+        np.testing.assert_array_equal(np.asarray(got["refine_index"]),
+                                      want_idx)
+        np.testing.assert_array_equal(np.asarray(got["pred_cell"]),
+                                      want_cell)
+        np.testing.assert_allclose(np.asarray(got["pred_lla"]), want_lla,
+                                   atol=1e-4)
+
+    def test_max_refinement_guard(self, bank_and_rows):
+        bank, rows, bank_emb, bank_lla = bank_and_rows
+        cfg = RefinerConfig(topk=4, temperature=1.6, max_refinement_km=1.0)
+        refine = make_refine_fn(bank, cfg)
+        b = 12
+        emb = RNG.normal(size=(b, D)).astype(np.float32)
+        cells = np.stack([RNG.permutation(NUM_CELLS)[:5]
+                          for _ in range(b)]).astype(np.int32)
+        probs = RNG.uniform(0.01, 1, size=(b, 5)).astype(np.float32)
+        initial = np.stack([RNG.uniform(-170, 170, b),
+                            RNG.uniform(-60, 60, b)], -1) \
+            .astype(np.float32)
+        got = refine(jnp.asarray(emb), jnp.asarray(initial),
+                     jnp.asarray(cells), jnp.asarray(probs))
+        want_lla, want_cell, want_idx = numpy_reference_refine(
+            rows, bank_emb, bank_lla, emb, initial, cells, probs,
+            topk=4, temp=1.6, max_ref=1.0, within="nearest")
+        np.testing.assert_array_equal(np.asarray(got["refine_index"]),
+                                      want_idx)
+        # With a 1 km guard nearly every cross-cell refinement reverts to
+        # the geocell argmax.
+        np.testing.assert_array_equal(
+            np.asarray(got["refine_index"]),
+            probs[:, :4].argmax(-1))
+
+    def test_panorama_embedding_averaged(self, bank_and_rows):
+        bank, *_ = bank_and_rows
+        cfg = RefinerConfig(topk=2)
+        refine = make_refine_fn(bank, cfg)
+        emb3 = RNG.normal(size=(3, 4, D)).astype(np.float32)
+        cells = np.tile(np.arange(3, dtype=np.int32), (3, 1))
+        out3 = refine(jnp.asarray(emb3), jnp.zeros((3, 2)),
+                      jnp.asarray(cells), None)
+        out2 = refine(jnp.asarray(emb3.mean(1)), jnp.zeros((3, 2)),
+                      jnp.asarray(cells), None)
+        np.testing.assert_allclose(np.asarray(out3["pred_lla"]),
+                                   np.asarray(out2["pred_lla"]), atol=1e-6)
+
+    def test_no_probs_uses_first_candidate(self, bank_and_rows):
+        bank, *_ = bank_and_rows
+        cfg = RefinerConfig(topk=3, max_refinement_km=1e9)
+        refine = make_refine_fn(bank, cfg)
+        emb = RNG.normal(size=(4, D)).astype(np.float32)
+        cells = np.tile(np.arange(3, dtype=np.int32), (4, 1))
+        out = refine(jnp.asarray(emb), jnp.zeros((4, 2)),
+                     jnp.asarray(cells), None)
+        assert out["pred_lla"].shape == (4, 2)
+
+
+class TestHedge:
+    def test_preserves_mass_and_prefers_central(self):
+        # 4 guesses: 3 clustered in Europe, 1 in Australia.
+        locs = np.asarray([[[2.0, 48.0], [5.0, 50.0], [8.0, 47.0],
+                            [151.0, -33.0]]], np.float32)
+        probs = np.asarray([[0.25, 0.25, 0.2, 0.3]], np.float32)
+        out = np.asarray(hedge_probs(jnp.asarray(locs), jnp.asarray(probs),
+                                     temperature=1.0))
+        assert out.sum() == pytest.approx(probs.sum(), rel=1e-5)
+        # The outlier must lose probability mass.
+        assert out[0, 3] < probs[0, 3]
+        assert out[0, :3].sum() > probs[0, :3].sum()
