@@ -1,0 +1,277 @@
+"""Tests for the geocell subsystem: geometry engine, Voronoi, creation
+invariants (SURVEY.md §4: partition covers all points, size bounds,
+disjointness) on synthetic point sets + boundaries."""
+
+import json
+
+import numpy as np
+import pytest
+
+from pigeon_tpu.geocell import (
+    Cell,
+    CellCollection,
+    CellAssigner,
+    GeocellCreator,
+    NaiveCell,
+    build_prototypes,
+)
+from pigeon_tpu.geocell import geometry as geom
+from pigeon_tpu.geocell.creation import BoundarySet
+from pigeon_tpu.geocell.voronoi import voronoi_regions_for_points
+
+RNG = np.random.default_rng(330)
+
+
+def square(x0, y0, s):
+    return np.array([[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]],
+                    float)
+
+
+class TestGeometry:
+    def test_area_centroid(self):
+        sq = square(0, 0, 2)
+        assert geom.polygon_area(sq) == pytest.approx(4.0)
+        np.testing.assert_allclose(geom.polygon_centroid(sq), [1, 1])
+
+    def test_clip_convex(self):
+        # Unit square clipped to right half-plane square.
+        sq = square(0, 0, 2)
+        clip = square(1, -1, 4)
+        out = geom.clip_to_convex(sq, clip)
+        assert abs(geom.polygon_area(out)) == pytest.approx(2.0)
+        assert out[:, 0].min() == pytest.approx(1.0)
+
+    def test_clip_disjoint_empty(self):
+        out = geom.clip_to_convex(square(0, 0, 1), square(5, 5, 1))
+        assert len(out) == 0
+
+    def test_clip_concave_subject(self):
+        # L-shape clipped against a convex square covering its notch.
+        L = np.array([[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3]],
+                     float)
+        clip = square(0, 0, 3)
+        out = geom.clip_to_convex(L, clip)
+        assert abs(geom.polygon_area(out)) == pytest.approx(5.0)
+
+    def test_intersects(self):
+        assert geom.rings_intersect(square(0, 0, 2), square(1, 1, 2))
+        assert not geom.rings_intersect(square(0, 0, 1), square(3, 3, 1))
+        # containment (no boundary crossing)
+        assert geom.rings_intersect(square(0, 0, 5), square(1, 1, 1))
+
+    def test_scale_about_centroid(self):
+        sq = square(0, 0, 2)
+        scaled = geom.scale_about_centroid(sq, 1.5)
+        np.testing.assert_allclose(geom.polygon_centroid(scaled), [1, 1])
+        assert abs(geom.polygon_area(scaled)) == pytest.approx(4 * 1.5**2)
+
+    def test_wkt_roundtrip(self):
+        polys = [square(0, 0, 1), square(5, 5, 2)]
+        wkt = geom.to_wkt(polys)
+        assert wkt.startswith("MULTIPOLYGON")
+        back = geom.from_wkt(wkt)
+        assert len(back) == 2
+        np.testing.assert_allclose(back[0], polys[0])
+        single = geom.from_wkt(geom.to_wkt(polys[0]))
+        np.testing.assert_allclose(single[0], polys[0])
+
+
+class TestVoronoi:
+    def test_regions_partition_and_contain_sites(self):
+        pts = RNG.uniform(0, 10, size=(20, 2))
+        regions = voronoi_regions_for_points(pts)
+        assert len(regions) == 20
+        for p, ring in zip(pts, regions):
+            assert geom.points_in_ring(p[None], ring)[0], \
+                "site must lie in its own region"
+
+    def test_nearest_site_property(self):
+        pts = RNG.uniform(0, 10, size=(12, 2))
+        regions = voronoi_regions_for_points(pts)
+        probes = RNG.uniform(1, 9, size=(200, 2))
+        d = np.linalg.norm(probes[:, None] - pts[None], axis=-1)
+        nearest = d.argmin(1)
+        for i, ring in enumerate(regions):
+            inside = geom.points_in_ring(probes, ring)
+            # Every probe inside region i must have site i as its nearest.
+            assert (nearest[inside] == i).all()
+
+
+def synthetic_world(n_per_area=40, grid=3):
+    """grid x grid admin-2 squares (10x10 deg), all same country; two
+    admin-1 groups (left half / right half)."""
+    feats, rows = [], []
+    for gy in range(grid):
+        for gx in range(grid):
+            x0, y0 = gx * 10.0, gy * 10.0
+            feats.append({
+                "type": "Feature", "properties": {"name": f"a2_{gx}_{gy}"},
+                "geometry": {"type": "Polygon", "coordinates": [
+                    [[x0, y0], [x0 + 10, y0], [x0 + 10, y0 + 10],
+                     [x0, y0 + 10], [x0, y0]]]}})
+    pts = []
+    for gy in range(grid):
+        for gx in range(grid):
+            n = n_per_area
+            p = np.stack([RNG.uniform(gx * 10 + 1, gx * 10 + 9, n),
+                          RNG.uniform(gy * 10 + 1, gy * 10 + 9, n)], -1)
+            pts.append(p)
+    return feats, np.concatenate(pts)
+
+
+@pytest.fixture()
+def world(tmp_path):
+    feats, pts = synthetic_world()
+    gj = tmp_path / "admin2.geojson"
+    gj.write_text(json.dumps({"type": "FeatureCollection",
+                              "features": feats}))
+    return str(gj), pts
+
+
+class TestBoundarySet:
+    def test_assign_and_fill(self, world):
+        gj, pts = world
+        bs = BoundarySet.from_geojson(gj)
+        assert len(bs) == 9
+        ids = bs.assign(pts)
+        assert (ids >= 0).all()
+        # Outside point -> nearest fill.
+        out = bs.assign(np.array([[200.0, 50.0]]))
+        assert out[0] == -1
+        filled = bs.assign_with_nearest_fill(np.array([[200.0, 50.0]]))
+        assert filled[0] >= 0
+
+
+class TestCellSplit:
+    def test_split_two_clusters(self):
+        # Two tight clusters in one big cell -> bisector split.
+        a = RNG.normal([2, 2], 0.3, size=(60, 2))
+        b = RNG.normal([8, 8], 0.3, size=(60, 2))
+        cell = Cell("c", "a1", "ctry", np.vstack([a, b]), [square(0, 0, 10)])
+        new = cell.split((5, 0.05), min_cell_size=10, max_cell_size=80)
+        assert len(new) >= 1
+        total = cell.size + sum(c.size for c in new)
+        assert total == 120, "no point may be lost"
+        assert all(c.size >= 10 for c in [cell] + new)
+        # Territories partition the parent square's area.
+        area = cell.area + sum(c.area for c in new)
+        assert area == pytest.approx(100.0, rel=1e-6)
+        # Territories form a partition: every parent point lies in exactly
+        # one territory (cluster membership need not equal nearest-centroid,
+        # so a cell's own points may straddle — same as the reference).
+        all_pts = np.vstack([cell.points] + [c.points for c in new])
+        counts = np.zeros(len(all_pts), int)
+        for c in [cell] + new:
+            counts += c.contains(all_pts).astype(int)
+        assert (counts == 1).all()
+
+    def test_split_three_clusters(self):
+        cs = [RNG.normal([2, 2], 0.3, (50, 2)),
+              RNG.normal([8, 2], 0.3, (50, 2)),
+              RNG.normal([5, 8], 0.3, (50, 2))]
+        cell = Cell("c", "a1", "ctry", np.vstack(cs), [square(0, 0, 10)])
+        new = cell.split((5, 0.05), min_cell_size=10, max_cell_size=60)
+        assert len(new) == 2
+        sizes = sorted([cell.size] + [c.size for c in new])
+        assert sum(sizes) == 150
+        area = cell.area + sum(c.area for c in new)
+        assert area == pytest.approx(100.0, rel=1e-6)
+
+    def test_no_split_when_uniform(self):
+        pts = RNG.uniform(0, 10, size=(200, 2))
+        cell = Cell("c", "a1", "ctry", pts, [square(0, 0, 10)])
+        new = cell.split((5, 0.05), min_cell_size=10, max_cell_size=100)
+        # Uniform points: either no split or a valid one; invariant is no
+        # point loss.
+        total = cell.size + sum(c.size for c in new)
+        assert total == 200
+
+
+class TestCreator:
+    def test_end_to_end_invariants(self, world):
+        gj, pts = world
+        import pandas as pd
+
+        df = pd.DataFrame({"lng": pts[:, 0], "lat": pts[:, 1],
+                           "selection": "train"})
+        bs = BoundarySet.from_geojson(gj)
+        creator = GeocellCreator(df, admin_2=bs)
+        cells = creator.generate(min_cell_size=60, max_cell_size=120,
+                                 optics_params=((5, 0.05),))
+        sizes = np.array([c.size for c in cells])
+        assert sizes.sum() == len(pts), "no point may be lost"
+        # 9 areas x 40 points: fusing should produce cells >= 60 where
+        # possible (some may stay small if isolated).
+        assert (sizes >= 60).mean() >= 0.5
+        records = cells.to_records()
+        assert all(r["geometry"].startswith(("POLYGON", "MULTIPOLYGON"))
+                   for r in records)
+        # Assigner: training points map back to cells that contain them.
+        assigner = CellAssigner.from_collection(cells)
+        labels = assigner.assign(pts)
+        assert labels.shape == (len(pts),)
+        assert (labels >= 0).all()
+
+    def test_csv_roundtrip(self, world, tmp_path):
+        gj, pts = world
+        import pandas as pd
+
+        df = pd.DataFrame({"lng": pts[:, 0], "lat": pts[:, 1],
+                           "selection": "train"})
+        bs = BoundarySet.from_geojson(gj)
+        creator = GeocellCreator(df, admin_2=bs)
+        cells = creator.generate(min_cell_size=60, max_cell_size=120,
+                                 optics_params=((5, 0.05),),
+                                 output_csv=str(tmp_path / "cells.csv"))
+        assigner = CellAssigner.from_csv(str(tmp_path / "cells.csv"))
+        assert assigner.num_cells == len(cells)
+        labels = assigner.assign(pts[:50])
+        assert (labels >= 0).all()
+
+
+class TestNaive:
+    def test_bounds_and_sizes(self):
+        pts = RNG.uniform(-90, 90, size=(500, 2))
+        cells = NaiveCell.build(pts, max_size=60)
+        assert all(c.size <= 60 for c in cells)
+        assert sum(c.size for c in cells) == 500
+        # Disjoint rectangles: each point in exactly one cell.
+        counts = np.zeros(500, int)
+        for c in cells:
+            counts += c.contains(pts).astype(int)
+        assert (counts == 1).all()
+
+
+class TestPrototypes:
+    def test_schema_and_counts(self):
+        import pandas as pd
+
+        # Two geocells; cell 0 has two spatial clusters, cell 1 has one.
+        a = RNG.normal([0, 0], 0.05, (20, 2))
+        b = RNG.normal([5, 5], 0.05, (20, 2))
+        c = RNG.normal([50, 20], 0.05, (15, 2))
+        pts = np.vstack([a, b, c])
+        df = pd.DataFrame({"lng": pts[:, 0], "lat": pts[:, 1],
+                           "geocell_idx": [0] * 40 + [1] * 15,
+                           "selection": "train"})
+        protos = build_prototypes(df, cluster_args=(5, 0.05), num_workers=0)
+        assert set(protos.columns) == {"geocell_idx", "cluster", "lng",
+                                       "lat", "count", "indices"}
+        cell0 = protos[protos.geocell_idx == 0]
+        assert len(cell0) >= 2, "two spatial clusters expected"
+        # indices are valid row positions
+        idx = json.loads(cell0.iloc[0]["indices"])
+        assert all(0 <= i < 55 for i in idx)
+        # counts match indices lengths
+        for _, row in protos.iterrows():
+            assert row["count"] == len(json.loads(row["indices"]))
+
+    def test_small_cell_single_cluster(self):
+        import pandas as pd
+
+        pts = RNG.normal([0, 0], 0.1, (3, 2))
+        df = pd.DataFrame({"lng": pts[:, 0], "lat": pts[:, 1],
+                           "geocell_idx": 7})
+        protos = build_prototypes(df, cluster_args=(5, 0.05), num_workers=0)
+        assert len(protos) == 1
+        assert protos.iloc[0]["count"] == 3
