@@ -1,0 +1,93 @@
+"""Zero-shot geocell classification via CLIP text prompts.
+
+The reference imports `evaluation/zeroshot.py` (`evaluation/__init__.py:3`)
+— a module MISSING from its release (every `from evaluation import ...`
+crashes). This implements the capability for real: per-geocell text
+prompts, text-tower embedding, and a jitted image->geocell probability
+classifier (BASELINE.json config #1: ViT-B/32 zero-shot geocell
+classification).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def geocell_prompts(records: Sequence[dict],
+                    template: str = "A photo located in {place}.") -> List[str]:
+    """Build one text prompt per geocell from geocell CSV records.
+
+    Uses admin_1/country names when present (semantic cells), otherwise the
+    centroid coordinates.
+    """
+    prompts = []
+    for r in records:
+        admin_1 = str(r.get("admin_1", "") or "")
+        country = str(r.get("country", "") or "")
+        if country and country.lower() not in ("nan", "none", ""):
+            place = f"{admin_1}, {country}" if admin_1 and \
+                admin_1.lower() not in ("nan", "none", "") else country
+        else:
+            place = (f"latitude {float(r['lat']):.1f}, "
+                     f"longitude {float(r['lng']):.1f}")
+        prompts.append(template.format(place=place))
+    return prompts
+
+
+def embed_prompts(clip_model, params, token_ids: np.ndarray) -> jnp.ndarray:
+    """Tokenized prompts -> L2-normalized text embeddings ``(C, proj)``."""
+    text_tower_params = params["text"]
+    proj = params["text_projection"]["kernel"]
+
+    from pigeon_tpu.models.clip import CLIPTextTower
+
+    tower = CLIPTextTower(clip_model.text_config,
+                          dtype=clip_model.dtype,
+                          eos_token_id=clip_model.eos_token_id)
+    _, pooled = tower.apply({"params": text_tower_params},
+                            jnp.asarray(token_ids))
+    emb = pooled @ proj
+    return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+
+def make_zero_shot_classifier(clip_model, params,
+                              text_embeds: jnp.ndarray) -> Callable:
+    """Build jitted ``pixels -> (probs, logits)`` over geocell prompts.
+
+    `text_embeds` are precomputed once (`embed_prompts`); the per-image
+    cost is one vision-tower forward + a (B, D) x (D, C) matmul.
+    """
+    from pigeon_tpu.models.clip import CLIPVisionTower
+
+    tower = CLIPVisionTower(clip_model.vision_config, dtype=clip_model.dtype)
+    vis_params = params["vision"]
+    proj = params["visual_projection"]["kernel"]
+    logit_scale = jnp.exp(jnp.asarray(params["logit_scale"]))
+    text_embeds = jnp.asarray(text_embeds)
+
+    @jax.jit
+    def classify(pixel_values):
+        _, pooled = tower.apply({"params": vis_params}, pixel_values)
+        img = pooled @ proj
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        logits = logit_scale * img @ text_embeds.T
+        return jax.nn.softmax(logits, axis=-1), logits
+
+    return classify
+
+
+def zero_shot_accuracy(classify: Callable, pixel_batches,
+                       label_batches) -> float:
+    """Top-1 zero-shot geocell accuracy over batches."""
+    correct = total = 0
+    for pixels, labels in zip(pixel_batches, label_batches):
+        probs, _ = classify(jnp.asarray(pixels))
+        pred = np.asarray(jnp.argmax(probs, axis=-1))
+        labels = np.asarray(labels)
+        correct += int((pred == labels).sum())
+        total += len(labels)
+    return correct / max(total, 1)

@@ -1,0 +1,233 @@
+"""High-level train/eval orchestration: epochs, eval, early stop, best ckpt.
+
+Rebuilds the reference's custom loop (`training/train_eval_loop.py:35-253`)
+the functional way: the jitted SPMD step does the math; this module owns
+epochs, evaluation, TensorBoard scalars, the jax profiler window, best-
+checkpoint tracking keyed on geocell accuracy (the reference saves on
+improvements of NEGATIVE accuracy, `train_eval_loop.py:161,237-241`),
+early stopping, and real resume.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from pigeon_tpu.train.metrics import compute_geoguessr_metrics
+
+logger = logging.getLogger("pigeon_tpu.train")
+
+
+class MetricWriter:
+    """TensorBoard scalar writer (tf.summary if available, else JSONL).
+
+    The reference writes train/val losses + every eval metric to TB
+    (`train_eval_loop.py:143-155,226-227`); metric names are kept
+    identical.
+    """
+
+    def __init__(self, log_dir: Optional[str]):
+        self._tf = None
+        self._jsonl = None
+        if log_dir is None:
+            return
+        os.makedirs(log_dir, exist_ok=True)
+        try:
+            import tensorflow as tf  # noqa: F401
+
+            self._tf = tf.summary.create_file_writer(log_dir)
+        except Exception:
+            self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        if self._tf is not None:
+            import tensorflow as tf
+
+            with self._tf.as_default():
+                tf.summary.scalar(tag, float(value), step=step)
+        elif self._jsonl is not None:
+            import json
+
+            self._jsonl.write(json.dumps(
+                {"tag": tag, "value": float(value), "step": step}) + "\n")
+            self._jsonl.flush()
+
+    def flush(self) -> None:
+        if self._tf is not None:
+            self._tf.flush()
+
+
+class ProfilerWindow:
+    """jax.profiler trace over a wait/active step window.
+
+    TPU-native counterpart of the reference's torch.profiler schedule
+    (wait 2, warmup 2, active 10 -> TB trace, `train_eval_loop.py:21-33`).
+    """
+
+    def __init__(self, log_dir: Optional[str], wait: int = 4,
+                 active: int = 10):
+        self.log_dir = log_dir
+        self.wait = wait
+        self.active = active
+        self._running = False
+        self._step = 0
+
+    def step(self) -> None:
+        if self.log_dir is None:
+            return
+        if self._step == self.wait:
+            jax.profiler.start_trace(self.log_dir)
+            self._running = True
+        if self._step == self.wait + self.active and self._running:
+            jax.profiler.stop_trace()
+            self._running = False
+        self._step += 1
+
+    def close(self) -> None:
+        if self._running:
+            jax.profiler.stop_trace()
+            self._running = False
+
+
+def evaluate_model(eval_step: Callable, params, batches: Iterable[Dict],
+                   refine_fn: Optional[Callable] = None,
+                   scaler=None, country_index=None,
+                   batch_to_device: Optional[Callable] = None
+                   ) -> Dict[str, float]:
+    """Run eval batches, optionally refine, compute the full metric suite.
+
+    Mirrors `training/train_eval_loop.py:35-161`: collects predictions,
+    labels, top-k candidates, multi-task outputs across batches; when a
+    refiner is given, refined (lon, lat)/cells replace the raw argmax
+    (`:97-103`).
+    """
+    acc: Dict[str, list] = {}
+
+    def push(key, value):
+        if value is not None:
+            acc.setdefault(key, []).append(np.asarray(value))
+
+    losses = []
+    for batch in batches:
+        dev_batch = batch_to_device(batch) if batch_to_device else batch
+        metrics, preds = eval_step(params, dev_batch)
+        losses.append(float(metrics["loss"]))
+
+        pred_lla = preds["pred_lla"]
+        pred_cell = preds["pred_cell"]
+        if refine_fn is not None:
+            refined = refine_fn(preds["embedding"], preds["pred_lla"],
+                                preds["topk_cells"], preds["topk_probs"])
+            pred_lla = refined["pred_lla"]
+            pred_cell = refined["pred_cell"]
+
+        push("predictions", pred_lla)
+        push("cell_preds", pred_cell)
+        push("topk_cells", preds["topk_cells"])
+        push("labels", batch.get("labels"))
+        push("cell_labels", batch.get("labels_clf"))
+        push("preds_mt", preds.get("preds_mt"))
+        push("labels_mt", batch.get("labels_multi_task"))
+        push("preds_climate", preds.get("preds_climate"))
+        push("labels_climate", batch.get("labels_climate"))
+        push("preds_month", preds.get("preds_month"))
+        push("labels_month", batch.get("labels_month"))
+
+    cat = {k: np.concatenate(v) for k, v in acc.items()}
+    metrics = compute_geoguessr_metrics(
+        predictions=cat["predictions"],
+        labels=cat["labels"],
+        cell_preds=cat.get("cell_preds"),
+        cell_labels=cat.get("cell_labels"),
+        topk_cells=cat.get("topk_cells"),
+        preds_mt=cat.get("preds_mt"),
+        labels_mt=cat.get("labels_mt"),
+        preds_climate=cat.get("preds_climate"),
+        labels_climate=cat.get("labels_climate"),
+        preds_month=cat.get("preds_month"),
+        labels_month=cat.get("labels_month"),
+        scaler=scaler,
+        country_index=country_index,
+    )
+    metrics["Eval_loss"] = float(np.mean(losses)) if losses else float("nan")
+    return metrics
+
+
+def train_model(state, train_step: Callable, eval_step: Callable,
+                train_batches_fn: Callable[[int], Iterable[Dict]],
+                eval_batches_fn: Callable[[], Iterable[Dict]],
+                num_epochs: int,
+                rng,
+                checkpoint_dir: Optional[str] = None,
+                log_dir: Optional[str] = None,
+                profile_dir: Optional[str] = None,
+                early_stopping_patience: int = 10,
+                refine_fn: Optional[Callable] = None,
+                scaler=None,
+                batch_to_device: Optional[Callable] = None,
+                log_every: int = 1):
+    """Epoch loop with per-epoch eval, best-ckpt save, early stopping.
+
+    Args:
+        train_batches_fn: epoch index -> iterable of train batches (fresh
+            shuffle per epoch).
+        eval_batches_fn: () -> iterable of eval batches.
+
+    Returns ``(state, history)`` where history is the list of per-epoch
+    eval metric dicts. Selection metric: ``Geocell_accuracy`` (maximized),
+    the reference's best-model criterion (`train_eval_loop.py:161`).
+    """
+    writer = MetricWriter(log_dir)
+    profiler = ProfilerWindow(profile_dir)
+    best_acc = -np.inf
+    stale = 0
+    history = []
+    global_step = int(jax.device_get(state.step))
+
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        for batch in train_batches_fn(epoch):
+            dev_batch = batch_to_device(batch) if batch_to_device else batch
+            state, metrics = train_step(state, dev_batch, rng)
+            global_step += 1
+            profiler.step()
+            if global_step % log_every == 0:
+                writer.scalar("train/loss", float(metrics["loss"]),
+                              global_step)
+
+        eval_metrics = evaluate_model(
+            eval_step, state.params, eval_batches_fn(),
+            refine_fn=refine_fn, scaler=scaler,
+            batch_to_device=batch_to_device)
+        history.append(eval_metrics)
+        for key, value in eval_metrics.items():
+            writer.scalar(f"eval/{key}", value, global_step)
+        writer.flush()
+        logger.info(
+            "epoch %d: loss=%.4f acc=%.4f median_km=%.1f (%.1fs)",
+            epoch, eval_metrics["Eval_loss"],
+            eval_metrics.get("Geocell_accuracy", float("nan")),
+            eval_metrics.get("Median_km_error", float("nan")),
+            time.time() - t0)
+
+        acc = eval_metrics.get("Geocell_accuracy", -eval_metrics["Eval_loss"])
+        if acc > best_acc:
+            best_acc = acc
+            stale = 0
+            if checkpoint_dir is not None:
+                from pigeon_tpu.train.checkpoints import save_checkpoint
+
+                save_checkpoint(checkpoint_dir, state)
+        else:
+            stale += 1
+            if stale >= early_stopping_patience:
+                logger.info("early stopping at epoch %d", epoch)
+                break
+
+    profiler.close()
+    return state, history

@@ -1,0 +1,219 @@
+"""Tests: CLIP BPE tokenizer parity vs HF, zero-shot classifier, embed sweep,
+high-level train/eval orchestration."""
+
+import json
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pigeon_tpu.config import HeadConfig, VisionConfig, TextConfig
+from pigeon_tpu.data.tokenizer import ClipTokenizer, HashTokenizer, load_tokenizer
+
+RNG = np.random.default_rng(17)
+
+
+@pytest.fixture(scope="module")
+def tiny_bpe(tmp_path_factory):
+    """Minimal BPE vocab: bytes + a few merges, CLIP special tokens."""
+    d = tmp_path_factory.mktemp("vocab")
+    from pigeon_tpu.data.tokenizer import _bytes_to_unicode
+
+    chars = list(_bytes_to_unicode().values())
+    vocab = {}
+    for c in chars:
+        vocab[c] = len(vocab)
+    for c in chars:
+        vocab[c + "</w>"] = len(vocab)
+    merges = [("h", "e"), ("l", "l"), ("he", "ll"), ("hell", "o</w>"),
+              ("w", "o"), ("r", "l"), ("wo", "rl"), ("worl", "d</w>")]
+    for a, b in merges:
+        vocab[a + b] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    (d / "vocab.json").write_text(json.dumps(vocab))
+    (d / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges))
+    return str(d)
+
+
+class TestClipTokenizer:
+    def test_bpe_merges_apply(self, tiny_bpe):
+        tok = ClipTokenizer.from_dir(tiny_bpe, context_len=16)
+        ids = tok.encode_text("hello world")
+        decoded = [tok.decoder[i] for i in ids]
+        assert decoded == ["hello</w>", "world</w>"]
+
+    def test_batch_layout(self, tiny_bpe):
+        tok = ClipTokenizer.from_dir(tiny_bpe, context_len=8)
+        out = tok(["hello", "hello world hello world hello world"])
+        assert out.shape == (2, 8)
+        assert out[0, 0] == tok.bos_id
+        assert out[0, 2] == tok.eos_id          # hello -> 1 token
+        assert (out[0, 3:] == tok.eos_id).all()  # EOS padding
+        assert out[1, -1] == tok.eos_id          # truncation keeps EOS
+
+    def test_matches_hf_clip_tokenizer(self, tiny_bpe):
+        transformers = pytest.importorskip("transformers")
+        hf = transformers.CLIPTokenizer(
+            vocab_file=f"{tiny_bpe}/vocab.json",
+            merges_file=f"{tiny_bpe}/merges.txt")
+        tok = ClipTokenizer.from_dir(tiny_bpe, context_len=16)
+        for text in ["hello world", "hello hello", "world"]:
+            ours = tok.encode_text(text)
+            ref = hf(text)["input_ids"][1:-1]  # strip bos/eos
+            assert ours == ref, text
+
+    def test_hash_fallback(self):
+        tok = HashTokenizer(vocab_size=1000, context_len=12)
+        a = tok(["some caption text"])
+        b = tok(["some caption text"])
+        np.testing.assert_array_equal(a, b)
+        assert a[0, 0] == tok.bos_id
+        assert (a < 1000).all()
+
+    def test_load_tokenizer_fallback(self, tmp_path):
+        tok = load_tokenizer(str(tmp_path / "nonexistent"))
+        assert isinstance(tok, HashTokenizer)
+
+
+TINY_V = VisionConfig(image_size=32, patch_size=8, hidden_size=32,
+                      intermediate_size=64, num_layers=2, num_heads=4,
+                      projection_dim=16)
+TINY_T = TextConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                    num_layers=2, num_heads=4, max_position_embeddings=12,
+                    projection_dim=16)
+
+
+class TestZeroShot:
+    def test_classifier_pipeline(self):
+        from pigeon_tpu.models.clip import CLIPModel
+        from pigeon_tpu.models.zeroshot import (
+            embed_prompts,
+            geocell_prompts,
+            make_zero_shot_classifier,
+            zero_shot_accuracy,
+        )
+
+        model = CLIPModel(TINY_V, TINY_T, eos_token_id=63)
+        pixels = jnp.zeros((2, 32, 32, 3))
+        ids = jnp.full((2, 12), 63, jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), pixels, ids)["params"]
+
+        records = [
+            {"admin_1": "Bavaria", "country": "Germany", "lng": 11, "lat": 48},
+            {"admin_1": "nan", "country": "Japan", "lng": 139, "lat": 35},
+            {"lng": 0.0, "lat": -50.0},
+        ]
+        prompts = geocell_prompts(records)
+        assert prompts[0] == "A photo located in Bavaria, Germany."
+        assert prompts[1] == "A photo located in Japan."
+        assert "latitude -50.0" in prompts[2]
+
+        tok = HashTokenizer(vocab_size=64, context_len=12)
+        # Force valid EOS id for the tiny model.
+        tok.eos_id, tok.bos_id = 63, 62
+        text_emb = embed_prompts(model, params, tok(prompts))
+        assert text_emb.shape == (3, 16)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(text_emb), axis=-1), 1.0, rtol=1e-5)
+
+        classify = make_zero_shot_classifier(model, params, text_emb)
+        imgs = jnp.asarray(RNG.normal(size=(4, 32, 32, 3)).astype(np.float32))
+        probs, logits = classify(imgs)
+        assert probs.shape == (4, 3)
+        np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
+
+        acc = zero_shot_accuracy(
+            classify, [np.asarray(imgs)],
+            [np.asarray(jnp.argmax(probs, -1))])
+        assert acc == 1.0
+
+
+class TestEmbedSweep:
+    def test_embed_dataset_roundtrip(self, tmp_path):
+        import pandas as pd
+        from PIL import Image
+
+        from pigeon_tpu.data import TabularImageDataset
+        from pigeon_tpu.models.embedder import ClipEmbedder
+        from pigeon_tpu.train.embed import (
+            embed_dataset,
+            embed_splits_to_disk,
+            load_embeddings,
+        )
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        rows = []
+        for i in range(7):
+            Image.fromarray(
+                RNG.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+            ).save(img_dir / f"{i}.png")
+            rows.append({"image": f"{i}.png", "lng": i, "lat": i,
+                         "selection": "train"})
+        pd.DataFrame(rows).to_csv(tmp_path / "meta.csv", index=False)
+        ds = TabularImageDataset.from_csv(
+            str(tmp_path / "meta.csv"), "train", str(img_dir), image_size=32)
+
+        model = ClipEmbedder(TINY_V)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 32, 3)))["params"]
+        out = embed_dataset(model, params, ds, batch_size=4, num_workers=2)
+        assert out["embeddings"].shape == (7, 32)
+        np.testing.assert_array_equal(out["indices"], np.arange(7))
+
+        # padded final batch must equal unpadded full-batch compute
+        out2 = embed_dataset(model, params, ds, batch_size=7, num_workers=2)
+        np.testing.assert_allclose(out["embeddings"], out2["embeddings"],
+                                   atol=1e-5)
+
+        embed_splits_to_disk(model, params, {"train": ds},
+                             str(tmp_path / "emb"), batch_size=4)
+        loaded = load_embeddings(str(tmp_path / "emb"), "train")
+        np.testing.assert_allclose(loaded, out["embeddings"], atol=1e-6)
+
+
+class TestTrainOrchestration:
+    def test_train_model_early_stop_and_best_ckpt(self, tmp_path):
+        from pigeon_tpu.models import GeocellHead
+        from pigeon_tpu.train import create_train_state, make_eval_step, \
+            make_train_step
+        from pigeon_tpu.train.checkpoints import latest_step
+        from pigeon_tpu.train.loop import train_model
+        from pigeon_tpu.train.train_loop import adamw
+
+        cfg = HeadConfig(num_cells=5, embed_dim=16, smooth_labels=True)
+        cells = np.stack([np.linspace(-100, 100, 5),
+                          np.linspace(-40, 40, 5)], -1).astype(np.float32)
+        model = GeocellHead(cfg)
+        opt = adamw(3e-2)
+        state = create_train_state(jax.random.PRNGKey(0), model, opt,
+                                   (jnp.zeros((2, 16)),))
+        step = make_train_step(model, opt, cfg, cells, donate=False)
+        eval_step = make_eval_step(model, cfg, cells, num_candidates=3)
+
+        # Learnable toy task: embedding = one-hot-ish of cell.
+        emb = np.eye(16, dtype=np.float32)[np.arange(20) % 5] \
+            + RNG.normal(0, 0.05, (20, 16)).astype(np.float32)
+        labels_clf = np.arange(20) % 5
+        labels = cells[labels_clf] + RNG.normal(0, 0.5, (20, 2)) \
+            .astype(np.float32)
+
+        def batches(_epoch=None):
+            return [{"inputs": jnp.asarray(emb),
+                     "labels": jnp.asarray(labels),
+                     "labels_clf": jnp.asarray(labels_clf)}]
+
+        ckpt = str(tmp_path / "ckpt")
+        state, history = train_model(
+            state, step, eval_step, batches, batches, num_epochs=30,
+            rng=jax.random.PRNGKey(1), checkpoint_dir=ckpt,
+            log_dir=str(tmp_path / "tb"),
+            early_stopping_patience=10)
+        assert history[-1]["Geocell_accuracy"] >= history[0]["Geocell_accuracy"]
+        assert history[-1]["Geocell_accuracy"] == 1.0
+        assert latest_step(ckpt) is not None
+        # Early stopping happened (acc saturates at 1.0 quickly).
+        assert len(history) < 30
