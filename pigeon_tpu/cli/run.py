@@ -1,0 +1,430 @@
+"""CLI: pretrain | finetune | embed | evaluate | serve | geocells.
+
+Keeps the reference's public command surface (`run.py:21-93`:
+``{pretrain,finetune,embed,evaluate} NAME`` with ``-l -b -s -a -t -m
+--heading -r --yfcc``) and adds the subcommands the reference lacked
+(`serve` — its server never shipped; `geocells` — its creation only ran as
+a bare script). ``--resume`` actually works here (the reference raises
+NotImplementedError for finetune/embed, `run.py:166-175`).
+
+Usage:
+    python -m pigeon_tpu.cli.run finetune MODEL --metadata data/meta.csv \
+        --images data/imgs --geocells data/geocells.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+logger = logging.getLogger("pigeon_tpu.cli")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pigeon_tpu",
+        description="TPU-native PIGEON: planet-scale image geolocation.")
+    p.add_argument("function",
+                   choices=["pretrain", "finetune", "embed", "evaluate",
+                            "serve", "geocells"],
+                   help="operation to run")
+    p.add_argument("name", nargs="?", default="pigeon",
+                   help="model/run name or checkpoint path")
+    p.add_argument("-l", "--load", default=None,
+                   help="comma-separated processed dataset / benchmark "
+                        "names")
+    p.add_argument("-b", "--base", default=None,
+                   help="path to base (vision tower) checkpoint")
+    p.add_argument("-s", "--sample", type=int, default=None,
+                   help="sample N training examples")
+    p.add_argument("-a", "--auxiliary", action="store_true",
+                   help="use auxiliary captions for pretraining")
+    p.add_argument("-t", "--test", action="store_true",
+                   help="evaluate on the test split")
+    p.add_argument("-m", "--multitask", action="store_true",
+                   help="enable multi-task heads")
+    p.add_argument("--heading", action="store_true",
+                   help="use compass headings")
+    p.add_argument("-r", "--resume", action="store_true",
+                   help="resume from the latest checkpoint")
+    p.add_argument("--yfcc", action="store_true",
+                   help="PIGEOTTO (planet-scale single image) preset")
+    p.add_argument("--panorama", action="store_true",
+                   help="4-view StreetView panorama input")
+    p.add_argument("--metadata", default=None, help="metadata CSV path")
+    p.add_argument("--images", default="", help="image directory")
+    p.add_argument("--geocells", default=None, help="geocell CSV path")
+    p.add_argument("--prototypes", default=None, help="prototype CSV path")
+    p.add_argument("--embeddings", default=None,
+                   help="embedding shard directory")
+    p.add_argument("--checkpoint-dir", default="saved_models")
+    p.add_argument("--output", default=None, help="output path")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--port", type=int, default=5000)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model config (smoke tests)")
+    return p
+
+
+def make_config(args):
+    from pigeon_tpu import pigeon_config, pigeotto_config
+    import dataclasses
+
+    cfg = pigeotto_config() if args.yfcc else pigeon_config()
+    head = cfg.head
+    if args.multitask != head.multi_task:
+        head = dataclasses.replace(head, multi_task=args.multitask)
+    if args.heading != head.heading:
+        head = dataclasses.replace(head, heading=args.heading)
+    if args.panorama != head.panorama:
+        head = dataclasses.replace(head, panorama=args.panorama)
+    cfg = cfg.replace(head=head)
+    if args.tiny:
+        from pigeon_tpu.config import VisionConfig, TextConfig
+
+        cfg = cfg.replace(
+            vision=VisionConfig(image_size=64, patch_size=16,
+                                hidden_size=64, intermediate_size=128,
+                                num_layers=2, num_heads=4,
+                                projection_dim=32),
+            text=TextConfig(vocab_size=1024, hidden_size=64,
+                            intermediate_size=128, num_layers=2,
+                            num_heads=4, max_position_embeddings=32,
+                            projection_dim=32),
+            head=dataclasses.replace(cfg.head, embed_dim=64),
+        )
+    return cfg
+
+
+def load_geocells(args):
+    import numpy as np
+    import pandas as pd
+
+    if args.geocells is None:
+        raise SystemExit("--geocells CSV is required for this command")
+    df = pd.read_csv(args.geocells)
+    return df[["lng", "lat"]].to_numpy(np.float32), df
+
+
+def cmd_geocells(args) -> int:
+    import pandas as pd
+
+    from pigeon_tpu.geocell import GeocellCreator
+    from pigeon_tpu.geocell.creation import BoundarySet
+
+    if args.metadata is None:
+        raise SystemExit("--metadata CSV is required")
+    df = pd.read_csv(args.metadata)
+    cfg = make_config(args)
+    admin2 = BoundarySet.from_geojson(args.load) if args.load else None
+    creator = GeocellCreator(df, admin_2=admin2)
+    out = args.output or "data/geocells.csv"
+    cells = creator.generate(cfg.geocell.min_cell_size,
+                             cfg.geocell.max_cell_size, output_csv=out)
+    logger.warning("wrote %d geocells to %s", len(cells), out)
+    return 0
+
+
+def cmd_finetune(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from pigeon_tpu.data import TabularImageDataset, iter_batches
+    from pigeon_tpu.train import (
+        create_mesh, create_train_state, make_eval_step, make_train_step,
+        shard_batch,
+    )
+    from pigeon_tpu.train.checkpoints import latest_step, restore_checkpoint
+    from pigeon_tpu.train.loop import train_model
+    from pigeon_tpu.train.modes import build_finetune_model
+    from pigeon_tpu.train.train_loop import adamw
+
+    cfg = make_config(args)
+    cells, _ = load_geocells(args)
+    model, mask_builder = build_finetune_model(cfg)
+    tcfg = cfg.train
+    batch = args.batch_size or tcfg.batch_size_per_device
+    mesh = create_mesh()
+
+    views = (4,) if cfg.head.panorama else ()
+    example = (jnp.zeros((2, *views, cfg.vision.image_size,
+                          cfg.vision.image_size, 3)),)
+    opt = adamw(tcfg.learning_rate)
+    state = create_train_state(jax.random.PRNGKey(tcfg.seed), model, opt,
+                               example, mesh=mesh)
+    ckpt_dir = os.path.join(args.checkpoint_dir, args.name)
+    if args.resume and latest_step(ckpt_dir) is not None:
+        state = restore_checkpoint(ckpt_dir, state)
+        logger.warning("resumed from step %d", int(state.step))
+
+    mask = mask_builder(state.params)
+    step = make_train_step(model, opt, cfg.head, cells, grad_mask=mask)
+    eval_step = make_eval_step(model, cfg.head, cells)
+
+    train = TabularImageDataset.from_csv(
+        args.metadata, "train", args.images,
+        image_size=cfg.vision.image_size, panorama=cfg.head.panorama)
+    val = TabularImageDataset.from_csv(
+        args.metadata, "val", args.images,
+        image_size=cfg.vision.image_size, panorama=cfg.head.panorama)
+    if args.sample:
+        train.df = train.df.head(args.sample)
+
+    to_dev = lambda b: shard_batch(  # noqa: E731
+        {k: jnp.asarray(v) for k, v in b.items()}, mesh)
+    state, history = train_model(
+        state, step, eval_step,
+        lambda e: iter_batches(train, batch, shuffle=True, seed=e,
+                               drop_last=True),
+        lambda: iter_batches(val, batch),
+        num_epochs=args.epochs or tcfg.num_epochs,
+        rng=jax.random.PRNGKey(0),
+        checkpoint_dir=ckpt_dir,
+        log_dir=os.path.join("runs", args.name),
+        early_stopping_patience=tcfg.early_stopping_patience,
+        batch_to_device=to_dev)
+    logger.warning("final metrics: %s", history[-1] if history else {})
+    return 0
+
+
+def cmd_embed(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from pigeon_tpu.data import TabularImageDataset
+    from pigeon_tpu.models.embedder import ClipEmbedder
+    from pigeon_tpu.train.embed import embed_splits_to_disk
+
+    cfg = make_config(args)
+    model = ClipEmbedder(cfg.vision, dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3))
+    )["params"]
+    if args.base:
+        import torch
+
+        from pigeon_tpu.models.hf_import import import_vision_tower_params
+
+        state = torch.load(args.base, map_location="cpu")
+        params = {"vision": import_vision_tower_params(
+            state, cfg.vision.num_layers)}
+        logger.warning("loaded vision tower from %s", args.base)
+
+    splits = {}
+    for split in ("train", "val", "test"):
+        ds = TabularImageDataset.from_csv(
+            args.metadata, split, args.images,
+            image_size=cfg.vision.image_size, panorama=cfg.head.panorama)
+        if len(ds):
+            splits[split] = ds
+    out = args.output or args.embeddings or "data/embeddings"
+    embed_splits_to_disk(
+        model, params, splits, out,
+        batch_size=args.batch_size or cfg.train.embed_batch_size_per_device)
+    logger.warning("wrote embeddings for %s to %s", sorted(splits), out)
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pigeon_tpu.data import BenchmarkDataset, iter_batches
+    from pigeon_tpu.models.super_guessr import SuperGuessr
+    from pigeon_tpu.train import make_eval_step
+    from pigeon_tpu.train.evaluate import (
+        EVAL_NUM_CANDIDATES,
+        build_refiner,
+        evaluate_benchmark,
+        refiner_preset,
+    )
+
+    cfg = make_config(args)
+    cells, _ = load_geocells(args)
+    model = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16)
+    views = (4,) if cfg.head.panorama else ()
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, *views, cfg.vision.image_size,
+                   cfg.vision.image_size, 3)))["params"]
+    ckpt_dir = os.path.join(args.checkpoint_dir, args.name)
+    from pigeon_tpu.train.checkpoints import latest_step
+
+    if latest_step(ckpt_dir) is not None:
+        from pigeon_tpu.train import create_train_state
+        from pigeon_tpu.train.checkpoints import restore_checkpoint
+        from pigeon_tpu.train.train_loop import adamw
+
+        state = create_train_state(
+            jax.random.PRNGKey(0), model, adamw(1e-4),
+            (jnp.zeros((1, *views, cfg.vision.image_size,
+                        cfg.vision.image_size, 3)),))
+        params = restore_checkpoint(ckpt_dir, state).params
+
+    eval_step = make_eval_step(model, cfg.head, cells,
+                               num_candidates=EVAL_NUM_CANDIDATES)
+
+    refine_fn = None
+    if args.prototypes and args.embeddings and args.metadata:
+        import pandas as pd
+
+        from pigeon_tpu.geocell.prototypes import load_prototypes_csv
+        from pigeon_tpu.train.embed import load_embeddings
+
+        meta = pd.read_csv(args.metadata)
+        meta = meta[meta.get("selection", "train") == "train"] \
+            if "selection" in meta.columns else meta
+        bank_lla = meta[["lng", "lat"]].to_numpy(np.float32)
+        bank_emb = load_embeddings(args.embeddings, "train")
+        if bank_emb.ndim == 3:
+            bank_emb = bank_emb.mean(1)
+        benchmark = (args.load or "im2gps3k").split(",")[0]
+        refine_fn = build_refiner(
+            load_prototypes_csv(args.prototypes), bank_emb, bank_lla,
+            num_cells=len(cells), cfg=refiner_preset(benchmark))
+
+    results = {}
+    for benchmark in (args.load or "im2gps3k").split(","):
+        ds = BenchmarkDataset(benchmark,
+                              cfg.paths.benchmark_registry,
+                              image_size=cfg.vision.image_size)
+        to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
+        metrics = evaluate_benchmark(
+            eval_step, params,
+            iter_batches(ds, args.batch_size or 32),
+            refine_fn=refine_fn, batch_to_device=to_dev)
+        results[benchmark] = metrics
+        logger.warning("%s: %s", benchmark, metrics)
+    if args.output:
+        import json
+
+        with open(args.output, "w") as f:
+            json.dump(results, f, indent=2)
+    return 0
+
+
+def cmd_pretrain(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from pigeon_tpu.data.tokenizer import load_tokenizer
+    from pigeon_tpu.models.clip import CLIPModel
+    from pigeon_tpu.train import create_train_state
+    from pigeon_tpu.train.modes import (
+        make_pretrain_step,
+        pretrain,
+        pretrain_optimizer,
+    )
+
+    cfg = make_config(args)
+    tokenizer = load_tokenizer()
+    model = CLIPModel(cfg.vision, cfg.text, dtype=jnp.bfloat16,
+                      eos_token_id=getattr(tokenizer, "eos_id", 49407))
+
+    from pigeon_tpu.data.pipeline import TabularImageDataset, iter_batches
+    from pigeon_tpu.data.captions import streetview_caption, yfcc_caption
+    import numpy as np
+
+    ds = TabularImageDataset.from_csv(
+        args.metadata, "train", args.images,
+        image_size=cfg.vision.image_size)
+    caption_fn = yfcc_caption if args.yfcc else streetview_caption
+
+    batch_size = args.batch_size or cfg.train.pretrain_batch_size_per_device
+    steps_per_epoch = max(len(ds) // batch_size, 1)
+    epochs = args.epochs or cfg.train.pretrain_num_epochs
+    opt = pretrain_optimizer(cfg, steps_per_epoch * epochs)
+
+    example = (jnp.zeros((2, cfg.vision.image_size, cfg.vision.image_size,
+                          3)),
+               jnp.zeros((2, 16), jnp.int32))
+    state = create_train_state(
+        jax.random.PRNGKey(cfg.train.pretrain_seed), model, opt, example,
+        init_kwargs={})
+    step = make_pretrain_step(model, opt)
+
+    def batches(epoch):
+        rng = np.random.default_rng(epoch)
+        for batch in iter_batches(ds, batch_size, shuffle=True, seed=epoch,
+                                  drop_last=True):
+            rows = [dict(zip(ds.df.columns, r))
+                    for r in ds.df.to_numpy()][:len(batch["inputs"])]
+            captions = [caption_fn(r, rng=rng,
+                                   auxiliary=args.auxiliary)
+                        if "country_name" in r else "A photo."
+                        for r in rows]
+            yield {
+                "pixel_values": jnp.asarray(batch["inputs"]),
+                "input_ids": jnp.asarray(tokenizer(captions)[:, :16]),
+            }
+
+    ckpt = os.path.join(args.checkpoint_dir, f"{args.name}_pretrained")
+    state = pretrain(model, state, step, batches, epochs,
+                     checkpoint_dir=ckpt,
+                     save_steps=cfg.train.pretrain_save_steps)
+    logger.warning("pretraining done at step %d", int(state.step))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from pigeon_tpu.models.super_guessr import SuperGuessr
+    from pigeon_tpu.serve import PredictionService, serve
+    from pigeon_tpu.serve.server import make_serving_fn
+
+    cfg = make_config(args)
+    cells, _ = load_geocells(args)
+    model = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16)
+    views = (4,) if cfg.head.panorama else ()
+    example = jnp.zeros((1, *views, cfg.vision.image_size,
+                         cfg.vision.image_size, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), example)["params"]
+
+    ckpt_dir = os.path.join(args.checkpoint_dir, args.name)
+    from pigeon_tpu.train.checkpoints import latest_step
+
+    if latest_step(ckpt_dir) is not None:
+        from pigeon_tpu.train import create_train_state
+        from pigeon_tpu.train.checkpoints import restore_checkpoint
+        from pigeon_tpu.train.train_loop import adamw
+
+        state = create_train_state(jax.random.PRNGKey(0), model,
+                                   adamw(1e-4), (example,))
+        params = restore_checkpoint(ckpt_dir, state).params
+        logger.warning("serving checkpoint step %d", int(state.step))
+
+    serve_fn = make_serving_fn(model, params, cfg.head, cells)
+    service = PredictionService(serve_fn,
+                                image_size=cfg.vision.image_size,
+                                panorama=cfg.head.panorama,
+                                game_log=os.path.join("runs", "games.jsonl"))
+    serve(service, host=args.host, port=args.port)
+    return 0
+
+
+COMMANDS = {
+    "pretrain": cmd_pretrain,
+    "finetune": cmd_finetune,
+    "embed": cmd_embed,
+    "evaluate": cmd_evaluate,
+    "serve": cmd_serve,
+    "geocells": cmd_geocells,
+}
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+    return COMMANDS[args.function](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

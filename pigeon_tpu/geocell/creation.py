@@ -130,10 +130,9 @@ class GeocellCreator:
         have_ids = all(c in self.df.columns for c in LEVEL_NAMES) and \
             not self.df[list(LEVEL_NAMES)].isnull().any().any()
         if not have_ids:
-            if self.admin_2 is None:
-                raise ValueError(
-                    "admin_2 boundaries required when the dataframe has no "
-                    "precomputed admin ids")
+            # Without boundaries the whole world degrades to one pseudo
+            # admin area per level: cells seed from the global point cloud
+            # (convex hull) and ALL structure comes from OPTICS splitting.
             levels = {
                 "country_id": self.countries,
                 "admin_1_id": self.admin_1,

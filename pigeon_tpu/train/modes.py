@@ -1,0 +1,169 @@
+"""Training modes: contrastive pretrain, finetune, finetune-on-embeddings.
+
+Rebuilds `training/train_modes.py:22-133` the TPU way:
+
+  * `make_pretrain_step` — CLIP contrastive step over the mesh. The
+    reference relies on HF Trainer DDP where in-batch negatives are
+    PER-DEVICE only; here the batch shards over the data axis and the
+    (B, B) similarity is computed over the GLOBAL batch — XLA inserts the
+    all-gather over ICI automatically, which is strictly stronger
+    contrastive signal at the same global batch size.
+  * `finetune_model` — SuperGuessr on pixels with the reference's partial
+    freeze (only the vision tower's last encoder layer trains,
+    `models/super_guessr.py:155-160`).
+  * `finetune_on_embeddings` — GeocellHead on precomputed embeddings
+    (the cheap head-training path).
+  * `retrieval_accuracy` — the in-batch contrastive retrieval probe used
+    before/after pretraining (`pretrain_dataset.py:299-330`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pigeon_tpu.config import PigeonConfig
+from pigeon_tpu.train.train_loop import TrainState, adamw
+
+
+def linear_warmup_schedule(peak_lr: float, total_steps: int,
+                           warmup_ratio: float) -> optax.Schedule:
+    """Linear warmup -> linear decay (the reference's HF 'linear' schedule
+    with warmup_ratio, `config.py:130-131,164-165`)."""
+    warmup = max(int(total_steps * warmup_ratio), 1)
+    return optax.join_schedules([
+        optax.linear_schedule(0.0, peak_lr, warmup),
+        optax.linear_schedule(peak_lr, 0.0, max(total_steps - warmup, 1)),
+    ], [warmup])
+
+
+def pretrain_optimizer(cfg: PigeonConfig, total_steps: int
+                       ) -> optax.GradientTransformation:
+    """AdamW betas (0.9, 0.98), eps 1e-6, wd 1e-3, clip 1.0, linear
+    schedule, grad accumulation (reference `config.py:112-177`)."""
+    t = cfg.train
+    schedule = linear_warmup_schedule(
+        t.pretrain_learning_rate, total_steps, t.pretrain_warmup_ratio)
+    return adamw(schedule,
+                 weight_decay=t.pretrain_weight_decay,
+                 b1=t.pretrain_adam_b1, b2=t.pretrain_adam_b2,
+                 eps=t.pretrain_adam_eps,
+                 max_grad_norm=t.pretrain_max_grad_norm,
+                 accum_steps=t.pretrain_grad_accum_steps)
+
+
+def make_pretrain_step(clip_model, optimizer) -> Callable:
+    """Jitted contrastive CLIP train step: (state, batch) -> (state, metrics).
+
+    batch: ``pixel_values`` (B, H, W, 3), ``input_ids`` (B, S) — sharded
+    batch-major over the data axis.
+    """
+
+    def loss_fn(params, batch):
+        out = clip_model.apply({"params": params}, batch["pixel_values"],
+                               batch["input_ids"], return_loss=True)
+        return out["loss"], out
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch):
+        (loss, out), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        logits = out["logits_per_image"]
+        acc = jnp.mean(
+            (jnp.argmax(logits, axis=-1)
+             == jnp.arange(logits.shape[0])).astype(jnp.float32))
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), {
+            "loss": loss, "in_batch_accuracy": acc,
+            "logit_scale": out["logit_scale"]}
+
+    return step
+
+
+def make_retrieval_probe(clip_model) -> Callable:
+    """Jitted in-batch image->text retrieval accuracy
+    (reference `pretrain_dataset.py:299-330`)."""
+
+    @jax.jit
+    def probe(params, pixel_values, input_ids):
+        out = clip_model.apply({"params": params}, pixel_values, input_ids)
+        logits = out["logits_per_image"]
+        return jnp.mean(
+            (jnp.argmax(logits, axis=-1)
+             == jnp.arange(logits.shape[0])).astype(jnp.float32))
+
+    return probe
+
+
+def retrieval_accuracy(probe: Callable, params,
+                       batches: Iterable[Tuple[np.ndarray, np.ndarray]],
+                       trials: Optional[int] = 30) -> float:
+    """Monte-Carlo mean of the in-batch retrieval probe over batches."""
+    accs = []
+    for i, (pixels, token_ids) in enumerate(batches):
+        if trials is not None and i >= trials:
+            break
+        accs.append(float(probe(params, jnp.asarray(pixels),
+                                jnp.asarray(token_ids))))
+    return float(np.mean(accs)) if accs else 0.0
+
+
+def pretrain(clip_model, state: TrainState, step_fn: Callable,
+             batches_fn: Callable[[int], Iterable[dict]],
+             num_epochs: int,
+             checkpoint_dir: Optional[str] = None,
+             save_steps: int = 50,
+             batch_to_device: Optional[Callable] = None,
+             log_fn: Optional[Callable] = None) -> TrainState:
+    """Contrastive pretraining loop with periodic checkpoints
+    (reference `train_modes.py:30-64`: Trainer with save_steps=50)."""
+    from pigeon_tpu.train.checkpoints import save_checkpoint
+
+    global_step = int(jax.device_get(state.step))
+    for epoch in range(num_epochs):
+        for batch in batches_fn(epoch):
+            if batch_to_device is not None:
+                batch = batch_to_device(batch)
+            state, metrics = step_fn(state, batch)
+            global_step += 1
+            if log_fn is not None:
+                log_fn(global_step, metrics)
+            if checkpoint_dir and global_step % save_steps == 0:
+                save_checkpoint(checkpoint_dir, state, step=global_step)
+    if checkpoint_dir:
+        save_checkpoint(checkpoint_dir, state, step=global_step)
+    return state
+
+
+def build_finetune_model(cfg: PigeonConfig, dtype=jnp.bfloat16,
+                         attn_impl: str = "xla", remat: bool = False):
+    """SuperGuessr for pixel finetuning + its partial-freeze mask builder
+    (reference `train_modes.py:67-107`)."""
+    from pigeon_tpu.models.super_guessr import (
+        SuperGuessr,
+        trainable_last_layer_mask,
+    )
+
+    model = SuperGuessr(cfg.vision, cfg.head, dtype=dtype,
+                        attn_impl=attn_impl, remat=remat)
+
+    def mask_builder(params):
+        return trainable_last_layer_mask(params, cfg.vision.num_layers)
+
+    return model, mask_builder
+
+
+def build_embedding_model(cfg: PigeonConfig, dtype=jnp.float32):
+    """GeocellHead for headless training on precomputed embeddings
+    (reference `train_modes.py:110-133`)."""
+    from pigeon_tpu.models.geocell_head import GeocellHead
+
+    return GeocellHead(cfg.head, dtype=dtype)

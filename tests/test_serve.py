@@ -1,0 +1,133 @@
+"""Serving tests: real HTTP round-trip against the bot protocol."""
+
+import base64
+import io
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pigeon_tpu.config import HeadConfig, VisionConfig
+from pigeon_tpu.models.super_guessr import SuperGuessr
+from pigeon_tpu.serve import PredictionService, serve
+from pigeon_tpu.serve.server import make_serving_fn
+
+TINY = VisionConfig(image_size=32, patch_size=8, hidden_size=32,
+                    intermediate_size=64, num_layers=2, num_heads=4)
+RNG = np.random.default_rng(4)
+
+
+def b64_image(w=64, h=64):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(RNG.integers(0, 255, (h, w, 3), dtype=np.uint8)) \
+        .save(buf, format="PNG")
+    return ("data:image/png;base64,"
+            + base64.b64encode(buf.getvalue()).decode())
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = HeadConfig(num_cells=6, embed_dim=32, panorama=True)
+    model = SuperGuessr(TINY, cfg)
+    example = jnp.zeros((1, 4, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), example)["params"]
+    cells = np.stack([np.linspace(-150, 150, 6),
+                      np.linspace(-50, 60, 6)], -1).astype(np.float32)
+    serve_fn = make_serving_fn(model, params, cfg, cells)
+    service = PredictionService(serve_fn, image_size=32, panorama=True)
+    httpd = serve(service, host="127.0.0.1", port=0, block=False)
+    port = httpd.server_address[1]
+    yield f"http://127.0.0.1:{port}", cells
+    httpd.shutdown()
+
+
+def post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestPredictEndpoint:
+    def test_duel_contract(self, server):
+        url, cells = server
+        payload = {"gameID": "g1", "roundID": 1,
+                   "image": b64_image(), "image_2": b64_image(),
+                   "image_3": b64_image(), "image_4": b64_image()}
+        status, body = post(f"{url}/api/v1/predict", payload)
+        assert status == 200
+        lat, lng = body["results"]["lat"], body["results"]["lng"]
+        # Prediction must be one of the geocell centroids.
+        match = np.isclose(cells, [lng, lat], atol=1e-4).all(-1)
+        assert match.any()
+        assert body["gameID"] == "g1"
+
+    def test_missing_image_field(self, server):
+        url, _ = server
+        status, body = post(f"{url}/api/v1/predict",
+                            {"gameID": "g", "image": b64_image()})
+        assert status == 400
+        assert "image_2" in body["error"]
+
+    def test_invalid_json(self, server):
+        url, _ = server
+        req = urllib.request.Request(
+            f"{url}/api/v1/predict", data=b"not json{{",
+            headers={"Content-Type": "application/json"}, method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                status = resp.status
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 400
+
+    def test_game_endpoint_and_unknown_path(self, server):
+        url, _ = server
+        status, body = post(f"{url}/api/v1/game",
+                            {"gameID": "g1", "roundID": 1,
+                             "game": {"score": 4000}})
+        assert status == 200 and body["status"] == "ok"
+        status, _ = post(f"{url}/api/v1/nope", {})
+        assert status == 404
+
+
+class TestCli:
+    def test_parser_surface(self):
+        from pigeon_tpu.cli.run import build_parser
+
+        p = build_parser()
+        args = p.parse_args(["finetune", "mymodel", "--yfcc", "-m",
+                             "--geocells", "x.csv"])
+        assert args.function == "finetune"
+        assert args.yfcc and args.multitask
+        args = p.parse_args(["evaluate", "m", "-l", "im2gps3k,yfcc4k"])
+        assert args.load == "im2gps3k,yfcc4k"
+
+    def test_geocells_command(self, tmp_path):
+        import pandas as pd
+
+        from pigeon_tpu.cli.run import main
+
+        pts = np.concatenate([
+            RNG.uniform([0, 0], [8, 8], (120, 2)),
+            RNG.uniform([20, 20], [28, 28], (120, 2))])
+        pd.DataFrame({"lng": pts[:, 0], "lat": pts[:, 1],
+                      "selection": "train"}).to_csv(
+            tmp_path / "meta.csv", index=False)
+        out = tmp_path / "cells.csv"
+        rc = main(["geocells", "run1", "--metadata",
+                   str(tmp_path / "meta.csv"), "--output", str(out),
+                   "--yfcc"])
+        assert rc == 0
+        df = pd.read_csv(out)
+        assert {"name", "size", "geometry", "lng", "lat"} <= set(df.columns)
+        assert df["size"].sum() == 240
