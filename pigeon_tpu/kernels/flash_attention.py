@@ -1,0 +1,148 @@
+"""Pallas TPU fused attention for the ViT towers.
+
+For ViT-L/14-336 the sequence is 577 tokens (+pad to 640): a whole (S, Dh)
+K/V pair for one (batch, head) is ~160 KB — it FITS in VMEM. So instead of
+a streaming flash-attention with online softmax (needed only when K does
+not fit), the optimal kernel here is a single-pass fused attention: per
+(batch*head, q-tile) grid step, compute logits -> f32 softmax -> weighted
+sum entirely in VMEM, writing only the (S, Dh) output to HBM. This removes
+the (B, H, S, S) probability tensor round-trip that the XLA path
+materializes when fusion fails, at exactly the model's hot shape.
+
+Backward: `mha` is a `jax.custom_vjp` — forward runs the Pallas kernel,
+backward recomputes attention with einsums (rematerialization: no saved
+probabilities, standard flash-attention memory trade).
+
+Non-causal, no attention mask (the vision tower's case; the text tower's
+577-free causal path stays on XLA — see `models/clip.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LANE = 128
+DEFAULT_BLOCK_Q = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int):
+    """One (BLOCK_Q, Dh) query tile vs the full (S_pad, Dh) K/V."""
+    q = q_ref[0]                               # (BLOCK_Q, Dh)
+    k = k_ref[0]                               # (S_pad, Dh)
+    v = v_ref[0]
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * np.float32(scale)
+
+    # Mask padded key positions.
+    s_pad = logits.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
+    logits = jnp.where(col < seq_len, logits, np.float32(-1e30))
+
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+
+    o_ref[0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, block_q: int = DEFAULT_BLOCK_Q):
+    """q/k/v: (BH, S, Dh) -> (BH, S, Dh)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, s, dh = q.shape
+    scale = dh ** -0.5
+    s_pad = _round_up(s, LANE)
+    block_q = min(block_q, s_pad)
+
+    if s_pad != s:
+        pad = ((0, 0), (0, s_pad - s), (0, 0))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    grid = (bh, s_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, seq_len=s),
+        out_shape=jax.ShapeDtypeStruct((bh, s_pad, dh), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, dh), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, dh), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dh), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+    )(q, k, v)
+    return out[:, :s, :]
+
+
+def _xla_attention_bshd(q, k, v):
+    """Reference einsum attention on (BH, S, Dh) (f32 softmax)."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+    probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(q.dtype)
+    return jnp.einsum("bqk,bkd->bqd", probs, v)
+
+
+@jax.custom_vjp
+def _mha_bh(q, k, v):
+    return _flash_forward(q, k, v)
+
+
+def _mha_fwd(q, k, v):
+    return _flash_forward(q, k, v), (q, k, v)
+
+
+def _mha_bwd(res, g):
+    """Rematerialized backward (standard attention gradients via einsum)."""
+    q, k, v = res
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+    p = jax.nn.softmax(logits.astype(jnp.float32), -1)
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("bqk,bqd->bkd", p, g32)
+    dp = jnp.einsum("bqd,bkd->bqk", g32, v32)
+    # softmax vjp: dlogits = p * (dp - sum_k(dp * p))
+    dlogits = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dlogits = (dlogits * scale)
+    dq = jnp.einsum("bqk,bkd->bqd", dlogits, k.astype(jnp.float32))
+    dk = jnp.einsum("bqk,bqd->bkd", dlogits, q.astype(jnp.float32))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_mha_bh.defvjp(_mha_fwd, _mha_bwd)
+
+
+def mha(q, k, v):
+    """Fused multi-head attention.
+
+    Args:
+        q, k, v: ``(B, S, H, Dh)`` (the model's layout).
+    Returns:
+        ``(B, S, H, Dh)`` attention output.
+    """
+    b, s, h, dh = q.shape
+
+    def fold(x):
+        return jnp.swapaxes(x, 1, 2).reshape(b * h, s, dh)
+
+    out = _mha_bh(fold(q), fold(k), fold(v))
+    return jnp.swapaxes(out.reshape(b, h, s, dh), 1, 2)
