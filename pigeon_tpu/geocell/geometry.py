@@ -88,6 +88,12 @@ def points_in_ring(points: np.ndarray, ring: Polygon) -> np.ndarray:
 def points_in_multipolygon(points: np.ndarray,
                            rings: Sequence[Polygon]) -> np.ndarray:
     pts = np.atleast_2d(points)
+    # Native (OpenMP) path for large workloads; numpy fallback otherwise.
+    if len(pts) * sum(len(r) for r in rings) > 200_000:
+        from pigeon_tpu import native
+
+        if native.available():
+            return native.pip_multi(pts, [as_ring(r) for r in rings])
     out = np.zeros(len(pts), bool)
     for ring in rings:
         remaining = ~out

@@ -35,7 +35,15 @@ def _cluster_cell(points: np.ndarray,
     min_samples, xi = cluster_args
     if len(points) < min_samples:
         return np.zeros(len(points), np.int64)
-    distances = haversine_matrix_np(points, points)
+    if len(points) > 512:
+        from pigeon_tpu import native
+
+        if native.available():
+            distances = native.haversine_matrix(points, points)
+        else:
+            distances = haversine_matrix_np(points, points)
+    else:
+        distances = haversine_matrix_np(points, points)
     distances = np.where(distances == 0, 1e-5, distances)
     return OPTICS(min_samples=min_samples, xi=xi,
                   metric="precomputed").fit_predict(distances)

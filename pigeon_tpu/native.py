@@ -1,0 +1,134 @@
+"""ctypes loader for the native geo kernels (with transparent fallback).
+
+Builds `native/libgeokernels.so` lazily on first use when a compiler is
+available; callers (`geocell.geometry`, `geocell.prototypes`) fall back to
+the numpy implementations when native code is unavailable, so the framework
+never hard-depends on a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger("pigeon_tpu.native")
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libgeokernels.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _signatures(lib: ctypes.CDLL) -> ctypes.CDLL:
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i64 = ctypes.c_int64
+
+    lib.pip_batch.argtypes = [f64p, i64, f64p, i64, u8p]
+    lib.pip_multi.argtypes = [f64p, i64, f64p, i64p, i64, u8p]
+    lib.assign_features.argtypes = [f64p, i64, f64p, i64p, i64p, i64,
+                                    f64p, i64p]
+    lib.haversine_matrix.argtypes = [f64p, i64, f64p, i64, f64p]
+    return lib
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None on failure."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH):
+            src = os.path.join(_NATIVE_DIR, "geokernels.cpp")
+            if not os.path.exists(src):
+                return None
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-fPIC", "-shared",
+                     "-fopenmp", "-o", _LIB_PATH, src],
+                    check=True, capture_output=True, timeout=120)
+            except (OSError, subprocess.SubprocessError) as e:
+                logger.info("native build unavailable: %s", e)
+                return None
+        try:
+            _lib = _signatures(ctypes.CDLL(_LIB_PATH))
+        except OSError as e:
+            logger.info("native load failed: %s", e)
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+# ---------------------------------------------------------------------------
+# Wrappers (numpy in / numpy out)
+# ---------------------------------------------------------------------------
+
+def pip_batch(points: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    lib = load()
+    pts = np.ascontiguousarray(points, np.float64)
+    rg = np.ascontiguousarray(ring, np.float64)
+    out = np.empty(len(pts), np.uint8)
+    lib.pip_batch(pts, len(pts), rg, len(rg), out)
+    return out.astype(bool)
+
+
+def pip_multi(points: np.ndarray, rings) -> np.ndarray:
+    lib = load()
+    pts = np.ascontiguousarray(points, np.float64)
+    offsets = np.zeros(len(rings) + 1, np.int64)
+    for i, r in enumerate(rings):
+        offsets[i + 1] = offsets[i] + len(r)
+    data = (np.concatenate(rings).astype(np.float64)
+            if rings else np.zeros((0, 2)))
+    data = np.ascontiguousarray(data, np.float64)
+    out = np.empty(len(pts), np.uint8)
+    lib.pip_multi(pts, len(pts), data, offsets, len(rings), out)
+    return out.astype(bool)
+
+
+def assign_features(points: np.ndarray, rings_per_feature,
+                    bboxes: np.ndarray) -> np.ndarray:
+    """Point -> first containing feature index (-1 outside all)."""
+    lib = load()
+    pts = np.ascontiguousarray(points, np.float64)
+    ring_offsets = [0]
+    feature_offsets = [0]
+    chunks = []
+    for rings in rings_per_feature:
+        for r in rings:
+            chunks.append(np.asarray(r, np.float64))
+            ring_offsets.append(ring_offsets[-1] + len(r))
+        feature_offsets.append(feature_offsets[-1] + len(rings))
+    data = (np.ascontiguousarray(np.concatenate(chunks), np.float64)
+            if chunks else np.zeros((0, 2)))
+    out = np.empty(len(pts), np.int64)
+    lib.assign_features(
+        pts, len(pts), data,
+        np.asarray(ring_offsets, np.int64),
+        np.asarray(feature_offsets, np.int64),
+        len(rings_per_feature),
+        np.ascontiguousarray(bboxes, np.float64), out)
+    return out
+
+
+def haversine_matrix(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    lib = load()
+    xx = np.ascontiguousarray(x, np.float64)
+    yy = np.ascontiguousarray(y, np.float64)
+    out = np.empty((len(xx), len(yy)), np.float64)
+    lib.haversine_matrix(xx, len(xx), yy, len(yy), out)
+    return out
