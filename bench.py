@@ -4,16 +4,26 @@ Measures the framework's headline number against BASELINE.json's north star
 (>= 5,000 images/sec/chip for CLIP ViT-L/14 embed+classify). Prints ONE
 JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Run on the real chip: `python bench.py` (do NOT force CPU).
+Protocol notes for this environment (axon-tunneled TPU):
+  * `block_until_ready` is a NO-OP through the tunnel — synchronization is
+    forced by reading a scalar back to the host;
+  * every newly compiled executable pays a multi-minute remote-compile
+    latency — the benchmark compiles exactly ONE forward program
+    (`jax.jit(model.init)` is cheap: its forward is dead-code-eliminated);
+  * inputs are generated ON DEVICE (host->device transfers run ~6 MB/s
+    through the tunnel and must stay off the timed path);
+  * per-dispatch RPC overhead is measured with a trivial kernel and
+    subtracted.
+
+Env knobs: BENCH_BATCH (default 64), BENCH_ITERS (default 8).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
-
-import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 5000.0
 
@@ -25,52 +35,63 @@ def main() -> None:
     from pigeon_tpu.config import HeadConfig, vit_l14_336_vision
     from pigeon_tpu.models.super_guessr import SuperGuessr
 
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+
     vision_cfg = vit_l14_336_vision()
     head_cfg = HeadConfig(num_cells=2203, embed_dim=1024, panorama=False,
                           multi_task=True)
     model = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.bfloat16)
 
-    init_pixels = jnp.zeros(
-        (2, vision_cfg.image_size, vision_cfg.image_size, 3), jnp.float32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), init_pixels)["params"]
+    # init's forward is DCE'd -> cheap compile.
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, vision_cfg.image_size, vision_cfg.image_size, 3)))
 
+    # The ONE timed executable: full forward collapsed to a scalar so a
+    # single host readback synchronizes the dispatch.
     @jax.jit
-    def forward(pixels):
-        out = model.apply({"params": params}, pixels)
-        return out.logits, out.embedding
+    def fwd(pixels):
+        out = model.apply(params, pixels)
+        return (out.logits.astype(jnp.float32).sum()
+                + out.embedding.astype(jnp.float32).sum())
 
-    rng = np.random.default_rng(0)
-    best_rate = 0.0
-    best_batch = 0
-    for batch in (128, 256):
-        try:
-            pixels = jnp.asarray(rng.normal(size=(
-                batch, vision_cfg.image_size, vision_cfg.image_size, 3)
-            ).astype(np.float32))
-            # Warmup (compile + 2 steady-state iterations).
-            jax.block_until_ready(forward(pixels))
-            jax.block_until_ready(forward(pixels))
-            jax.block_until_ready(forward(pixels))
-            iters = 10
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = forward(pixels)
-            jax.block_until_ready(out)
-            dt = time.perf_counter() - t0
-            rate = batch * iters / dt
-            if rate > best_rate:
-                best_rate, best_batch = rate, batch
-        except Exception as e:  # OOM at larger batch: keep best so far
-            print(f"batch {batch} failed: {e}", file=sys.stderr)
-            break
+    # Per-dispatch RPC overhead probe (tiny program, compiles fast).
+    triv = jax.jit(lambda x: x.sum())
+    z = jax.random.normal(jax.random.PRNGKey(9), (8, 128))
+    float(triv(z))
+    t0 = time.perf_counter()
+    for _ in range(6):
+        float(triv(z))
+    overhead = (time.perf_counter() - t0) / 6
 
+    # Two on-device input banks (alternate to defeat any result caching).
+    pixels = [jax.random.normal(
+        jax.random.PRNGKey(i),
+        (batch, vision_cfg.image_size, vision_cfg.image_size, 3),
+        jnp.float32) for i in range(2)]
+
+    t0 = time.perf_counter()
+    float(fwd(pixels[0]))                       # compile + first run
+    compile_s = time.perf_counter() - t0
+    float(fwd(pixels[1]))                       # steady-state warmup
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        float(fwd(pixels[i % 2]))
+    per_iter = (time.perf_counter() - t0) / iters
+
+    net = max(per_iter - overhead, 1e-9)
+    rate = batch / net
     print(json.dumps({
         "metric": "vit_l14_336_embed_classify_images_per_sec_per_chip"
-                  f"_bs{best_batch}",
-        "value": round(best_rate, 2),
+                  f"_bs{batch}",
+        "value": round(rate, 2),
         "unit": "images/sec",
-        "vs_baseline": round(best_rate / BASELINE_IMAGES_PER_SEC, 4),
+        "vs_baseline": round(rate / BASELINE_IMAGES_PER_SEC, 4),
     }))
+    print(f"# per_iter={per_iter*1000:.1f}ms overhead={overhead*1000:.1f}ms "
+          f"compile={compile_s:.1f}s", file=sys.stderr)
 
 
 if __name__ == "__main__":
