@@ -176,6 +176,24 @@ class GeocellHead(nn.Module):
         return x[:, 0]
 
 
+def smoothed_targets(labels_lla, geocells, tau_km: float):
+    """Haversine-smoothed soft targets, fused on TPU.
+
+    On TPU backends this dispatches to the Pallas kernel
+    (`kernels/geodesy.py`): one VMEM pass instead of several (B, C) HBM
+    intermediates. Elsewhere (CPU tests, interpret-free environments) it
+    uses the XLA composition. Both paths are parity-tested.
+    """
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from pigeon_tpu.kernels.geodesy import smooth_labels_from_points
+
+        return smooth_labels_from_points(labels_lla, geocells, tau_km)
+    distances = haversine_matrix(labels_lla, geocells)
+    return smooth_labels(distances, tau_km=tau_km)
+
+
 def soft_cross_entropy(logits, targets):
     """``mean_B [ -sum_c targets_c * log_softmax(logits)_c ]``.
 
@@ -212,8 +230,8 @@ def geocell_loss(output: GeocellOutput, geocells, cfg: HeadConfig,
         (total_loss, dict of components).
     """
     if cfg.smooth_labels:
-        distances = haversine_matrix(labels_lla, geocells)
-        targets = smooth_labels(distances, tau_km=cfg.label_smoothing_km)
+        targets = smoothed_targets(labels_lla, geocells,
+                                   cfg.label_smoothing_km)
         loss_clf = soft_cross_entropy(output.logits, targets)
     else:
         loss_clf = int_cross_entropy(output.logits, labels_clf)
