@@ -44,7 +44,9 @@ def quick_gelu(x):
 
 _ACTIVATIONS: dict[str, Callable] = {
     "quick_gelu": quick_gelu,
-    "gelu": jax.nn.gelu,
+    # HF 'gelu' is the exact erf form (jax defaults to the tanh approx).
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_approx": jax.nn.gelu,
 }
 
 
