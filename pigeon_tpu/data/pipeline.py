@@ -134,6 +134,17 @@ class BenchmarkDataset(TabularImageDataset):
         self.name = name
 
 
+def holdout(dataset: TabularImageDataset, sl: slice) -> TabularImageDataset:
+    """Slice view of a dataset (the reference's `EvalDataset` holdout
+    wrapper with slice support, `dataset_creation/benchmark/eval_dataset.py`).
+    """
+    out = TabularImageDataset(dataset.df.iloc[sl],
+                              image_dir=dataset.image_dir,
+                              image_size=dataset.image_size,
+                              panorama=dataset.panorama)
+    return out
+
+
 def iter_batches(dataset: TabularImageDataset, batch_size: int,
                  shuffle: bool = False, seed: int = 0,
                  drop_last: bool = False, num_workers: int = 16,

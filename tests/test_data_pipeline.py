@@ -211,6 +211,17 @@ class TestPipeline:
         np.testing.assert_array_equal(batches[0]["labels"],
                                       again[0]["labels"])
 
+    def test_holdout_slice(self, image_dataset):
+        from pigeon_tpu.data.pipeline import holdout
+
+        csv, img_dir = image_dataset
+        ds = TabularImageDataset.from_csv(csv, "train", img_dir,
+                                          image_size=32)
+        sub = holdout(ds, slice(2, 6))
+        assert len(sub) == 4
+        np.testing.assert_array_equal(sub.labels_lla(),
+                                      ds.labels_lla()[2:6])
+
     def test_benchmark_registry(self, image_dataset, tmp_path):
         csv, img_dir = image_dataset
         registry = tmp_path / "benchmarks.json"
