@@ -16,7 +16,7 @@ through every call chain), variants are complete config objects.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 # ---------------------------------------------------------------------------
 # Scoring / loss constants (reference config.py:52-56)

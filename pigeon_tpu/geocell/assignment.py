@@ -13,7 +13,7 @@ lng/lat centroid columns) written by `CellCollection.to_csv`.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -9,7 +9,7 @@ wider axis. The reference's version crashes on use (undefined name at
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

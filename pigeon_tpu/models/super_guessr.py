@@ -14,7 +14,7 @@ on precomputed embeddings (the reference's `finetune_on_embeddings` mode,
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

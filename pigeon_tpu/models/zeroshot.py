@@ -10,7 +10,7 @@ classification).
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Sequence
 
 import jax
 import jax.numpy as jnp

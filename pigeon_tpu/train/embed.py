@@ -15,7 +15,7 @@ environment) needs no collective because jax arrays are addressable.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

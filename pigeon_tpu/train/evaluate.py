@@ -9,13 +9,12 @@ the reference's documented overrides (`evaluate.py:73-80`).
 
 from __future__ import annotations
 
-import dataclasses
 import os
 from typing import Callable, Dict, Iterable, Optional
 
 import numpy as np
 
-from pigeon_tpu.config import PigeonConfig, RefinerConfig
+from pigeon_tpu.config import RefinerConfig
 
 #: Per-benchmark-family refiner overrides (reference `evaluate.py:73-80`):
 #: StreetView: topk 5, 1000 km, temp 1.6; planet-scale (YFCC/landmarks):

@@ -21,8 +21,9 @@ import optax
 
 from pigeon_tpu.config import HeadConfig
 from pigeon_tpu.models.geocell_head import geocell_loss, geocell_predictions
-from pigeon_tpu.train.mesh import param_specs, spec_for_path
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding
+
+from pigeon_tpu.train.mesh import param_specs
 
 
 class TrainState(flax.struct.PyTreeNode):
