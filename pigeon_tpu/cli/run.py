@@ -110,6 +110,15 @@ def load_geocells(args):
     return df[["lng", "lat"]].to_numpy(np.float32), df
 
 
+def config_with_cells(args, cells):
+    """Config with head.num_cells sized to the loaded geocell table."""
+    import dataclasses
+
+    cfg = make_config(args)
+    return cfg.replace(
+        head=dataclasses.replace(cfg.head, num_cells=len(cells)))
+
+
 def cmd_geocells(args) -> int:
     import pandas as pd
 
@@ -130,6 +139,86 @@ def cmd_geocells(args) -> int:
 
 
 def cmd_finetune(args) -> int:
+    if args.embeddings:
+        return _finetune_on_embeddings(args)
+    return _finetune_on_pixels(args)
+
+
+def _finetune_on_embeddings(args) -> int:
+    """Headless geocell-head training on precomputed embeddings
+    (reference `training/train_modes.py:110-133`)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pandas as pd
+
+    from pigeon_tpu.train import (
+        create_mesh, create_train_state, make_eval_step, make_train_step,
+        shard_batch,
+    )
+    from pigeon_tpu.train.embed import load_embeddings
+    from pigeon_tpu.train.loop import train_model
+    from pigeon_tpu.train.modes import build_embedding_model
+    from pigeon_tpu.train.train_loop import adamw
+
+    cells, _ = load_geocells(args)
+    cfg = config_with_cells(args, cells)
+    model = build_embedding_model(cfg)
+    mesh = create_mesh()
+    tcfg = cfg.train
+    batch = args.batch_size or tcfg.batch_size_per_device
+
+    meta = pd.read_csv(args.metadata)
+    splits = {}
+    for split in ("train", "val"):
+        rows = meta[meta["selection"] == split].reset_index(drop=True) \
+            if "selection" in meta.columns else meta
+        emb = load_embeddings(args.embeddings, split)
+        if emb.ndim == 3 and not cfg.head.panorama:
+            emb = emb.mean(1)
+        splits[split] = (emb.astype(np.float32), rows)
+
+    dim = splits["train"][0].shape[-1]
+    views = (4,) if cfg.head.panorama else ()
+    example = (jnp.zeros((2, *views, dim)),)
+    opt = adamw(tcfg.learning_rate)
+    state = create_train_state(jax.random.PRNGKey(tcfg.seed), model, opt,
+                               example, mesh=mesh)
+    step = make_train_step(model, opt, cfg.head, cells)
+    eval_step = make_eval_step(model, cfg.head, cells)
+
+    def batches(split, shuffle_seed=None):
+        emb, rows = splits[split]
+        order = np.arange(len(emb))
+        if shuffle_seed is not None:
+            np.random.default_rng(shuffle_seed).shuffle(order)
+        for start in range(0, len(order) - batch + 1, batch):
+            idx = order[start:start + batch]
+            b = {"inputs": emb[idx],
+                 "labels": rows.iloc[idx][["lng", "lat"]]
+                 .to_numpy(np.float32)}
+            if "geocell_idx" in rows.columns:
+                b["labels_clf"] = rows.iloc[idx]["geocell_idx"] \
+                    .to_numpy(np.int32)
+            yield b
+
+    to_dev = lambda b: shard_batch(  # noqa: E731
+        {k: jnp.asarray(v) for k, v in b.items()}, mesh)
+    ckpt_dir = os.path.join(args.checkpoint_dir, args.name)
+    state, history = train_model(
+        state, step, eval_step,
+        lambda e: batches("train", shuffle_seed=e),
+        lambda: batches("val"),
+        num_epochs=args.epochs or tcfg.num_epochs,
+        rng=jax.random.PRNGKey(0), checkpoint_dir=ckpt_dir,
+        log_dir=os.path.join("runs", args.name),
+        early_stopping_patience=tcfg.early_stopping_patience,
+        batch_to_device=to_dev)
+    logger.warning("final metrics: %s", history[-1] if history else {})
+    return 0
+
+
+def _finetune_on_pixels(args) -> int:
     import jax
     import jax.numpy as jnp
 
@@ -143,8 +232,8 @@ def cmd_finetune(args) -> int:
     from pigeon_tpu.train.modes import build_finetune_model
     from pigeon_tpu.train.train_loop import adamw
 
-    cfg = make_config(args)
     cells, _ = load_geocells(args)
+    cfg = config_with_cells(args, cells)
     model, mask_builder = build_finetune_model(cfg)
     tcfg = cfg.train
     batch = args.batch_size or tcfg.batch_size_per_device
@@ -245,8 +334,8 @@ def cmd_evaluate(args) -> int:
         refiner_preset,
     )
 
-    cfg = make_config(args)
     cells, _ = load_geocells(args)
+    cfg = config_with_cells(args, cells)
     model = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16)
     views = (4,) if cfg.head.panorama else ()
     params = jax.jit(model.init)(
@@ -380,8 +469,8 @@ def cmd_serve(args) -> int:
     from pigeon_tpu.serve import PredictionService, serve
     from pigeon_tpu.serve.server import make_serving_fn
 
-    cfg = make_config(args)
     cells, _ = load_geocells(args)
+    cfg = config_with_cells(args, cells)
     model = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16)
     views = (4,) if cfg.head.panorama else ()
     example = jnp.zeros((1, *views, cfg.vision.image_size,

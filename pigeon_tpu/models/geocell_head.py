@@ -276,7 +276,8 @@ def geocell_predictions(logits, geocells, num_candidates: int = 5):
     probs = jax.nn.softmax(logits, axis=-1)
     pred_cell = jnp.argmax(probs, axis=-1)
     pred_lla = jnp.take(geocells, pred_cell, axis=0)
-    topk_probs, topk_cells = jax.lax.top_k(probs, num_candidates)
+    topk_probs, topk_cells = jax.lax.top_k(
+        probs, min(num_candidates, probs.shape[-1]))
     return {
         "probs": probs,
         "pred_cell": pred_cell,

@@ -1,0 +1,59 @@
+"""CLI end-to-end smoke: embed -> finetune-on-embeddings through main()."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pigeon_tpu.cli.run import main
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+RNG = np.random.default_rng(10)
+
+
+@pytest.fixture()
+def tiny_world(tmp_path):
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    cells = np.array([[-100., 40.], [10., 50.], [120., 30.]], np.float32)
+    rows = []
+    for i in range(36):
+        c = i % 3
+        color = np.zeros(3)
+        color[c] = 255
+        img = RNG.normal(color, 40, (64, 64, 3)).clip(0, 255)
+        Image.fromarray(img.astype(np.uint8)).save(img_dir / f"{i}.png")
+        lng, lat = cells[c] + RNG.normal(0, 1, 2)
+        rows.append({"image": f"{i}.png", "lng": lng, "lat": lat,
+                     "selection": "train" if i % 4 else "val",
+                     "geocell_idx": c})
+    pd.DataFrame(rows).to_csv(tmp_path / "meta.csv", index=False)
+    pd.DataFrame({"name": ["a", "b", "c"], "lng": cells[:, 0],
+                  "lat": cells[:, 1]}).to_csv(tmp_path / "cells.csv",
+                                              index=False)
+    return tmp_path
+
+
+def test_embed_then_finetune_on_embeddings(tiny_world, monkeypatch):
+    tmp = tiny_world
+    monkeypatch.chdir(tmp)
+
+    rc = main(["embed", "run1", "--tiny",
+               "--metadata", str(tmp / "meta.csv"),
+               "--images", str(tmp / "imgs"),
+               "--output", str(tmp / "emb"),
+               "--batch-size", "8"])
+    assert rc == 0
+    emb = np.load(tmp / "emb" / "train.npy")
+    assert emb.shape[0] == 27 and emb.shape[1] == 64
+
+    rc = main(["finetune", "run1", "--tiny",
+               "--metadata", str(tmp / "meta.csv"),
+               "--geocells", str(tmp / "cells.csv"),
+               "--embeddings", str(tmp / "emb"),
+               "--batch-size", "8", "--epochs", "3"])
+    assert rc == 0
+    from pigeon_tpu.train.checkpoints import latest_step
+
+    assert latest_step(str(tmp / "saved_models" / "run1")) is not None
