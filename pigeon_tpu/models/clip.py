@@ -67,6 +67,39 @@ def xla_attention(q, k, v, mask: Optional[jnp.ndarray], dtype: Dtype):
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
+class PatchEmbed(nn.Module):
+    """Patch embedding as space-to-depth + matmul.
+
+    For a stride==kernel convolution this is mathematically identical to
+    `nn.Conv`, but lands directly on the MXU as one
+    ``(B*N, P*P*C) x (P*P*C, D)`` contraction instead of going through the
+    conv lowering. The parameter keeps the conv layout ``(P, P, C, D)``
+    (name 'kernel') so HF checkpoint import is unchanged.
+    """
+
+    features: int
+    patch_size: int
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H, W, C) -> (B, N_patches, features)."""
+        p = self.patch_size
+        b, h, w, c = x.shape
+        gh, gw = h // p, w // p
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (p, p, c, self.features), jnp.float32)
+        x = x.reshape(b, gh, p, gw, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+        y = x @ kernel.astype(self.dtype).reshape(p * p * c, self.features)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class MultiHeadAttention(nn.Module):
     """Standard MHA with separate q/k/v/out projections (HF-compatible)."""
 
@@ -189,20 +222,17 @@ class CLIPVisionTower(nn.Module):
     @nn.compact
     def __call__(self, pixel_values):
         """pixel_values: ``(B, H, W, 3)`` CLIP-normalized, NHWC (TPU-native
-        conv layout; NCHW torch inputs must be transposed by the caller)."""
+        layout; NCHW torch inputs must be transposed by the caller)."""
         cfg = self.config
         b = pixel_values.shape[0]
 
-        patches = nn.Conv(
+        patches = PatchEmbed(
             features=cfg.hidden_size,
-            kernel_size=(cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
+            patch_size=cfg.patch_size,
             use_bias=False,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             name="patch_embed",
         )(pixel_values.astype(self.dtype))
-        patches = patches.reshape(b, -1, cfg.hidden_size)
 
         cls = self.param("cls_token", nn.initializers.normal(0.02),
                          (cfg.hidden_size,), jnp.float32)

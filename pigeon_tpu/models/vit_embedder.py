@@ -38,16 +38,15 @@ class ViTEmbedder(nn.Module):
         cfg = self.config
         b = pixel_values.shape[0]
 
-        patches = nn.Conv(
+        from pigeon_tpu.models.clip import PatchEmbed
+
+        patches = PatchEmbed(
             features=cfg.hidden_size,
-            kernel_size=(cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
+            patch_size=cfg.patch_size,
             use_bias=True,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             name="patch_embed",
         )(pixel_values.astype(self.dtype))
-        patches = patches.reshape(b, -1, cfg.hidden_size)
 
         cls = self.param("cls_token", nn.initializers.zeros,
                          (cfg.hidden_size,), jnp.float32)
