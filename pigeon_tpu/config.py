@@ -141,6 +141,12 @@ class HeadConfig:
     climate_loss_scale: float = 2.0
     month_loss_scale: float = 1.0
 
+    #: Cyclic month-label smoothing temperature (months). The reference
+    #: defines LABEL_SMOOTHING_MONTHS=0.3 (`config.py:56`) but never uses
+    #: it in the loss; 0.0 reproduces the reference's hard-label month CE,
+    #: >0 enables the smoothing the constant was meant for.
+    month_smoothing: float = 0.0
+
     # Hierarchical aggregation
     num_attention_heads: int = 16
     attn_dropout: float = 0.1

@@ -254,8 +254,17 @@ def geocell_loss(output: GeocellOutput, geocells, cfg: HeadConfig,
         total = total + loss_reg + loss_climate
 
         if cfg.predict_month and labels_month is not None:
-            loss_month = int_cross_entropy(
-                output.preds_month, labels_month) * cfg.month_loss_scale
+            if cfg.month_smoothing > 0:
+                from pigeon_tpu.core.scoring import smooth_month_labels
+
+                month_targets = smooth_month_labels(
+                    labels_month, cfg.num_months, cfg.month_smoothing)
+                loss_month = soft_cross_entropy(output.preds_month,
+                                                month_targets)
+            else:
+                loss_month = int_cross_entropy(
+                    output.preds_month, labels_month)
+            loss_month = loss_month * cfg.month_loss_scale
             parts["loss_month"] = loss_month
             total = total + loss_month
 

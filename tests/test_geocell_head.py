@@ -176,3 +176,32 @@ class TestPredictions:
         # topk probs are descending
         tp = np.asarray(preds["topk_probs"])
         assert (np.diff(tp, axis=1) <= 1e-7).all()
+
+
+class TestMonthSmoothing:
+    def test_smoothed_month_loss_differs_and_matches_manual(self):
+        import dataclasses
+        from pigeon_tpu.core.scoring import smooth_month_labels
+
+        base = HeadConfig(num_cells=NUM_CELLS, embed_dim=DIM,
+                          smooth_labels=False, multi_task=True,
+                          predict_month=True)
+        smoothed = dataclasses.replace(base, month_smoothing=0.3)
+        head = GeocellHead(base)
+        emb = jnp.asarray(RNG.normal(size=(6, DIM)).astype(np.float32))
+        params = head.init(jax.random.PRNGKey(0), emb)
+        out = head.apply(params, emb)
+        kwargs = dict(
+            labels_clf=jnp.asarray(RNG.integers(0, NUM_CELLS, 6)),
+            labels_multi_task=jnp.zeros((6, 6)),
+            labels_climate=jnp.asarray(RNG.integers(0, 28, 6)),
+            labels_month=jnp.asarray(RNG.integers(0, 12, 6)))
+        cells = jnp.asarray(rand_geocells())
+        _, hard = geocell_loss(out, cells, base, **kwargs)
+        _, soft = geocell_loss(out, cells, smoothed, **kwargs)
+        assert float(hard["loss_month"]) != float(soft["loss_month"])
+        # Manual: soft CE with the cyclic kernel.
+        targets = smooth_month_labels(kwargs["labels_month"], 12, 0.3)
+        from pigeon_tpu.models.geocell_head import soft_cross_entropy
+        want = float(soft_cross_entropy(out.preds_month, targets))
+        assert float(soft["loss_month"]) == pytest.approx(want, rel=1e-6)
