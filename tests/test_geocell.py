@@ -275,3 +275,37 @@ class TestPrototypes:
         protos = build_prototypes(df, cluster_args=(5, 0.05), num_workers=0)
         assert len(protos) == 1
         assert protos.iloc[0]["count"] == 3
+
+
+class TestFusePriority:
+    def _cell(self, cid, a1, pts_center, n, size=4.0):
+        pts = RNG.normal(pts_center, 0.5, size=(n, 2))
+        x0, y0 = pts_center[0] - size / 2, pts_center[1] - size / 2
+        return Cell(cid, a1, "ctry", pts, [square(x0, y0, size)])
+
+    def test_same_admin1_wins_over_other(self):
+        # Small center cell adjacent to BOTH a same-admin-1 small cell and
+        # a different-admin-1 small cell: the ladder must fuse within
+        # admin-1 first (reference cell_collection.py:205-214).
+        center = self._cell("c", "A", np.array([0.0, 0.0]), 5)
+        same_a1 = self._cell("s", "A", np.array([3.5, 0.0]), 5)
+        other_a1 = self._cell("o", "B", np.array([-3.5, 0.0]), 5)
+        big = self._cell("big", "B", np.array([0.0, 3.5]), 50)
+        coll = CellCollection([center, same_a1, other_a1, big])
+        coll._fuse_country("ctry", min_cell_size=20, seed=0)
+        # All cells end up fused somewhere; the first merge of any small
+        # "A" cell must have been with its admin-1 sibling.
+        survivors = {c.cell_id for c in coll}
+        # center and same_a1 cannot BOTH survive separately.
+        assert not ({"c", "s"} <= survivors)
+
+    def test_fuse_absorbs_largest_neighbor_in_tier(self):
+        center = self._cell("c", "A", np.array([0.0, 0.0]), 5)
+        small1 = self._cell("s1", "A", np.array([3.5, 0.0]), 10)
+        small2 = self._cell("s2", "A", np.array([-3.5, 0.0]), 15)
+        coll = CellCollection([center, small1, small2])
+        coll._fuse_country("ctry", min_cell_size=100, seed=0)
+        # Everything fuses into one cell eventually (all below min).
+        coll.clean()
+        sizes = sorted(c.size for c in coll)
+        assert sum(sizes) == 30
