@@ -162,3 +162,39 @@ class TestTrainStep:
         s2, _ = step(s1, batch, jax.random.PRNGKey(3))
         p2 = np.asarray(s2.params["head"]["cell_layer"]["kernel"])
         assert np.abs(p2 - p0).max() > 0
+
+
+class TestHierarchicalTraining:
+    def test_hierarchical_panorama_step(self, mesh):
+        """Hierarchical aggregation path (attention + dropout) under the
+        jitted train step — exercises the dropout rng plumbing."""
+        cfg = HeadConfig(num_cells=16, embed_dim=32, panorama=True,
+                         hierarchical=True, heading=True,
+                         num_attention_heads=2, multi_task=True)
+        model = SuperGuessr(TINY, cfg)
+        opt = adamw(1e-3)
+        cells = geocell_table()
+        state = create_train_state(
+            jax.random.PRNGKey(0), model, opt,
+            (jnp.zeros((2, 4, 32, 32, 3)),), mesh=mesh)
+        step = make_train_step(model, opt, cfg, cells, donate=False)
+        b = 8
+        batch = shard_batch({
+            "inputs": jnp.asarray(
+                RNG.normal(size=(b, 4, 32, 32, 3)).astype(np.float32)),
+            "heading": jnp.asarray(
+                RNG.normal(size=(b, 4, 2)).astype(np.float32)),
+            "labels": jnp.asarray(np.stack(
+                [RNG.uniform(-180, 180, b), RNG.uniform(-60, 70, b)],
+                -1).astype(np.float32)),
+            "labels_multi_task": jnp.asarray(
+                RNG.normal(size=(b, 6)).astype(np.float32)),
+            "labels_climate": jnp.asarray(RNG.integers(0, 28, b)),
+            "labels_month": jnp.asarray(RNG.integers(0, 12, b)),
+        }, mesh)
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        # Dropout active: two different rngs give different losses.
+        _, m2 = step(state, batch, jax.random.PRNGKey(2))
+        _, m3 = step(state, batch, jax.random.PRNGKey(2))
+        assert float(m2["loss"]) == float(m3["loss"])
