@@ -114,36 +114,48 @@ def build_segmented_forward(vision_cfg: VisionConfig, head_cfg: HeadConfig,
         "encoder": {"layers": layer_slice(bounds[0], bounds[1])},
     }
 
+    # CRITICAL: parameters are passed as jit ARGUMENTS, never closed over —
+    # closed-over arrays become HLO constants, ballooning the compiled
+    # program by the full weight size (which this environment's remote
+    # compile service rejects with HTTP 413; see docs/PERF.md).
+    def bind(jitted, params):
+        return lambda x, _f=jitted, _p=params: _f(_p, x)
+
     if segments == 1:
         head = GeocellHead(head_cfg, dtype=dtype)
 
-        def whole(px, m=front, p=front_params, h=head, hp=head_params):
-            emb = token_mean_embedding(m.apply({"params": p}, px))
-            out = h.apply({"params": hp}, emb)
+        def whole(p, px, m=front, h=head):
+            emb = token_mean_embedding(
+                m.apply({"params": p["tower"]}, px))
+            out = h.apply({"params": p["head"]}, emb)
             return out.logits, emb
 
-        return [jax.jit(whole)]
+        return [bind(jax.jit(whole),
+                     {"tower": front_params, "head": head_params})]
 
-    fns.append(jax.jit(
-        lambda px, m=front, p=front_params: m.apply({"params": p}, px)))
+    fns.append(bind(
+        jax.jit(lambda p, px, m=front: m.apply({"params": p}, px)),
+        front_params))
 
     for i in range(1, segments):
         lo, hi = bounds[i], bounds[i + 1]
         mid = _MidSegment(vision_cfg, hi - lo, dtype=dtype)
         mid_params = {"encoder": {"layers": layer_slice(lo, hi)}}
         if i < segments - 1:
-            fns.append(jax.jit(
-                lambda x, m=mid, p=mid_params: m.apply({"params": p}, x)))
+            fns.append(bind(
+                jax.jit(lambda p, x, m=mid: m.apply({"params": p}, x)),
+                mid_params))
         else:
             head = GeocellHead(head_cfg, dtype=dtype)
 
-            def last(x, m=mid, p=mid_params, h=head, hp=head_params):
-                x = m.apply({"params": p}, x)
+            def last(p, x, m=mid, h=head):
+                x = m.apply({"params": p["mid"]}, x)
                 emb = token_mean_embedding(x)
-                out = h.apply({"params": hp}, emb)
+                out = h.apply({"params": p["head"]}, emb)
                 return out.logits, emb
 
-            fns.append(jax.jit(last))
+            fns.append(bind(jax.jit(last),
+                            {"mid": mid_params, "head": head_params}))
     return fns
 
 

@@ -64,20 +64,24 @@ def make_zero_shot_classifier(clip_model, params,
     from pigeon_tpu.models.clip import CLIPVisionTower
 
     tower = CLIPVisionTower(clip_model.vision_config, dtype=clip_model.dtype)
-    vis_params = params["vision"]
-    proj = params["visual_projection"]["kernel"]
-    logit_scale = jnp.exp(jnp.asarray(params["logit_scale"]))
-    text_embeds = jnp.asarray(text_embeds)
+    bound = {
+        "vision": params["vision"],
+        "proj": params["visual_projection"]["kernel"],
+        "logit_scale": params["logit_scale"],
+        "text_embeds": jnp.asarray(text_embeds),
+    }
 
+    # Params enter as a jit ARGUMENT (closure constants balloon the
+    # compiled program; docs/PERF.md).
     @jax.jit
-    def classify(pixel_values):
-        _, pooled = tower.apply({"params": vis_params}, pixel_values)
-        img = pooled @ proj
+    def classify_jit(p, pixel_values):
+        _, pooled = tower.apply({"params": p["vision"]}, pixel_values)
+        img = pooled @ p["proj"]
         img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
-        logits = logit_scale * img @ text_embeds.T
+        logits = jnp.exp(p["logit_scale"]) * img @ p["text_embeds"].T
         return jax.nn.softmax(logits, axis=-1), logits
 
-    return classify
+    return lambda pixel_values: classify_jit(bound, pixel_values)
 
 
 def zero_shot_accuracy(classify: Callable, pixel_batches,

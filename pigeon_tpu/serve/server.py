@@ -114,10 +114,12 @@ def make_serving_fn(model, params, head_cfg, geocells):
 
     geocells = jnp.asarray(geocells, jnp.float32)
 
+    # Params enter as a jit ARGUMENT (closed-over weights become HLO
+    # constants and balloon the compiled program; docs/PERF.md).
     @jax.jit
-    def serve_fn(pixels):
-        out = model.apply({"params": params}, jnp.asarray(pixels))
-        preds = geocell_predictions(out.logits, geocells,
+    def serve_jit(p, pixels, cells):
+        out = model.apply({"params": p}, pixels)
+        preds = geocell_predictions(out.logits, cells,
                                     head_cfg.num_candidates)
         return {
             "pred_lla": preds["pred_lla"],
@@ -126,6 +128,9 @@ def make_serving_fn(model, params, head_cfg, geocells):
             "embedding": out.embedding,
             "preds_mt": out.preds_mt,
         }
+
+    def serve_fn(pixels):
+        return serve_jit(params, jnp.asarray(pixels), geocells)
 
     return serve_fn
 

@@ -25,13 +25,15 @@ from pigeon_tpu.data.pipeline import TabularImageDataset, iter_batches
 
 
 def make_embed_step(model, params):
-    """Jitted pixels -> token-mean embeddings step."""
+    """Jitted pixels -> token-mean embeddings step.
+
+    Params are a jit argument (closure constants balloon the program)."""
 
     @jax.jit
-    def step(pixels):
-        return model.apply({"params": params}, pixels)
+    def step(p, pixels):
+        return model.apply({"params": p}, pixels)
 
-    return step
+    return lambda pixels: step(params, pixels)
 
 
 def embed_dataset(model, params, dataset: TabularImageDataset,
