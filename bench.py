@@ -44,7 +44,7 @@ def main() -> None:
 
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
-    segments = int(os.environ.get("BENCH_SEGMENTS", "3"))
+    segments = int(os.environ.get("BENCH_SEGMENTS", "1"))
 
     vision_cfg = vit_l14_336_vision()
     head_cfg = HeadConfig(num_cells=2203, embed_dim=1024, panorama=False,
