@@ -35,6 +35,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+#: Abramowitz & Stegun 4.4.46 arcsin coefficients (|error| <= 2e-8 on
+#: [0, 1] — below f32 resolution). Mosaic lowers only sin/cos/sqrt/exp;
+#: there is no asin/atan primitive on TPU (verified on hardware).
+_ASIN_COEFFS = (1.5707963050, -0.2145988016, 0.0889789874, -0.0501743046,
+                0.0308918810, -0.0170881256, 0.0066700901, -0.0012624911)
+
+
+def _arcsin01(x):
+    """arcsin for x in [0, 1] via A&S 4.4.46 (TPU-lowerable ops only)."""
+    poly = jnp.full_like(x, np.float32(_ASIN_COEFFS[7]))
+    for c in _ASIN_COEFFS[6::-1]:
+        poly = poly * x + np.float32(c)
+    return np.float32(np.pi / 2) - jnp.sqrt(1.0 - x) * poly
+
+
 def _smooth_kernel(labels_ref, cells_ref, out_ref, *, tau_km: float,
                    num_cells: int):
     """One (TILE_B, C_pad) block: distances + row-min smoothing."""
@@ -52,7 +67,7 @@ def _smooth_kernel(labels_ref, cells_ref, out_ref, *, tau_km: float,
     a = sin_dlat * sin_dlat + \
         jnp.cos(lat1) * jnp.cos(lat2) * sin_dlon * sin_dlon
     a = jnp.clip(a, 0.0, 1.0)
-    d = (2.0 * np.float32(EARTH_RADIUS_KM)) * jnp.arcsin(jnp.sqrt(a))
+    d = (2.0 * np.float32(EARTH_RADIUS_KM)) * _arcsin01(jnp.sqrt(a))
 
     # Padding cells must not win the min nor get weight: push them far out.
     c_pad = out_ref.shape[1]
