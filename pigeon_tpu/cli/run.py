@@ -491,6 +491,11 @@ def cmd_serve(args) -> int:
         logger.warning("serving checkpoint step %d", int(state.step))
 
     serve_fn = make_serving_fn(model, params, cfg.head, cells)
+    # Warm up (compile) before accepting traffic — the first compile can
+    # take minutes in remote-compile environments.
+    logger.warning("warming up serving executable ...")
+    serve_fn(jnp.zeros_like(example))
+    logger.warning("warmup done")
     service = PredictionService(serve_fn,
                                 image_size=cfg.vision.image_size,
                                 panorama=cfg.head.panorama,
