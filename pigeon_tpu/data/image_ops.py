@@ -34,11 +34,14 @@ CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 # Host (PIL) path — HF-parity
 # ---------------------------------------------------------------------------
 
-def clip_preprocess_pil(image, image_size: int = 336) -> np.ndarray:
-    """PIL image -> CLIP-normalized ``(H, W, 3)`` float32 array (NHWC).
+def resize_crop_pil(image, image_size: int = 336) -> np.ndarray:
+    """PIL image -> resized + center-cropped ``(S, S, 3)`` uint8 (NO
+    normalization — see `normalize_images` for the device-side step).
 
-    Matches `CLIPImageProcessor`: resize shortest edge to `image_size` with
-    bicubic resampling, center-crop to square, scale 1/255, normalize.
+    The geometric half of `CLIPImageProcessor`: resize shortest edge with
+    bicubic resampling, center-crop to square. Kept uint8 so host workers
+    do only decode+resize (the float math runs on device, where it fuses
+    into the patch-embed matmul).
     """
     from PIL import Image
 
@@ -55,9 +58,33 @@ def clip_preprocess_pil(image, image_size: int = 336) -> np.ndarray:
     left = (new_w - image_size) // 2
     top = (new_h - image_size) // 2
     image = image.crop((left, top, left + image_size, top + image_size))
+    return np.asarray(image, dtype=np.uint8)
 
-    arr = np.asarray(image, dtype=np.float32) / 255.0
-    return (arr - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
+
+def normalize_images(images_u8):
+    """``(..., 3)`` uint8 -> CLIP-normalized float32 (host or device).
+
+    jnp-compatible: call inside a jitted step on the device copy for free
+    fusion into the first matmul.
+    """
+    import jax.numpy as jnp
+
+    xp = jnp if not isinstance(images_u8, np.ndarray) else np
+    x = images_u8.astype(xp.float32) / 255.0
+    mean = xp.asarray(CLIP_IMAGE_MEAN)
+    std = xp.asarray(CLIP_IMAGE_STD)
+    return (x - mean) / std
+
+
+def clip_preprocess_pil(image, image_size: int = 336) -> np.ndarray:
+    """PIL image -> CLIP-normalized ``(H, W, 3)`` float32 array (NHWC).
+
+    Matches `CLIPImageProcessor`: resize shortest edge to `image_size` with
+    bicubic resampling, center-crop to square, scale 1/255, normalize.
+    (Host-side convenience; the high-throughput path is `resize_crop_pil`
+    on workers + `normalize_images` on device.)
+    """
+    return normalize_images(resize_crop_pil(image, image_size))
 
 
 def preprocess_views(images: Iterable, image_size: int = 336) -> np.ndarray:

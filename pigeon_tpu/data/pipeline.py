@@ -45,11 +45,16 @@ class TabularImageDataset:
     """
 
     def __init__(self, df: pd.DataFrame, image_dir: str = "",
-                 image_size: int = 336, panorama: bool = False):
+                 image_size: int = 336, panorama: bool = False,
+                 normalize: bool = True):
         self.df = df.reset_index(drop=True)
         self.image_dir = image_dir
         self.image_size = image_size
         self.panorama = panorama
+        #: normalize=False keeps pixels uint8 (decode+resize only on host
+        #: workers); normalize on device via `image_ops.normalize_images`
+        #: inside the jitted step — ~3x more host throughput per worker.
+        self.normalize = normalize
 
     @classmethod
     def from_csv(cls, csv_path: str, split: Optional[str] = None,
@@ -73,11 +78,16 @@ class TabularImageDataset:
         """Decode + CLIP-preprocess one sample's image(s)."""
         from PIL import Image
 
+        from pigeon_tpu.data.image_ops import resize_crop_pil
+
+        fn = clip_preprocess_pil if self.normalize else resize_crop_pil
         views = []
         for col in self.image_columns:
             path = os.path.join(self.image_dir, str(row[col]))
             with Image.open(path) as im:
-                views.append(clip_preprocess_pil(im, self.image_size))
+                if not self.normalize:
+                    im.draft("RGB", (self.image_size, self.image_size))
+                views.append(fn(im, self.image_size))
         if self.panorama:
             return np.stack(views)          # (4, S, S, 3)
         return views[0]                      # (S, S, 3)

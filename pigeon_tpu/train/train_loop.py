@@ -63,7 +63,8 @@ def create_train_state(rng, model, optimizer, example_inputs, mesh=None,
 
 
 def make_train_step(model, optimizer, head_cfg: HeadConfig, geocells,
-                    grad_mask=None, donate: bool = True) -> Callable:
+                    grad_mask=None, donate: bool = True,
+                    normalize_inputs: bool = False) -> Callable:
     """Build the jitted SPMD train step.
 
     Args:
@@ -83,8 +84,13 @@ def make_train_step(model, optimizer, head_cfg: HeadConfig, geocells,
     geocells = jnp.asarray(geocells, jnp.float32)
 
     def loss_fn(params, batch, rng):
+        inputs = batch["inputs"]
+        if normalize_inputs:
+            from pigeon_tpu.data.image_ops import normalize_images
+
+            inputs = normalize_images(inputs)
         out = model.apply(
-            {"params": params}, batch["inputs"],
+            {"params": params}, inputs,
             heading=batch.get("heading"),
             deterministic=False, rngs={"dropout": rng})
         total, parts = geocell_loss(
