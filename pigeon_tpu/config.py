@@ -283,6 +283,30 @@ def pigeon_config(num_cells: int = 2203) -> PigeonConfig:
     )
 
 
+def landmarks_config(num_cells: int = 2076) -> PigeonConfig:
+    """PIGEOTTO + Google Landmarks training mix.
+
+    The reference threads a `landmarks` boolean through its call chains to
+    swap metadata/prototype/head paths (`run.py:115-138`,
+    `evaluation/evaluate.py:56-63`) and concatenates the YFCC + landmark
+    datasets for the refiner (`models/proto_refiner.py:53-64`); here it is
+    simply the PIGEOTTO model config with landmark paths — dataset
+    concatenation is a plain pandas/numpy concat performed by the caller
+    before `build_proto_bank` (see models/refiner.py docstring).
+    """
+    cfg = pigeotto_config(num_cells)
+    return cfg.replace(
+        name="pigeotto-landmarks",
+        paths=PathConfig(
+            geocell_csv="data/geocells_yfcc.csv",
+            proto_csv="data/prototypes_landmarks.csv",
+            embeddings_dir="data/landmark_embeddings",
+            checkpoint_dir="saved_models",
+            scaler_path="saved_models/scaler/regression_yfcc.scaler.json",
+        ),
+    )
+
+
 def pigeotto_config(num_cells: int = 2076) -> PigeonConfig:
     """PIGEOTTO: single-image planet-scale (YFCC/MP-16), tau=65 km, no month."""
     return PigeonConfig(
