@@ -17,6 +17,13 @@ Rebuilds the behavioral contract of the reference's `Cell` /
     territories are carved by clipping the parent's polygons to the finite
     Voronoi regions of the cluster centroids (`cell.py:299-418`).
 
+Termination/limits (shared with the reference): a cell only splits when
+OPTICS finds >= 2 clusters of at least `min_cell_size` — dense unimodal
+blobs (single cities) can stay oversize; the planet-scale ladder's
+aggressive final settings (min_samples 1000, xi 1e-4) exist to force
+splits of such blobs. The split loop terminates when no oversize cell
+yields a split.
+
 Representation difference vs the reference (by design): shapes are kept as
 lists of convex-clipped pieces rather than dissolved shapely unions — every
 operation the pipeline needs (point assignment, adjacency, WKT export,
