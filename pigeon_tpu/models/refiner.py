@@ -45,6 +45,7 @@ from pigeon_tpu.core.geodesy import haversine
 _NO_PROTO_LOGIT = -100000.0
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ProtoBank:
     """Padded prototype + training-bank arrays (device-resident).
@@ -168,7 +169,8 @@ def make_refine_fn(bank: ProtoBank, cfg: RefinerConfig,
 
     def per_candidate(carry, cell_idx):
         """One candidate column: cell_idx (B,) -> best-cluster results."""
-        emb = carry  # (B, D)
+        bank, emb = carry  # bank arrays ride the carry (jit ARGUMENTS —
+        # a closed-over bank would embed ~GBs of constants; docs/PERF.md)
         protos = bank.proto_emb[cell_idx]         # (B, P, D) gather
         counts = bank.proto_count[cell_idx]       # (B, P)
         valid = counts > 0
@@ -209,7 +211,8 @@ def make_refine_fn(bank: ProtoBank, cfg: RefinerConfig,
         return carry, (best_logit, pred_lla)
 
     @jax.jit
-    def refine(embedding, initial_preds, candidate_cells, candidate_probs):
+    def refine_jit(bank, embedding, initial_preds, candidate_cells,
+                   candidate_probs):
         """Refine a batch of guesses.
 
         Args:
@@ -233,7 +236,7 @@ def make_refine_fn(bank: ProtoBank, cfg: RefinerConfig,
             probs_k = candidate_probs[:, :k]
 
         _, (logits, cand_lla) = jax.lax.scan(
-            per_candidate, embedding, cells.T)
+            per_candidate, (bank, embedding), cells.T)
         logits = logits.T                         # (B, K)
         cand_lla = jnp.swapaxes(cand_lla, 0, 1)   # (B, K, 2)
 
@@ -265,5 +268,9 @@ def make_refine_fn(bank: ProtoBank, cfg: RefinerConfig,
             "refine_index": final_idx,
             "changed": final_idx != initial_guess,
         }
+
+    def refine(embedding, initial_preds, candidate_cells, candidate_probs):
+        return refine_jit(bank, embedding, initial_preds, candidate_cells,
+                          candidate_probs)
 
     return refine
