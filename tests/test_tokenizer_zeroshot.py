@@ -217,3 +217,25 @@ class TestTrainOrchestration:
         assert latest_step(ckpt) is not None
         # Early stopping happened (acc saturates at 1.0 quickly).
         assert len(history) < 30
+
+
+class TestProfiling:
+    def test_capture_and_summarize(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from pigeon_tpu.train.profiling import (
+            capture_trace,
+            print_trace_summary,
+            summarize_trace,
+        )
+
+        f = jax.jit(lambda x: (x @ x).sum())
+        x = jnp.ones((128, 128))
+        float(f(x))
+        trace_dir = str(tmp_path / "trace")
+        capture_trace(lambda: float(f(x)), trace_dir, steps=2)
+        rows = summarize_trace(trace_dir, top=5)
+        assert rows and all(len(r) == 3 for r in rows)
+        assert sum(r[2] for r in rows) <= 100.1
+        print_trace_summary(trace_dir, top=3)
