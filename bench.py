@@ -45,6 +45,7 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     segments = int(os.environ.get("BENCH_SEGMENTS", "1"))
+    attn_impl = os.environ.get("BENCH_ATTN", "flash")
 
     vision_cfg = vit_l14_336_vision()
     head_cfg = HeadConfig(num_cells=2203, embed_dim=1024, panorama=False,
@@ -59,7 +60,7 @@ def main() -> None:
 
     fns = build_segmented_forward(vision_cfg, head_cfg, tower_params,
                                   head_params, segments,
-                                  dtype=jnp.bfloat16)
+                                  dtype=jnp.bfloat16, attn_impl=attn_impl)
     scalarize = jax.jit(lambda a, b: a.astype(jnp.float32).sum()
                         + b.astype(jnp.float32).sum())
 
@@ -95,7 +96,7 @@ def main() -> None:
     rate = batch / net
     print(json.dumps({
         "metric": "vit_l14_336_embed_classify_images_per_sec_per_chip"
-                  f"_bs{batch}_seg{segments}",
+                  f"_bs{batch}_{attn_impl}",
         "value": round(rate, 2),
         "unit": "images/sec",
         "vs_baseline": round(rate / BASELINE_IMAGES_PER_SEC, 4),

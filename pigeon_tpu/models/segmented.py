@@ -32,6 +32,7 @@ class _FrontSegment(nn.Module):
     config: VisionConfig
     num_layers: int
     dtype: Any = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, pixel_values):
@@ -51,25 +52,28 @@ class _FrontSegment(nn.Module):
         x = x + pos.astype(self.dtype)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          param_dtype=jnp.float32, name="pre_ln")(x)
-        return _stack(cfg, self.num_layers, self.dtype)(x)
+        return _stack(cfg, self.num_layers, self.dtype, self.attn_impl)(x)
 
 
 class _MidSegment(nn.Module):
     config: VisionConfig
     num_layers: int
     dtype: Any = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
-        return _stack(self.config, self.num_layers, self.dtype)(x)
+        return _stack(self.config, self.num_layers, self.dtype,
+                      self.attn_impl)(x)
 
 
-def _stack(cfg: VisionConfig, n: int, dtype) -> TransformerStack:
+def _stack(cfg: VisionConfig, n: int, dtype,
+           attn_impl: str = "xla") -> TransformerStack:
     return TransformerStack(
         num_layers=n, num_heads=cfg.num_heads,
         intermediate_size=cfg.intermediate_size,
         hidden_act=cfg.hidden_act, layer_norm_eps=cfg.layer_norm_eps,
-        dtype=dtype, name="encoder")
+        dtype=dtype, attn_impl=attn_impl, name="encoder")
 
 
 def segment_boundaries(num_layers: int, segments: int) -> List[int]:
@@ -84,7 +88,8 @@ def segment_boundaries(num_layers: int, segments: int) -> List[int]:
 
 def build_segmented_forward(vision_cfg: VisionConfig, head_cfg: HeadConfig,
                             tower_params, head_params, segments: int,
-                            dtype=jnp.bfloat16) -> List[Callable]:
+                            dtype=jnp.bfloat16,
+                            attn_impl: str = "xla") -> List[Callable]:
     """Build the list of jitted segment functions.
 
     Args:
@@ -105,7 +110,8 @@ def build_segmented_forward(vision_cfg: VisionConfig, head_cfg: HeadConfig,
 
     fns: List[Callable] = []
 
-    front = _FrontSegment(vision_cfg, bounds[1] - bounds[0], dtype=dtype)
+    front = _FrontSegment(vision_cfg, bounds[1] - bounds[0], dtype=dtype,
+                          attn_impl=attn_impl)
     front_params = {
         "patch_embed": tower_params["patch_embed"],
         "cls_token": tower_params["cls_token"],
@@ -139,7 +145,8 @@ def build_segmented_forward(vision_cfg: VisionConfig, head_cfg: HeadConfig,
 
     for i in range(1, segments):
         lo, hi = bounds[i], bounds[i + 1]
-        mid = _MidSegment(vision_cfg, hi - lo, dtype=dtype)
+        mid = _MidSegment(vision_cfg, hi - lo, dtype=dtype,
+                          attn_impl=attn_impl)
         mid_params = {"encoder": {"layers": layer_slice(lo, hi)}}
         if i < segments - 1:
             fns.append(bind(
