@@ -57,3 +57,59 @@ def test_embed_then_finetune_on_embeddings(tiny_world, monkeypatch):
     from pigeon_tpu.train.checkpoints import latest_step
 
     assert latest_step(str(tmp / "saved_models" / "run1")) is not None
+
+
+def test_evaluate_command_with_registry_and_refiner(tiny_world, monkeypatch):
+    """CLI evaluate: benchmark registry + prototypes + embeddings -> metrics."""
+    import json
+
+    tmp = tiny_world
+    monkeypatch.chdir(tmp)
+
+    # Embeddings + prototypes from the training split.
+    rc = main(["embed", "run2", "--tiny",
+               "--metadata", str(tmp / "meta.csv"),
+               "--images", str(tmp / "imgs"),
+               "--output", str(tmp / "emb"), "--batch-size", "8"])
+    assert rc == 0
+    meta = pd.read_csv(tmp / "meta.csv")
+    train = meta[meta["selection"] == "train"].reset_index(drop=True)
+    from pigeon_tpu.geocell import build_prototypes
+
+    build_prototypes(train, cluster_args=(4, 0.05), num_workers=0,
+                     output_csv=str(tmp / "protos.csv"))
+
+    # Benchmark registry pointing at the val rows.
+    val = meta[meta["selection"] == "val"].reset_index(drop=True)
+    val["geocell_idx"] = val["geocell_idx"].astype(int)
+    val.to_csv(tmp / "bench_meta.csv", index=False)
+    (tmp / "benchmarks.json").write_text(json.dumps(
+        {"tinybench": {"meta": str(tmp / "bench_meta.csv"),
+                       "images": str(tmp / "imgs")}}))
+
+    # Point the config's registry at our file via --tiny config override:
+    # evaluate reads cfg.paths.benchmark_registry; monkeypatch the default
+    # by writing to the expected path.
+    import pigeon_tpu.cli.run as cli
+
+    orig = cli.make_config
+
+    def patched(args):
+        import dataclasses
+
+        cfg = orig(args)
+        return cfg.replace(paths=dataclasses.replace(
+            cfg.paths, benchmark_registry=str(tmp / "benchmarks.json")))
+
+    monkeypatch.setattr(cli, "make_config", patched)
+    out = tmp / "results.json"
+    rc = main(["evaluate", "run2", "--tiny", "-l", "tinybench",
+               "--metadata", str(tmp / "meta.csv"),
+               "--geocells", str(tmp / "cells.csv"),
+               "--prototypes", str(tmp / "protos.csv"),
+               "--embeddings", str(tmp / "emb"),
+               "--batch-size", "4", "--output", str(out)])
+    assert rc == 0
+    results = json.loads(out.read_text())
+    metrics = results["tinybench"]
+    assert "Median_km_error" in metrics and "Geoguessr_score" in metrics
