@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--images", default="", help="image directory")
     p.add_argument("--geocells", default=None, help="geocell CSV path")
     p.add_argument("--prototypes", default=None, help="prototype CSV path")
+    p.add_argument("--benchmarks", default=None,
+                   help="benchmark registry JSON (default: config path)")
     p.add_argument("--embeddings", default=None,
                    help="embedding shard directory")
     p.add_argument("--checkpoint-dir", default="saved_models")
@@ -381,7 +383,7 @@ def cmd_evaluate(args) -> int:
     results = {}
     for benchmark in (args.load or "im2gps3k").split(","):
         ds = BenchmarkDataset(benchmark,
-                              cfg.paths.benchmark_registry,
+                              args.benchmarks or cfg.paths.benchmark_registry,
                               image_size=cfg.vision.image_size)
         to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
         metrics = evaluate_benchmark(
@@ -416,41 +418,37 @@ def cmd_pretrain(args) -> int:
     model = CLIPModel(cfg.vision, cfg.text, dtype=jnp.bfloat16,
                       eos_token_id=getattr(tokenizer, "eos_id", 49407))
 
-    from pigeon_tpu.data.pipeline import TabularImageDataset, iter_batches
-    from pigeon_tpu.data.captions import streetview_caption, yfcc_caption
-    import numpy as np
+    import pandas as pd
 
-    ds = TabularImageDataset.from_csv(
-        args.metadata, "train", args.images,
-        image_size=cfg.vision.image_size)
-    caption_fn = yfcc_caption if args.yfcc else streetview_caption
+    from pigeon_tpu.data.pretrain import PretrainDataset
+
+    df = pd.read_csv(args.metadata)
+    ds = PretrainDataset(df, args.images,
+                         variant="yfcc" if args.yfcc else "streetview",
+                         auxiliary=args.auxiliary,
+                         image_size=cfg.vision.image_size)
 
     batch_size = args.batch_size or cfg.train.pretrain_batch_size_per_device
     steps_per_epoch = max(len(ds) // batch_size, 1)
     epochs = args.epochs or cfg.train.pretrain_num_epochs
     opt = pretrain_optimizer(cfg, steps_per_epoch * epochs)
 
+    max_tokens = min(cfg.text.max_position_embeddings, 77)
     example = (jnp.zeros((2, cfg.vision.image_size, cfg.vision.image_size,
                           3)),
-               jnp.zeros((2, 16), jnp.int32))
+               jnp.zeros((2, max_tokens), jnp.int32))
     state = create_train_state(
         jax.random.PRNGKey(cfg.train.pretrain_seed), model, opt, example,
         init_kwargs={})
     step = make_pretrain_step(model, opt)
 
     def batches(epoch):
-        rng = np.random.default_rng(epoch)
-        for batch in iter_batches(ds, batch_size, shuffle=True, seed=epoch,
-                                  drop_last=True):
-            rows = [dict(zip(ds.df.columns, r))
-                    for r in ds.df.to_numpy()][:len(batch["inputs"])]
-            captions = [caption_fn(r, rng=rng,
-                                   auxiliary=args.auxiliary)
-                        if "country_name" in r else "A photo."
-                        for r in rows]
+        for batch in ds.batches(tokenizer, batch_size, shuffle=True,
+                                seed=epoch, max_tokens=max_tokens):
             yield {
-                "pixel_values": jnp.asarray(batch["inputs"]),
-                "input_ids": jnp.asarray(tokenizer(captions)[:, :16]),
+                "pixel_values": jnp.asarray(batch["pixel_values"]),
+                "input_ids": jnp.asarray(batch["input_ids"]
+                                         % cfg.text.vocab_size),
             }
 
     ckpt = os.path.join(args.checkpoint_dir, f"{args.name}_pretrained")

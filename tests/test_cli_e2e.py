@@ -113,3 +113,22 @@ def test_evaluate_command_with_registry_and_refiner(tiny_world, monkeypatch):
     results = json.loads(out.read_text())
     metrics = results["tinybench"]
     assert "Median_km_error" in metrics and "Geoguessr_score" in metrics
+
+
+def test_pretrain_command(tiny_world, monkeypatch):
+    tmp = tiny_world
+    monkeypatch.chdir(tmp)
+    # Give the metadata a source + caption columns for the pretrain path.
+    meta = pd.read_csv(tmp / "meta.csv")
+    meta["source"] = "v"
+    meta["country_name"] = "France"
+    meta.to_csv(tmp / "meta.csv", index=False)
+    rc = main(["pretrain", "run3", "--tiny", "-a",
+               "--metadata", str(tmp / "meta.csv"),
+               "--images", str(tmp / "imgs"),
+               "--batch-size", "8", "--epochs", "1"])
+    assert rc == 0
+    from pigeon_tpu.train.checkpoints import latest_step
+
+    assert latest_step(str(tmp / "saved_models" / "run3_pretrained")) \
+        is not None
