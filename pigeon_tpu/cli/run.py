@@ -22,6 +22,14 @@ import sys
 logger = logging.getLogger("pigeon_tpu.cli")
 
 
+def _attn_impl() -> str:
+    """Fused Pallas attention on real TPU backends, XLA elsewhere
+    (measured: +10% inference, +16% training on v5e; docs/PERF.md)."""
+    import jax
+
+    return "flash" if jax.default_backend() == "tpu" else "xla"
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="pigeon_tpu",
@@ -236,7 +244,7 @@ def _finetune_on_pixels(args) -> int:
 
     cells, _ = load_geocells(args)
     cfg = config_with_cells(args, cells)
-    model, mask_builder = build_finetune_model(cfg)
+    model, mask_builder = build_finetune_model(cfg, attn_impl=_attn_impl())
     tcfg = cfg.train
     batch = args.batch_size or tcfg.batch_size_per_device
     mesh = create_mesh()
@@ -338,7 +346,8 @@ def cmd_evaluate(args) -> int:
 
     cells, _ = load_geocells(args)
     cfg = config_with_cells(args, cells)
-    model = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16)
+    model = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
+                        attn_impl=_attn_impl())
     views = (4,) if cfg.head.panorama else ()
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
@@ -469,7 +478,8 @@ def cmd_serve(args) -> int:
 
     cells, _ = load_geocells(args)
     cfg = config_with_cells(args, cells)
-    model = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16)
+    model = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
+                        attn_impl=_attn_impl())
     views = (4,) if cfg.head.panorama else ()
     example = jnp.zeros((1, *views, cfg.vision.image_size,
                          cfg.vision.image_size, 3))

@@ -96,6 +96,69 @@ def _flash_forward(q, k, v, block_q: int = DEFAULT_BLOCK_Q):
     )(q, k, v)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                     *, scale: float, pack: int):
+    """Fused attention backward: recompute softmax in VMEM, emit dq/dk/dv.
+
+    Standard gradients (per (batch, head) slice):
+        p  = softmax(q k^T * scale)
+        dv = p^T g
+        dp = g v^T
+        dl = p * (dp - rowsum(dp * p)) * scale
+        dq = dl k ;  dk = dl^T q
+    """
+    for i in range(pack):
+        q = q_ref[i]
+        k = k_ref[i]
+        v = v_ref[i]
+        g = g_ref[i].astype(jnp.float32)
+
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * np.float32(scale)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)          # (S, S) f32
+
+        p_lo = p.astype(v.dtype)
+        dv_ref[i] = jax.lax.dot_general(
+            p_lo, g.astype(v.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+        dp = jax.lax.dot_general(
+            g.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (S, S)
+        dl = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+        dl = (dl * np.float32(scale)).astype(q.dtype)
+
+        dq_ref[i] = jax.lax.dot_general(
+            dl, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[i] = jax.lax.dot_general(
+            dl, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _flash_backward(q, k, v, g):
+    """q/k/v/g: (BH, S, Dh) -> (dq, dk, dv)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, s, dh = q.shape
+    scale = dh ** -0.5
+    pack = DEFAULT_PACK if bh % DEFAULT_PACK == 0 else 1
+    spec = pl.BlockSpec((pack, s, dh), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((bh, s, dh), q.dtype)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, pack=pack),
+        out_shape=(shape, shape, shape),
+        grid=(bh // pack,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+    )(q, k, v, g)
+
+
 def _xla_attention_bshd(q, k, v):
     """Reference einsum attention on (BH, S, Dh) (f32 softmax)."""
     scale = q.shape[-1] ** -0.5
@@ -114,21 +177,9 @@ def _mha_fwd(q, k, v):
 
 
 def _mha_bwd(res, g):
-    """Rematerialized backward (standard attention gradients via einsum)."""
+    """Rematerialized fused backward (Pallas kernel, VMEM-resident)."""
     q, k, v = res
-    scale = q.shape[-1] ** -0.5
-    logits = jnp.einsum("bqd,bkd->bqk", q, k) * scale
-    p = jax.nn.softmax(logits.astype(jnp.float32), -1)
-    g32 = g.astype(jnp.float32)
-    v32 = v.astype(jnp.float32)
-    dv = jnp.einsum("bqk,bqd->bkd", p, g32)
-    dp = jnp.einsum("bqd,bkd->bqk", g32, v32)
-    # softmax vjp: dlogits = p * (dp - sum_k(dp * p))
-    dlogits = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dlogits = (dlogits * scale)
-    dq = jnp.einsum("bqk,bkd->bqd", dlogits, k.astype(jnp.float32))
-    dk = jnp.einsum("bqk,bqd->bkd", dlogits, q.astype(jnp.float32))
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    return _flash_backward(q, k, v, g)
 
 
 _mha_bh.defvjp(_mha_fwd, _mha_bwd)

@@ -144,7 +144,7 @@ def pretrain(clip_model, state: TrainState, step_fn: Callable,
 
 
 def build_finetune_model(cfg: PigeonConfig, dtype=jnp.bfloat16,
-                         attn_impl: str = "xla", remat: bool = False):
+                         attn_impl: str = "xla", remat: bool = True):
     """SuperGuessr for pixel finetuning + its partial-freeze mask builder
     (reference `train_modes.py:67-107`)."""
     from pigeon_tpu.models.super_guessr import (
