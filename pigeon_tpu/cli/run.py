@@ -390,10 +390,26 @@ def cmd_evaluate(args) -> int:
             num_cells=len(cells), cfg=refiner_preset(benchmark))
 
     results = {}
-    for benchmark in (args.load or "im2gps3k").split(","):
-        ds = BenchmarkDataset(benchmark,
-                              args.benchmarks or cfg.paths.benchmark_registry,
-                              image_size=cfg.vision.image_size)
+    if args.load is None and args.test:
+        # -t without benchmarks: evaluate the metadata's test holdout
+        # (the reference's EvalDataset path, `run.py:162` + eval_dataset.py).
+        from pigeon_tpu.data import TabularImageDataset
+
+        names = ["test"]
+        def make_ds(_name):
+            return TabularImageDataset.from_csv(
+                args.metadata, "test", args.images,
+                image_size=cfg.vision.image_size,
+                panorama=cfg.head.panorama)
+    else:
+        names = (args.load or "im2gps3k").split(",")
+        def make_ds(name):
+            return BenchmarkDataset(
+                name, args.benchmarks or cfg.paths.benchmark_registry,
+                image_size=cfg.vision.image_size)
+
+    for benchmark in names:
+        ds = make_ds(benchmark)
         to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
         metrics = evaluate_benchmark(
             eval_step, params,

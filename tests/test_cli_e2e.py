@@ -132,3 +132,23 @@ def test_pretrain_command(tiny_world, monkeypatch):
 
     assert latest_step(str(tmp / "saved_models" / "run3_pretrained")) \
         is not None
+
+
+def test_evaluate_test_split_holdout(tiny_world, monkeypatch):
+    """evaluate -t with no registry scores the metadata's test split."""
+    import json
+
+    tmp = tiny_world
+    monkeypatch.chdir(tmp)
+    meta = pd.read_csv(tmp / "meta.csv")
+    meta.loc[meta["selection"] == "val", "selection"] = "test"
+    meta.to_csv(tmp / "meta.csv", index=False)
+    out = tmp / "holdout.json"
+    rc = main(["evaluate", "runh", "--tiny", "-t",
+               "--metadata", str(tmp / "meta.csv"),
+               "--images", str(tmp / "imgs"),
+               "--geocells", str(tmp / "cells.csv"),
+               "--batch-size", "4", "--output", str(out)])
+    assert rc == 0
+    results = json.loads(out.read_text())
+    assert "Median_km_error" in results["test"]
