@@ -95,6 +95,65 @@ def import_text_tower_params(state: Mapping[str, object],
     }
 
 
+def import_super_guessr_params(state: Mapping[str, object],
+                               vision_layers: int) -> Dict:
+    """Reference SuperGuessr checkpoint -> pigeon_tpu `SuperGuessr` params.
+
+    The reference's finetuned `.model` files are torch state dicts of its
+    `SuperGuessr` (`models/super_guessr.py`): a `base_model.*` CLIP vision
+    tower plus head layers ``cell_layer``, ``multi_task_head``,
+    ``climate_layer``, ``month_layer`` (each ``.weight/.bias``). Heads
+    missing from the checkpoint (e.g. month for YFCC models) are simply
+    absent from the returned tree — merge over freshly initialized params.
+
+    Returns a ``{"vision": ..., "head": ...}`` tree matching
+    `pigeon_tpu.models.super_guessr.SuperGuessr`.
+    """
+    out: Dict = {}
+    vision_keys = {k: v for k, v in state.items()
+                   if k.startswith(("base_model.", "vision_model."))}
+    if vision_keys:
+        stripped = {k[len("base_model."):] if k.startswith("base_model.")
+                    else k: v for k, v in vision_keys.items()}
+        out["vision"] = import_vision_tower_params(stripped, vision_layers)
+
+    head: Dict = {}
+    name_map = {
+        "cell_layer": "cell_layer",
+        "multi_task_head": "multi_task_head",
+        "climate_layer": "climate_layer",
+        "month_layer": "month_layer",
+    }
+    for torch_name, flax_name in name_map.items():
+        w = state.get(f"{torch_name}.weight")
+        if w is None:
+            continue
+        head[flax_name] = {"kernel": _np(w).T,
+                           "bias": _np(state[f"{torch_name}.bias"])}
+    if head:
+        out["head"] = head
+    return out
+
+
+def merge_params(base: Dict, loaded: Dict) -> Dict:
+    """Recursively overlay `loaded` onto `base` (permissive load: the
+    reference's `load_state_dict` keeps unmatched params,
+    `models/utils.py:24-45`). Shapes must match where keys overlap."""
+    import numpy as np
+
+    out = dict(base)
+    for key, value in loaded.items():
+        if isinstance(value, dict) and isinstance(out.get(key), dict):
+            out[key] = merge_params(out[key], value)
+        else:
+            if key in out and np.shape(out[key]) != np.shape(value):
+                raise ValueError(
+                    f"shape mismatch for {key}: checkpoint "
+                    f"{np.shape(value)} vs model {np.shape(out[key])}")
+            out[key] = value
+    return out
+
+
 def import_clip_params(state: Mapping[str, object],
                        vision_layers: int, text_layers: int) -> Dict:
     """Full HF `CLIPModel` state dict -> `CLIPModel` params."""

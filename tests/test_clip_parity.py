@@ -179,3 +179,63 @@ class TestDtypeAndJit:
             lambda p, v: tower.apply({"params": p}, v))(params, x)
         np.testing.assert_allclose(np.asarray(jitted), np.asarray(eager),
                                    atol=1e-5)
+
+
+class TestSuperGuessrCheckpointImport:
+    def test_reference_head_checkpoint_roundtrip(self, hf_vision, images):
+        """A reference-style SuperGuessr state dict (base_model.* CLIP +
+        torch head linears) imports onto our SuperGuessr and reproduces the
+        torch head outputs."""
+        import jax
+        import torch as t
+
+        from pigeon_tpu.config import HeadConfig
+        from pigeon_tpu.models.hf_import import (
+            import_super_guessr_params,
+            merge_params,
+        )
+        from pigeon_tpu.models.super_guessr import SuperGuessr
+
+        num_cells = 9
+        t.manual_seed(5)
+        cell_layer = t.nn.Linear(32, num_cells)
+        mt_head = t.nn.Linear(32, 6)
+        climate = t.nn.Linear(32, 28)
+        state = {f"base_model.{k}": v
+                 for k, v in hf_vision.state_dict().items()}
+        state.update({
+            "cell_layer.weight": cell_layer.weight,
+            "cell_layer.bias": cell_layer.bias,
+            "multi_task_head.weight": mt_head.weight,
+            "multi_task_head.bias": mt_head.bias,
+            "climate_layer.weight": climate.weight,
+            "climate_layer.bias": climate.bias,
+        })
+
+        cfg = HeadConfig(num_cells=num_cells, embed_dim=32, multi_task=True,
+                         predict_month=True)  # month layer NOT in ckpt
+        model = SuperGuessr(tiny_vision_cfg(), cfg)
+        x = jnp.asarray(images.transpose(0, 2, 3, 1))
+        init = model.init(jax.random.PRNGKey(0), x)["params"]
+        loaded = import_super_guessr_params(state, vision_layers=2)
+        params = merge_params(init, loaded)
+        out = model.apply({"params": params}, x)
+
+        # Torch reference: token-mean embedding -> head linears.
+        with torch.no_grad():
+            emb = hf_vision(pixel_values=torch.from_numpy(images)) \
+                .last_hidden_state.mean(1)
+            ref_logits = cell_layer(emb).numpy()
+            ref_mt = mt_head(emb).numpy()
+        np.testing.assert_allclose(np.asarray(out.logits), ref_logits,
+                                   atol=3e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.preds_mt), ref_mt,
+                                   atol=3e-5, rtol=1e-4)
+        # Month head (absent from ckpt) keeps its initialization.
+        assert out.preds_month.shape == (3, 12)
+
+    def test_merge_shape_mismatch_raises(self):
+        from pigeon_tpu.models.hf_import import merge_params
+
+        with pytest.raises(ValueError, match="shape mismatch"):
+            merge_params({"a": np.zeros((2, 2))}, {"a": np.zeros((3, 3))})
