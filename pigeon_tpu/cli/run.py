@@ -22,6 +22,29 @@ import sys
 logger = logging.getLogger("pigeon_tpu.cli")
 
 
+def _load_base_checkpoint(params, base_path, num_layers):
+    """Overlay a torch checkpoint (HF CLIP vision tower or reference
+    SuperGuessr .model state dict) onto initialized params."""
+    import torch
+
+    from pigeon_tpu.models.hf_import import (
+        import_super_guessr_params,
+        import_vision_tower_params,
+        merge_params,
+    )
+
+    state = torch.load(base_path, map_location="cpu")
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    if any(k.startswith(("cell_layer.", "base_model.")) for k in state):
+        loaded = import_super_guessr_params(state, num_layers)
+    else:
+        loaded = {"vision": import_vision_tower_params(state, num_layers)}
+    logger.warning("loaded checkpoint %s (%s)", base_path,
+                   "+".join(sorted(loaded)))
+    return merge_params(params, loaded)
+
+
 def _attn_impl() -> str:
     """Fused Pallas attention on real TPU backends, XLA elsewhere
     (measured: +10% inference, +16% training on v5e; docs/PERF.md)."""
@@ -256,6 +279,9 @@ def _finetune_on_pixels(args) -> int:
     state = create_train_state(jax.random.PRNGKey(tcfg.seed), model, opt,
                                example, mesh=mesh)
     ckpt_dir = os.path.join(args.checkpoint_dir, args.name)
+    if args.base:
+        state = state.replace(params=_load_base_checkpoint(
+            state.params, args.base, cfg.vision.num_layers))
     if args.resume and latest_step(ckpt_dir) is not None:
         state = restore_checkpoint(ckpt_dir, state)
         logger.warning("resumed from step %d", int(state.step))
@@ -366,6 +392,9 @@ def cmd_evaluate(args) -> int:
             (jnp.zeros((1, *views, cfg.vision.image_size,
                         cfg.vision.image_size, 3)),))
         params = restore_checkpoint(ckpt_dir, state).params
+    elif args.base:
+        params = _load_base_checkpoint(params, args.base,
+                                       cfg.vision.num_layers)
 
     eval_step = make_eval_step(model, cfg.head, cells,
                                num_candidates=EVAL_NUM_CANDIDATES)
