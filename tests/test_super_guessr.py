@@ -81,3 +81,19 @@ def test_partial_freeze_mask():
     assert float(jnp.abs(masked["head"]["cell_layer"]["kernel"]).min()) == 1.0
     # Vision embeddings stay trainable (reference freezes only layers[:-1]).
     assert float(jnp.abs(masked["vision"]["pos_embed"]).min()) == 1.0
+
+
+def test_param_summary():
+    from pigeon_tpu.models.summary import describe, param_count, param_summary
+
+    cfg = HeadConfig(num_cells=11, embed_dim=32, panorama=False)
+    model = SuperGuessr(TINY, cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3)))["params"]
+    total = param_count(params)
+    groups = param_summary(params)
+    assert total > 0
+    assert sum(groups.values()) == total
+    assert any(k.startswith("vision") for k in groups)
+    text = describe(params, "tiny-superguessr")
+    assert "parameters" in text and "vision" in text
