@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use auxiliary captions for pretraining")
     p.add_argument("-t", "--test", action="store_true",
                    help="evaluate on the test split")
+    p.add_argument("-c", "--classification", action="store_true",
+                   default=True,
+                   help="classification setup (always on; accepted for "
+                        "reference CLI compatibility)")
     p.add_argument("-m", "--multitask", action="store_true",
                    help="enable multi-task heads")
     p.add_argument("--heading", action="store_true",
@@ -505,11 +509,28 @@ def cmd_pretrain(args) -> int:
                                          % cfg.text.vocab_size),
             }
 
+    # Before/after in-batch retrieval probe (reference
+    # `training/train_modes.py:53-64`).
+    from pigeon_tpu.train.modes import make_retrieval_probe, \
+        retrieval_accuracy
+
+    probe = make_retrieval_probe(model)
+
+    def probe_batches(limit=4):
+        for i, b in enumerate(batches(0)):
+            if i >= limit:
+                break
+            yield b["pixel_values"], b["input_ids"]
+
+    acc_before = retrieval_accuracy(probe, state.params, probe_batches())
     ckpt = os.path.join(args.checkpoint_dir, f"{args.name}_pretrained")
     state = pretrain(model, state, step, batches, epochs,
                      checkpoint_dir=ckpt,
                      save_steps=cfg.train.pretrain_save_steps)
-    logger.warning("pretraining done at step %d", int(state.step))
+    acc_after = retrieval_accuracy(probe, state.params, probe_batches())
+    logger.warning(
+        "pretraining done at step %d: retrieval accuracy %.3f -> %.3f",
+        int(state.step), acc_before, acc_after)
     return 0
 
 
