@@ -18,6 +18,12 @@ Polygons are ``(N, 2)`` float64 arrays of (lon, lat) ring vertices
 (unclosed; closure is implicit). A MultiPolygon is a list of rings. Holes
 are not modeled — for geocell purposes holes only matter for "doughnut"
 splits, which are handled at the cell level by point set difference.
+
+Coordinates are treated as PLANAR lon/lat — polygons spanning the +-180
+antimeridian are not unwrapped. This matches the reference exactly
+(shapely on raw EPSG:4326 coordinates has the same behavior); admin
+boundary products ship antimeridian-split polygons, so it only affects
+synthetic shapes that deliberately cross the dateline.
 """
 
 from __future__ import annotations
