@@ -403,7 +403,10 @@ def cmd_evaluate(args) -> int:
     eval_step = make_eval_step(model, cfg.head, cells,
                                num_candidates=EVAL_NUM_CANDIDATES)
 
-    refine_fn = None
+    # Prototype bank built ONCE; a refine function per benchmark family
+    # (the per-family topk/temperature/guard presets differ —
+    # `train/evaluate.py::REFINER_PRESETS`).
+    make_refine = lambda _name: None  # noqa: E731
     if args.prototypes and args.embeddings and args.metadata:
         import pandas as pd
 
@@ -417,10 +420,12 @@ def cmd_evaluate(args) -> int:
         bank_emb = load_embeddings(args.embeddings, "train")
         if bank_emb.ndim == 3:
             bank_emb = bank_emb.mean(1)
-        benchmark = (args.load or "im2gps3k").split(",")[0]
-        refine_fn = build_refiner(
-            load_prototypes_csv(args.prototypes), bank_emb, bank_lla,
-            num_cells=len(cells), cfg=refiner_preset(benchmark))
+        proto_rows = load_prototypes_csv(args.prototypes)
+
+        def make_refine(name):
+            return build_refiner(proto_rows, bank_emb, bank_lla,
+                                 num_cells=len(cells),
+                                 cfg=refiner_preset(name))
 
     results = {}
     if args.load is None and args.test:
@@ -447,7 +452,7 @@ def cmd_evaluate(args) -> int:
         metrics = evaluate_benchmark(
             eval_step, params,
             iter_batches(ds, args.batch_size or 32),
-            refine_fn=refine_fn, batch_to_device=to_dev)
+            refine_fn=make_refine(benchmark), batch_to_device=to_dev)
         results[benchmark] = metrics
         logger.warning("%s: %s", benchmark, metrics)
     if args.output:
