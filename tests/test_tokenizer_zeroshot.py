@@ -239,3 +239,60 @@ class TestProfiling:
         assert rows and all(len(r) == 3 for r in rows)
         assert sum(r[2] for r in rows) <= 100.1
         print_trace_summary(trace_dir, top=3)
+
+
+class TestMetricWriterAndProfiler:
+    def test_jsonl_fallback(self, tmp_path, monkeypatch):
+        import builtins
+        import json as json_mod
+
+        from pigeon_tpu.train.loop import MetricWriter
+
+        # Force the tf import to fail -> JSONL fallback.
+        real_import = builtins.__import__
+
+        def no_tf(name, *a, **k):
+            if name == "tensorflow":
+                raise ImportError("forced")
+            return real_import(name, *a, **k)
+
+        monkeypatch.setattr(builtins, "__import__", no_tf)
+        w = MetricWriter(str(tmp_path / "logs"))
+        w.scalar("train/loss", 1.5, step=3)
+        w.scalar("eval/acc", 0.75, step=3)
+        lines = [json_mod.loads(line) for line in
+                 open(tmp_path / "logs" / "metrics.jsonl")]
+        assert lines[0] == {"tag": "train/loss", "value": 1.5, "step": 3}
+        assert lines[1]["tag"] == "eval/acc"
+
+    def test_none_logdir_noop(self):
+        from pigeon_tpu.train.loop import MetricWriter
+
+        w = MetricWriter(None)
+        w.scalar("x", 1.0, 0)  # must not raise
+        w.flush()
+
+    def test_profiler_window(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from pigeon_tpu.train.loop import ProfilerWindow
+
+        f = jax.jit(lambda x: x * 2)
+        p = ProfilerWindow(str(tmp_path / "prof"), wait=1, active=2)
+        for _ in range(5):
+            float(f(jnp.ones(())))
+            p.step()
+        p.close()
+        import glob
+
+        assert glob.glob(str(tmp_path / "prof" / "plugins" / "profile" /
+                             "*" / "*"))
+
+    def test_profiler_disabled(self):
+        from pigeon_tpu.train.loop import ProfilerWindow
+
+        p = ProfilerWindow(None)
+        for _ in range(3):
+            p.step()
+        p.close()
