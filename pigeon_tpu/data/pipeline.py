@@ -184,6 +184,10 @@ def iter_batches(dataset: TabularImageDataset, batch_size: int,
         for row in rows:
             for k, v in dataset.sample_arrays(row).items():
                 batch.setdefault(k, []).append(v)
+        # Optional per-row fields (heading/month may be NaN for some rows):
+        # a key must be present for EVERY row to form a rectangular batch.
+        n_rows = len(rows)
+        batch = {k: v for k, v in batch.items() if len(v) == n_rows}
         out = {k: np.stack(v) for k, v in batch.items()}
         if transform is not None:
             out = transform(out)

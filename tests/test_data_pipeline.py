@@ -231,3 +231,21 @@ class TestPipeline:
         assert len(ds) == 10
         with pytest.raises(KeyError):
             BenchmarkDataset("nope", str(registry))
+
+
+class TestRaggedOptionalFields:
+    def test_partial_heading_column_dropped(self, image_dataset):
+        import pandas as pd
+
+        csv, img_dir = image_dataset
+        ds = TabularImageDataset.from_csv(csv, "train", img_dir,
+                                          image_size=32)
+        # Half the rows lose their heading/month -> the key must be dropped
+        # from affected batches instead of crashing np.stack.
+        ds.df.loc[ds.df.index[::2], "heading"] = np.nan
+        ds.df.loc[ds.df.index[::2], "month"] = np.nan
+        batches = list(iter_batches(ds, batch_size=4, num_workers=2))
+        for b in batches:
+            assert b["inputs"].shape[0] == b["labels"].shape[0]
+            if "heading" in b:
+                assert b["heading"].shape[0] == b["inputs"].shape[0]
