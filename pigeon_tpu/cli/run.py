@@ -162,6 +162,11 @@ def cmd_geocells(args) -> int:
     from pigeon_tpu.geocell import GeocellCreator
     from pigeon_tpu.geocell.creation import BoundarySet
 
+    from pigeon_tpu.geocell.cells import (
+        OPTICS_PARAMS_PLANET,
+        OPTICS_PARAMS_STREETVIEW,
+    )
+
     if args.metadata is None:
         raise SystemExit("--metadata CSV is required")
     df = pd.read_csv(args.metadata)
@@ -169,8 +174,13 @@ def cmd_geocells(args) -> int:
     admin2 = BoundarySet.from_geojson(args.load) if args.load else None
     creator = GeocellCreator(df, admin_2=admin2)
     out = args.output or "data/geocells.csv"
+    # OPTICS escalation ladder per variant (reference
+    # cell_collection.py:12-13): StreetView for PIGEON, planet for
+    # PIGEOTTO.
+    ladder = OPTICS_PARAMS_PLANET if args.yfcc else OPTICS_PARAMS_STREETVIEW
     cells = creator.generate(cfg.geocell.min_cell_size,
-                             cfg.geocell.max_cell_size, output_csv=out)
+                             cfg.geocell.max_cell_size,
+                             optics_params=ladder, output_csv=out)
     logger.warning("wrote %d geocells to %s", len(cells), out)
     return 0
 
