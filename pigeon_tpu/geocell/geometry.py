@@ -207,8 +207,11 @@ def convex_hull(points: np.ndarray) -> Polygon:
     def half(seq):
         out = []
         for p in seq:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2],
-                                             p - out[-2]) <= 0:
+            while len(out) >= 2:
+                a = out[-1] - out[-2]
+                b = p - out[-2]
+                if a[0] * b[1] - a[1] * b[0] > 0:   # strict left turn
+                    break
                 out.pop()
             out.append(p)
         return out

@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) for the geometry engine.
+
+Geometry code fails on edge cases, not happy paths — generate random
+convex clips, subject rings, and point clouds and assert the invariants
+that must hold for ANY input.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pigeon_tpu.geocell import geometry as geom
+
+settings.register_profile("geo", max_examples=60, deadline=None)
+settings.load_profile("geo")
+
+
+@st.composite
+def convex_polygon(draw, max_radius=50.0):
+    """Random convex ring: sorted angles around a center, varying radii."""
+    n = draw(st.integers(3, 10))
+    cx = draw(st.floats(-100, 100))
+    cy = draw(st.floats(-50, 50))
+    angles = np.sort(np.asarray(
+        draw(st.lists(st.floats(0, 2 * np.pi - 1e-3), min_size=n,
+                      max_size=n, unique=True))))
+    radius = draw(st.floats(1.0, max_radius))
+    pts = np.stack([cx + radius * np.cos(angles),
+                    cy + radius * np.sin(angles)], -1)
+    return pts
+
+
+@st.composite
+def simple_polygon(draw):
+    """Random star-shaped (simple, possibly concave) ring."""
+    n = draw(st.integers(3, 12))
+    cx = draw(st.floats(-100, 100))
+    cy = draw(st.floats(-50, 50))
+    angles = np.sort(np.asarray(
+        draw(st.lists(st.floats(0, 2 * np.pi - 1e-3), min_size=n,
+                      max_size=n, unique=True))))
+    radii = np.asarray(draw(st.lists(st.floats(0.5, 40.0), min_size=n,
+                                     max_size=n)))
+    return np.stack([cx + radii * np.cos(angles),
+                     cy + radii * np.sin(angles)], -1)
+
+
+class TestClipProperties:
+    @given(subject=simple_polygon(), clip=convex_polygon())
+    def test_clip_area_bounded(self, subject, clip):
+        out = geom.clip_to_convex(subject, clip)
+        if len(out) < 3:
+            return
+        a_out = abs(geom.polygon_area(out))
+        a_subj = abs(geom.polygon_area(subject))
+        a_clip = abs(geom.polygon_area(clip))
+        assert a_out <= min(a_subj, a_clip) * (1 + 1e-9) + 1e-9
+
+    @given(clip=convex_polygon())
+    def test_clip_self_is_identity_area(self, clip):
+        out = geom.clip_to_convex(clip, clip)
+        assert abs(geom.polygon_area(out)) == pytest.approx(
+            abs(geom.polygon_area(clip)), rel=1e-9, abs=1e-12)
+
+    @given(subject=simple_polygon(), clip=convex_polygon())
+    def test_clip_points_inside_clip(self, subject, clip):
+        out = geom.clip_to_convex(subject, clip)
+        if len(out) < 3:
+            return
+        # Every output vertex lies in (or on the boundary of) the clip:
+        # test with a slightly inflated clip to tolerate edge points.
+        inflated = geom.scale_about_centroid(clip, 1.0 + 1e-9)
+        inside = geom.points_in_ring(out, inflated)
+        # Boundary vertices may fall either way under ray casting; require
+        # the vast majority strictly inside the inflated ring.
+        assert inside.mean() >= 0.5 or len(out) <= 4
+
+
+class TestPipProperties:
+    @given(poly=simple_polygon(),
+           seed=st.integers(0, 2**31 - 1))
+    def test_centroid_of_convexified_inside(self, poly, seed):
+        hull = geom.convex_hull(poly)
+        if len(hull) < 3:
+            return
+        c = geom.polygon_centroid(hull)
+        assert geom.points_in_ring(c[None], hull)[0]
+
+    @given(poly=convex_polygon(), seed=st.integers(0, 2**31 - 1))
+    def test_numpy_native_agree(self, poly, seed):
+        from pigeon_tpu import native
+
+        if not native.available():
+            return
+        rng = np.random.default_rng(seed)
+        bb = geom.bbox(poly)
+        pts = np.stack([rng.uniform(bb[0] - 5, bb[2] + 5, 200),
+                        rng.uniform(bb[1] - 5, bb[3] + 5, 200)], -1)
+        np.testing.assert_array_equal(
+            geom.points_in_ring(pts, poly),
+            native.pip_batch(pts, geom.as_ring(poly)))
+
+
+class TestAreaProperties:
+    @given(poly=convex_polygon(), factor=st.floats(0.1, 3.0))
+    def test_scaling_scales_area_quadratically(self, poly, factor):
+        scaled = geom.scale_about_centroid(poly, factor)
+        assert abs(geom.polygon_area(scaled)) == pytest.approx(
+            abs(geom.polygon_area(poly)) * factor**2, rel=1e-9)
+
+    @given(poly=simple_polygon())
+    def test_wkt_roundtrip_preserves_area(self, poly):
+        back = geom.from_wkt(geom.to_wkt(poly))[0]
+        # WKT uses 6 decimal places; compare accordingly.
+        assert abs(geom.polygon_area(back)) == pytest.approx(
+            abs(geom.polygon_area(poly)), rel=1e-3, abs=1e-4)
