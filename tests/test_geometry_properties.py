@@ -64,16 +64,21 @@ class TestClipProperties:
 
     @given(subject=simple_polygon(), clip=convex_polygon())
     def test_clip_points_inside_clip(self, subject, clip):
+        if abs(geom.polygon_area(clip)) < 1e-3:
+            return  # degenerate sliver clips: boundary FP dominates
         out = geom.clip_to_convex(subject, clip)
         if len(out) < 3:
             return
-        # Every output vertex lies in (or on the boundary of) the clip:
-        # test with a slightly inflated clip to tolerate edge points.
-        inflated = geom.scale_about_centroid(clip, 1.0 + 1e-9)
-        inside = geom.points_in_ring(out, inflated)
-        # Boundary vertices may fall either way under ray casting; require
-        # the vast majority strictly inside the inflated ring.
-        assert inside.mean() >= 0.5 or len(out) <= 4
+        # Every output vertex satisfies every clip half-plane (with FP
+        # tolerance) — the defining property of Sutherland-Hodgman output.
+        ring = geom.as_ring(clip)
+        if geom.polygon_area(ring) < 0:
+            ring = ring[::-1]
+        for i in range(len(ring)):
+            a, b = ring[i], ring[(i + 1) % len(ring)]
+            edge = b - a
+            side = edge[0] * (out[:, 1] - a[1]) - edge[1] * (out[:, 0] - a[0])
+            assert (side >= -1e-6 * (1 + np.abs(side).max())).all()
 
 
 class TestPipProperties:
