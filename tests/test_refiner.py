@@ -189,3 +189,29 @@ class TestHedge:
         # The outlier must lose probability mass.
         assert out[0, 3] < probs[0, 3]
         assert out[0, :3].sum() > probs[0, :3].sum()
+
+
+class TestHedgeInRefine:
+    def test_refine_with_hedging_runs_and_can_change_pick(self,
+                                                          bank_and_rows):
+        bank, *_ = bank_and_rows
+        base = RefinerConfig(topk=4, max_refinement_km=1e9)
+        hedged = RefinerConfig(topk=4, max_refinement_km=1e9, hedge=True,
+                               hedge_temperature=0.1)
+        r_plain = make_refine_fn(bank, base)
+        r_hedge = make_refine_fn(bank, hedged)
+        b = 16
+        emb = RNG.normal(size=(b, D)).astype(np.float32)
+        cells = np.stack([RNG.permutation(NUM_CELLS)[:5]
+                          for _ in range(b)]).astype(np.int32)
+        probs = RNG.uniform(0.01, 1, size=(b, 5)).astype(np.float32)
+        initial = np.zeros((b, 2), np.float32)
+        out_p = r_plain(jnp.asarray(emb), jnp.asarray(initial),
+                        jnp.asarray(cells), jnp.asarray(probs))
+        out_h = r_hedge(jnp.asarray(emb), jnp.asarray(initial),
+                        jnp.asarray(cells), jnp.asarray(probs))
+        assert out_h["pred_lla"].shape == (b, 2)
+        assert np.isfinite(np.asarray(out_h["pred_lla"])).all()
+        # Aggressive hedging temperature should move at least one pick.
+        assert (np.asarray(out_h["refine_index"])
+                != np.asarray(out_p["refine_index"])).any()
