@@ -215,3 +215,36 @@ class TestHedgeInRefine:
         # Aggressive hedging temperature should move at least one pick.
         assert (np.asarray(out_h["refine_index"])
                 != np.asarray(out_p["refine_index"])).any()
+
+
+class TestLandmarksConcat:
+    def test_dual_dataset_bank(self):
+        """The reference concatenates YFCC + landmark datasets for its
+        landmark refiner (`proto_refiner.py:53-64`); with array banks this
+        is a plain concat — indices of the second dataset shift by len(A)."""
+        rng = np.random.default_rng(3)
+        emb_a = rng.normal(size=(10, D)).astype(np.float32)
+        emb_b = rng.normal(size=(6, D)).astype(np.float32)
+        lla_a = rng.uniform(-60, 60, size=(10, 2)).astype(np.float32)
+        lla_b = rng.uniform(-60, 60, size=(6, 2)).astype(np.float32)
+        rows_a = [{"geocell_idx": 0, "lng": 1.0, "lat": 1.0, "count": 3,
+                   "indices": [0, 1, 2]}]
+        rows_b = [{"geocell_idx": 1, "lng": 2.0, "lat": 2.0, "count": 2,
+                   "indices": [0, 1]}]  # indices into dataset B
+
+        bank_emb = np.concatenate([emb_a, emb_b])
+        bank_lla = np.concatenate([lla_a, lla_b])
+        offset = len(emb_a)
+        rows = rows_a + [dict(r, indices=[i + offset for i in r["indices"]])
+                         for r in rows_b]
+        bank = build_proto_bank(rows, bank_emb, bank_lla, num_cells=2,
+                                max_protos=2, max_members=4)
+        refine = make_refine_fn(bank, RefinerConfig(topk=2,
+                                                    max_refinement_km=1e9))
+        # Query exactly matching dataset B's member 1 -> its coordinates.
+        q = jnp.asarray(emb_b[1:2])
+        out = refine(q, jnp.zeros((1, 2)),
+                     jnp.asarray([[1, 0]], jnp.int32),
+                     jnp.asarray([[0.9, 0.1]], jnp.float32))
+        np.testing.assert_allclose(np.asarray(out["pred_lla"])[0],
+                                   lla_b[1], atol=1e-5)
