@@ -162,7 +162,17 @@ def clip_to_convex(subject: Polygon, clip: Polygon) -> Polygon:
     (`cell.py:252-263` intersects Voronoi regions with cell shapes).
     Returns an empty (0, 2) array when the intersection is empty.
     """
+    empty = np.empty((0, 2), np.float64)
     clip = as_ring(clip)
+    if len(clip) < 3:
+        return empty
+    # Degenerate clip (all vertices effectively coincident or collinear):
+    # the intersection is measure-zero — clip everything away. Guard on
+    # extent so tiny-but-real slivers still go through the edge loop
+    # (identity clips of slivers must survive).
+    extent = float(max(np.ptp(clip[:, 0]), np.ptp(clip[:, 1])))
+    if extent == 0.0:
+        return empty
     if polygon_area(clip) < 0:        # ensure CCW so "inside" = left side
         clip = clip[::-1]
     output = as_ring(subject)
@@ -172,10 +182,17 @@ def clip_to_convex(subject: Polygon, clip: Polygon) -> Polygon:
             break
         a, b = clip[i], clip[(i + 1) % len(clip)]
         edge = b - a
+        edge_len = float(np.hypot(edge[0], edge[1]))
+        if edge_len == 0.0:
+            continue                  # zero-length edge constrains nothing
         rel = output - a
-        # inside = left of edge (CCW clip ring)
+        # inside = left of edge (CCW clip ring). The tolerance must scale
+        # with |edge|·|rel| — an absolute epsilon lets near-coincident clip
+        # vertices (edge ~1e-200) pass every point and return the subject
+        # unclipped (hypothesis-found regression).
         side = edge[0] * rel[:, 1] - edge[1] * rel[:, 0]
-        inside = side >= -1e-12
+        tol = 1e-12 * edge_len * (np.hypot(rel[:, 0], rel[:, 1]) + 1.0)
+        inside = side >= -tol
 
         new_pts = []
         n = len(output)
@@ -189,7 +206,8 @@ def clip_to_convex(subject: Polygon, clip: Polygon) -> Polygon:
                 # Intersection of segment pq with the infinite clip edge.
                 d = q - p
                 denom = edge[0] * d[1] - edge[1] * d[0]
-                if abs(denom) > 1e-18:
+                d_len = float(np.hypot(d[0], d[1]))
+                if abs(denom) > 1e-15 * edge_len * (d_len + 1.0):
                     t = (edge[0] * (a[1] - p[1])
                          - edge[1] * (a[0] - p[0])) / denom
                     new_pts.append(p + t * d)

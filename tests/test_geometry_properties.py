@@ -46,6 +46,22 @@ def simple_polygon(draw):
 
 
 class TestClipProperties:
+    def test_degenerate_clip_clips_everything(self):
+        """Regression: near-coincident clip vertices (area 0) must yield an
+        empty intersection, not the unclipped subject (hypothesis-found)."""
+        subject = np.array([[1.0, 0.0],
+                            [0.54030231, 0.84147098],
+                            [-0.41614684, 0.90929743]])
+        clip = np.array([[1.0, 0.0],
+                         [1.0, 1.08451872e-236],
+                         [1.0, 4.39525567e-229]])
+        out = geom.clip_to_convex(subject, clip)
+        assert len(out) < 3 or abs(geom.polygon_area(out)) <= 1e-9
+        # All-coincident and sub-3-vertex clips are empty outright.
+        pt = np.array([[5.0, 5.0]] * 3)
+        assert len(geom.clip_to_convex(subject, pt)) == 0
+        assert len(geom.clip_to_convex(subject, subject[:2])) == 0
+
     @given(subject=simple_polygon(), clip=convex_polygon())
     def test_clip_area_bounded(self, subject, clip):
         out = geom.clip_to_convex(subject, clip)
