@@ -45,6 +45,31 @@ def _load_base_checkpoint(params, base_path, num_layers):
     return merge_params(params, loaded)
 
 
+def _load_refine_assets(args):
+    """Load the prototype CSV + training embedding bank for refinement.
+
+    Returns ``(proto_rows, bank_emb, bank_lla)`` or ``None`` when the
+    required ``--prototypes/--embeddings/--metadata`` flags are absent.
+    Rebuilds the asset loading of `evaluation/evaluate.py:52-66`.
+    """
+    if not (args.prototypes and args.embeddings and args.metadata):
+        return None
+    import numpy as np
+    import pandas as pd
+
+    from pigeon_tpu.geocell.prototypes import load_prototypes_csv
+    from pigeon_tpu.train.embed import load_embeddings
+
+    meta = pd.read_csv(args.metadata)
+    if "selection" in meta.columns:
+        meta = meta[meta["selection"] == "train"]
+    bank_lla = meta[["lng", "lat"]].to_numpy(np.float32)
+    bank_emb = load_embeddings(args.embeddings, "train")
+    if bank_emb.ndim == 3:
+        bank_emb = bank_emb.mean(1)
+    return load_prototypes_csv(args.prototypes), bank_emb, bank_lla
+
+
 def _attn_impl() -> str:
     """Fused Pallas attention on real TPU backends, XLA elsewhere
     (measured: +10% inference, +16% training on v5e; docs/PERF.md)."""
@@ -94,6 +119,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prototypes", default=None, help="prototype CSV path")
     p.add_argument("--benchmarks", default=None,
                    help="benchmark registry JSON (default: config path)")
+    p.add_argument("--countries", default=None,
+                   help="country-boundary GeoJSON for Country_accuracy "
+                        "(reference `evaluation/metrics.py:17-20,56-88`)")
+    p.add_argument("--scaler", default=None,
+                   help="RegressionScaler JSON for physical-unit multi-task "
+                        "MAEs (reference `evaluation/metrics.py:29-54`)")
+    p.add_argument("--hedge", action="store_true",
+                   help="serve: hedge refined guesses for competitive play "
+                        "(reference `models/layers/hedge.py:8-57`)")
     p.add_argument("--embeddings", default=None,
                    help="embedding shard directory")
     p.add_argument("--checkpoint-dir", default="saved_models")
@@ -417,25 +451,27 @@ def cmd_evaluate(args) -> int:
     # (the per-family topk/temperature/guard presets differ —
     # `train/evaluate.py::REFINER_PRESETS`).
     make_refine = lambda _name: None  # noqa: E731
-    if args.prototypes and args.embeddings and args.metadata:
-        import pandas as pd
-
-        from pigeon_tpu.geocell.prototypes import load_prototypes_csv
-        from pigeon_tpu.train.embed import load_embeddings
-
-        meta = pd.read_csv(args.metadata)
-        meta = meta[meta.get("selection", "train") == "train"] \
-            if "selection" in meta.columns else meta
-        bank_lla = meta[["lng", "lat"]].to_numpy(np.float32)
-        bank_emb = load_embeddings(args.embeddings, "train")
-        if bank_emb.ndim == 3:
-            bank_emb = bank_emb.mean(1)
-        proto_rows = load_prototypes_csv(args.prototypes)
+    assets = _load_refine_assets(args)
+    if assets is not None:
+        proto_rows, bank_emb, bank_lla = assets
 
         def make_refine(name):
             return build_refiner(proto_rows, bank_emb, bank_lla,
                                  num_cells=len(cells),
                                  cfg=refiner_preset(name))
+
+    # Optional full-suite inputs: country polygons for Country_accuracy and
+    # the regression scaler for physical-unit multi-task MAEs (reference
+    # `evaluation/metrics.py:17-20,29-54`).
+    scaler = country_index = None
+    if args.scaler:
+        from pigeon_tpu.train.metrics import RegressionScaler
+
+        scaler = RegressionScaler.load(args.scaler)
+    if args.countries:
+        from pigeon_tpu.train.metrics import CountryIndex
+
+        country_index = CountryIndex(args.countries)
 
     results = {}
     if args.load is None and args.test:
@@ -462,7 +498,8 @@ def cmd_evaluate(args) -> int:
         metrics = evaluate_benchmark(
             eval_step, params,
             iter_batches(ds, args.batch_size or 32),
-            refine_fn=make_refine(benchmark), batch_to_device=to_dev)
+            refine_fn=make_refine(benchmark), scaler=scaler,
+            country_index=country_index, batch_to_device=to_dev)
         results[benchmark] = metrics
         logger.warning("%s: %s", benchmark, metrics)
     if args.output:
@@ -580,14 +617,41 @@ def cmd_serve(args) -> int:
         logger.warning("serving checkpoint step %d", int(state.step))
 
     serve_fn = make_serving_fn(model, params, cfg.head, cells)
+
+    # Serving-time refinement (+ optional hedging for duel play): the
+    # reference bot ran SuperGuessr(serving=True) -> ProtoRefiner ->
+    # HedgeLayer (`models/super_guessr.py:462-466`, `proto_refiner.py:121`,
+    # `models/layers/hedge.py:8-57`). GeoGuessr serving uses the
+    # StreetView-family preset (`evaluation/evaluate.py:73-80`).
+    refine_fn = None
+    assets = _load_refine_assets(args)
+    if assets is not None:
+        import dataclasses
+
+        from pigeon_tpu.train.evaluate import build_refiner, refiner_preset
+
+        preset = dataclasses.replace(refiner_preset("geoguessr"),
+                                     hedge=args.hedge)
+        refine_fn = build_refiner(*assets, num_cells=len(cells),
+                                  cfg=preset)
+        logger.warning("refinement enabled (topk=%d, hedge=%s)",
+                       preset.topk, args.hedge)
+    elif args.hedge:
+        raise SystemExit("--hedge requires --prototypes/--embeddings/"
+                         "--metadata (hedging applies to refined guesses)")
+
     # Warm up (compile) before accepting traffic — the first compile can
     # take minutes in remote-compile environments.
     logger.warning("warming up serving executable ...")
-    serve_fn(jnp.zeros_like(example))
+    out = serve_fn(jnp.zeros_like(example))
+    if refine_fn is not None:
+        refine_fn(out["embedding"], out["pred_lla"], out["topk_cells"],
+                  out["topk_probs"])
     logger.warning("warmup done")
     service = PredictionService(serve_fn,
                                 image_size=cfg.vision.image_size,
                                 panorama=cfg.head.panorama,
+                                refine_fn=refine_fn,
                                 game_log=os.path.join("runs", "games.jsonl"))
     serve(service, host=args.host, port=args.port)
     return 0

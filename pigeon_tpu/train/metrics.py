@@ -70,7 +70,8 @@ class RegressionScaler:
         """Scaled model outputs -> physical units (reference :29-54)."""
         v = np.asarray(scaled, np.float64) * self.scale + self.mean
         log_cols = [0, 1, 3, 4, 5]
-        v[:, log_cols] = np.exp(v[:, log_cols])
+        with np.errstate(over="ignore"):   # untrained outputs may overflow
+            v[:, log_cols] = np.exp(v[:, log_cols])
         offsets = np.array([self.elevation_offset, 1, 0, 1, 1, 1], np.float64)
         return v - offsets
 

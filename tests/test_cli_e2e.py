@@ -115,6 +115,72 @@ def test_evaluate_command_with_registry_and_refiner(tiny_world, monkeypatch):
     assert "Median_km_error" in metrics and "Geoguessr_score" in metrics
 
 
+def test_evaluate_full_metric_suite(tiny_world, monkeypatch):
+    """--countries + --scaler + -m must surface Country_accuracy and all
+    six physical-unit MAEs in CLI output (reference
+    `evaluation/metrics.py:29-88,165-199`)."""
+    import json
+
+    tmp = tiny_world
+    monkeypatch.chdir(tmp)
+
+    # Multi-task + climate + month labels on every row.
+    meta = pd.read_csv(tmp / "meta.csv")
+    n = len(meta)
+    meta["elevation"] = RNG.uniform(0, 2000, n)
+    meta["population"] = RNG.uniform(0, 1e4, n)
+    meta["temp_avg"] = RNG.uniform(-10, 30, n)
+    meta["temp_diff"] = RNG.uniform(0, 20, n)
+    meta["prec_avg"] = RNG.uniform(0, 300, n)
+    meta["prec_diff"] = RNG.uniform(0, 100, n)
+    meta["climate_zone_idx"] = RNG.integers(0, 28, n)
+    meta["month"] = RNG.integers(0, 12, n)
+    meta.to_csv(tmp / "meta.csv", index=False)
+
+    # Scaler fit on the raw values, saved as JSON.
+    from pigeon_tpu.train.metrics import MT_VARIABLES, RegressionScaler
+
+    raw = meta[list(MT_VARIABLES)].to_numpy()
+    RegressionScaler.fit(raw).save(str(tmp / "scaler.json"))
+
+    # Country boundaries: three boxes around the three geocells.
+    features = []
+    for name, (lng, lat) in zip("ABC", [(-100, 40), (10, 50), (120, 30)]):
+        ring = [[lng - 15, lat - 15], [lng + 15, lat - 15],
+                [lng + 15, lat + 15], [lng - 15, lat + 15],
+                [lng - 15, lat - 15]]
+        features.append({"type": "Feature",
+                         "properties": {"name": name},
+                         "geometry": {"type": "Polygon",
+                                      "coordinates": [ring]}})
+    (tmp / "countries.geojson").write_text(json.dumps(
+        {"type": "FeatureCollection", "features": features}))
+
+    # Benchmark registry over the val rows.
+    val = meta[meta["selection"] == "val"].reset_index(drop=True)
+    val.to_csv(tmp / "bench_meta.csv", index=False)
+    (tmp / "benchmarks.json").write_text(json.dumps(
+        {"tinybench": {"meta": str(tmp / "bench_meta.csv"),
+                       "images": str(tmp / "imgs")}}))
+
+    out = tmp / "full_results.json"
+    rc = main(["evaluate", "runf", "--tiny", "-m", "-l", "tinybench",
+               "--geocells", str(tmp / "cells.csv"),
+               "--benchmarks", str(tmp / "benchmarks.json"),
+               "--countries", str(tmp / "countries.geojson"),
+               "--scaler", str(tmp / "scaler.json"),
+               "--batch-size", "4", "--output", str(out)])
+    assert rc == 0
+    metrics = json.loads(out.read_text())["tinybench"]
+    assert "Country_accuracy" in metrics
+    for key in ("Mean_elevation_error", "Mean_population_error",
+                "Mean_temperature_error", "Mean_temp_diff_error",
+                "Mean_precipitation_error", "Mean_prec_diff_error"):
+        assert key in metrics, key
+    assert "Climate_accuracy" in metrics and "Month_accuracy" in metrics
+    assert 0.0 <= metrics["Country_accuracy"] <= 1.0
+
+
 def test_pretrain_command(tiny_world, monkeypatch):
     tmp = tiny_world
     monkeypatch.chdir(tmp)

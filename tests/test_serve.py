@@ -175,3 +175,101 @@ class TestServeCommand:
         assert status == 200
         lat, lng = body["results"]["lat"], body["results"]["lng"]
         assert np.isclose(cells, [lng, lat], atol=1e-3).all(-1).any()
+
+    def test_cmd_serve_with_refinement_and_hedge(self, tmp_path,
+                                                 monkeypatch):
+        """cmd_serve --prototypes/--embeddings/--metadata --hedge must run
+        the refiner+hedge stack in the HTTP path (the reference bot's
+        SuperGuessr(serving=True) + ProtoRefiner + HedgeLayer,
+        `super_guessr.py:462-466`, `proto_refiner.py:121`, `hedge.py:8-57`)."""
+        import json as jsonlib
+
+        import pandas as pd
+
+        import pigeon_tpu.serve as serve_pkg
+
+        rng = np.random.default_rng(7)
+        n_cells, dim, n_bank = 5, 64, 40
+        cells = np.stack([np.linspace(-150, 150, n_cells),
+                          np.linspace(-50, 60, n_cells)], -1) \
+            .astype(np.float32)
+        pd.DataFrame({"name": list("abcde"), "lng": cells[:, 0],
+                      "lat": cells[:, 1]}).to_csv(
+            tmp_path / "cells.csv", index=False)
+
+        # Training bank: 8 points per cell near its centroid.
+        bank_lla = np.repeat(cells, n_bank // n_cells, axis=0) \
+            + rng.normal(0, 0.5, (n_bank, 2)).astype(np.float32)
+        pd.DataFrame({"lng": bank_lla[:, 0], "lat": bank_lla[:, 1],
+                      "selection": "train"}).to_csv(
+            tmp_path / "meta.csv", index=False)
+        emb_dir = tmp_path / "emb"
+        emb_dir.mkdir()
+        np.save(emb_dir / "train.npy",
+                rng.normal(size=(n_bank, dim)).astype(np.float32))
+        np.save(emb_dir / "train_indices.npy", np.arange(n_bank))
+
+        # Two clusters per cell over its bank rows.
+        rows = []
+        for c in range(n_cells):
+            base = c * (n_bank // n_cells)
+            for half in range(2):
+                idx = list(range(base + half * 4, base + half * 4 + 4))
+                rows.append({"geocell_idx": c,
+                             "lng": float(bank_lla[idx, 0].mean()),
+                             "lat": float(bank_lla[idx, 1].mean()),
+                             "count": len(idx),
+                             "indices": jsonlib.dumps(idx)})
+        pd.DataFrame(rows).to_csv(tmp_path / "protos.csv", index=False)
+
+        captured = {}
+        real_serve = serve_pkg.serve
+
+        def fake_serve(service, host="127.0.0.1", port=5000, block=True):
+            captured["service"] = service
+            captured["httpd"] = real_serve(service, host=host, port=0,
+                                           block=False)
+            return captured["httpd"]
+
+        monkeypatch.setattr("pigeon_tpu.serve.serve", fake_serve)
+        monkeypatch.chdir(tmp_path)
+
+        from pigeon_tpu.cli.run import main
+
+        rc = main(["serve", "srv2", "--tiny", "--hedge",
+                   "--geocells", str(tmp_path / "cells.csv"),
+                   "--metadata", str(tmp_path / "meta.csv"),
+                   "--prototypes", str(tmp_path / "protos.csv"),
+                   "--embeddings", str(emb_dir)])
+        assert rc == 0
+        assert captured["service"].refine_fn is not None
+
+        httpd = captured["httpd"]
+        port = httpd.server_address[1]
+        status, body = post(f"http://127.0.0.1:{port}/api/v1/predict",
+                            {"gameID": "g", "roundID": 1,
+                             "image": b64_image()})
+        httpd.shutdown()
+        assert status == 200
+        lat, lng = body["results"]["lat"], body["results"]["lng"]
+        # The refined guess is an exact bank/prototype location (the
+        # ProtoNet contract) — never a bare geocell centroid.
+        pool = np.concatenate(
+            [bank_lla, np.array([[r["lng"], r["lat"]] for r in rows],
+                                np.float32)])
+        assert np.isclose(pool, [lng, lat], atol=1e-4).all(-1).any()
+
+    def test_hedge_without_refiner_assets_errors(self, tmp_path,
+                                                 monkeypatch):
+        import pandas as pd
+
+        cells = np.array([[0.0, 0.0], [10.0, 10.0]], np.float32)
+        pd.DataFrame({"name": ["a", "b"], "lng": cells[:, 0],
+                      "lat": cells[:, 1]}).to_csv(
+            tmp_path / "cells.csv", index=False)
+        monkeypatch.chdir(tmp_path)
+        from pigeon_tpu.cli.run import main
+
+        with pytest.raises(SystemExit):
+            main(["serve", "srv3", "--tiny", "--hedge",
+                  "--geocells", str(tmp_path / "cells.csv")])

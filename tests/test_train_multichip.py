@@ -194,7 +194,9 @@ class TestHierarchicalTraining:
         }, mesh)
         state, metrics = step(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss"]))
-        # Dropout active: two different rngs give different losses.
+        # Same rng -> deterministic; different rng -> dropout is active.
         _, m2 = step(state, batch, jax.random.PRNGKey(2))
         _, m3 = step(state, batch, jax.random.PRNGKey(2))
         assert float(m2["loss"]) == float(m3["loss"])
+        _, m4 = step(state, batch, jax.random.PRNGKey(3))
+        assert float(m4["loss"]) != float(m2["loss"])
