@@ -524,7 +524,17 @@ def cmd_pretrain(args) -> int:
     )
 
     cfg = make_config(args)
-    tokenizer = load_tokenizer()
+    # Fallback hash tokenizer sized to the model vocab so ids are in-range
+    # by construction; a real CLIP vocab must FIT the configured vocab —
+    # silently wrapping ids would also wrap EOS and break first-EOS pooling
+    # (`models/clip.py`).
+    tokenizer = load_tokenizer(fallback_vocab_size=cfg.text.vocab_size)
+    tok_vocab = getattr(tokenizer, "vocab_size", cfg.text.vocab_size)
+    if tok_vocab > cfg.text.vocab_size:
+        raise SystemExit(
+            f"tokenizer vocab ({tok_vocab}) exceeds the configured text "
+            f"vocab ({cfg.text.vocab_size}); use a matching config or "
+            f"vocab assets")
     model = CLIPModel(cfg.vision, cfg.text, dtype=jnp.bfloat16,
                       eos_token_id=getattr(tokenizer, "eos_id", 49407))
 
@@ -557,8 +567,7 @@ def cmd_pretrain(args) -> int:
                                 seed=epoch, max_tokens=max_tokens):
             yield {
                 "pixel_values": jnp.asarray(batch["pixel_values"]),
-                "input_ids": jnp.asarray(batch["input_ids"]
-                                         % cfg.text.vocab_size),
+                "input_ids": jnp.asarray(batch["input_ids"]),
             }
 
     # Before/after in-batch retrieval probe (reference

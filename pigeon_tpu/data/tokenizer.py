@@ -48,13 +48,22 @@ def _get_pairs(word: Tuple[str, ...]):
     return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
 
 
-_PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-    if False else
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-    re.IGNORECASE)
+try:
+    # CLIP's true word pattern needs unicode property classes (\p{L}/\p{N})
+    # — HF CLIPTokenizer uses the `regex` module for exactly this. Without
+    # it, non-ASCII place names ("Zürich", "São Paulo") would split
+    # differently from the reference's CLIPProcessor tokenization.
+    import regex as _regex
+
+    _PAT = _regex.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+        _regex.IGNORECASE)
+except ImportError:  # pragma: no cover — regex ships with transformers
+    _PAT = re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[^\W\d_]+|[0-9]|[^\s\w]+",
+        re.IGNORECASE | re.UNICODE)
 
 
 def _whitespace_clean(text: str) -> str:
@@ -137,10 +146,14 @@ class ClipTokenizer:
         self._cache[token] = out
         return out
 
+    @property
+    def vocab_size(self) -> int:
+        return len(self.encoder)
+
     def encode_text(self, text: str) -> List[int]:
         text = _whitespace_clean(html.unescape(html.unescape(text))).lower()
         ids: List[int] = []
-        for token in re.findall(_PAT, text):
+        for token in _PAT.findall(text):
             token = "".join(self.byte_encoder[b]
                             for b in token.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self._bpe(token).split(" "))
@@ -189,10 +202,17 @@ class HashTokenizer:
 
 
 def load_tokenizer(vocab_dir: str = "data/clip_vocab",
-                   context_len: int = 77):
-    """CLIP BPE when assets exist, hash fallback otherwise."""
+                   context_len: int = 77,
+                   fallback_vocab_size: int = 49408):
+    """CLIP BPE when assets exist, hash fallback otherwise.
+
+    Fetch the real assets with ``scripts/get_clip_vocab.sh``;
+    ``fallback_vocab_size`` bounds the HashTokenizer's ids so they are
+    in-range for the configured model vocab by construction.
+    """
     vocab = os.path.join(vocab_dir, "vocab.json")
     merges = os.path.join(vocab_dir, "merges.txt")
     if os.path.exists(vocab) and os.path.exists(merges):
         return ClipTokenizer.from_files(vocab, merges, context_len)
-    return HashTokenizer(context_len=context_len)
+    return HashTokenizer(vocab_size=fallback_vocab_size,
+                         context_len=context_len)

@@ -26,8 +26,15 @@ def tiny_bpe(tmp_path_factory):
         vocab[c] = len(vocab)
     for c in chars:
         vocab[c + "</w>"] = len(vocab)
+    bu = _bytes_to_unicode()
+    u_uml = [bu[b] for b in "ü".encode()]       # two byte symbols
+    a_til = [bu[b] for b in "ã".encode()]
     merges = [("h", "e"), ("l", "l"), ("he", "ll"), ("hell", "o</w>"),
-              ("w", "o"), ("r", "l"), ("wo", "rl"), ("worl", "d</w>")]
+              ("w", "o"), ("r", "l"), ("wo", "rl"), ("worl", "d</w>"),
+              # non-ASCII merges: ü and ã as single BPE units, plus a
+              # within-word merge crossing the multibyte boundary ("zü").
+              (u_uml[0], u_uml[1]), (a_til[0], a_til[1]),
+              ("z", "".join(u_uml))]
     for a, b in merges:
         vocab[a + b] = len(vocab)
     vocab["<|startoftext|>"] = len(vocab)
@@ -64,6 +71,32 @@ class TestClipTokenizer:
             ours = tok.encode_text(text)
             ref = hf(text)["input_ids"][1:-1]  # strip bos/eos
             assert ours == ref, text
+
+    def test_matches_hf_on_non_ascii(self, tiny_bpe):
+        """Golden parity incl. non-ASCII town names — the reference
+        tokenizes captions like 'Zürich'/'São Paulo' through CLIPProcessor
+        (`pretrain_dataset.py:15`); an ASCII-only word pattern splits these
+        differently. (CJK is excluded: HF's no-ftfy BasicTokenizer fallback
+        space-splits CJK chars, which canonical ftfy-CLIP — and this
+        tokenizer — does not.)"""
+        transformers = pytest.importorskip("transformers")
+        hf = transformers.CLIPTokenizer(
+            vocab_file=f"{tiny_bpe}/vocab.json",
+            merges_file=f"{tiny_bpe}/merges.txt")
+        tok = ClipTokenizer.from_dir(tiny_bpe, context_len=16)
+        texts = [
+            "Zürich",
+            "São Paulo",
+            "a photo close to the town of Zürich.",
+            "it's 25° & cloudy, isn't it?",
+            "L'Hospitalet-de-Llobregat",
+            "hello world " * 10,          # exercises truncation parity
+        ]
+        for text in texts:
+            ours = tok([text])[0]
+            ref = hf(text, padding="max_length", truncation=True,
+                     max_length=16)["input_ids"]
+            np.testing.assert_array_equal(ours, np.asarray(ref), err_msg=text)
 
     def test_hash_fallback(self):
         tok = HashTokenizer(vocab_size=1000, context_len=12)
