@@ -110,13 +110,18 @@ class Cell:
 
     def to_row(self) -> dict:
         c = self.centroid if self.size else np.array([np.nan, np.nan])
+        # Export dissolves the piece list into unioned polygons (holes
+        # included) so the WKT artifact is interchangeable with the
+        # reference's shapely-union geometry column (`cell.py:51-59`).
+        comps = geom.dissolve(self.polygons)
         return {
             "name": self.cell_id,
             "admin_1": self.admin_1,
             "country": self.country,
             "size": self.size,
-            "num_polygons": len(self.polygons),
-            "geometry": geom.to_wkt(self.polygons),
+            "num_polygons": max(len(comps), 1) if self.polygons
+            else 0,
+            "geometry": geom.components_to_wkt(comps),
             "lng": c[0],
             "lat": c[1],
         }
@@ -204,6 +209,9 @@ class Cell:
                                   self.points[mask], territories[i]))
         self.points = self.points[keep_mask]
         self.polygons = territories[0]
+        # Repair fragmentation before returning (`cell.py:400-408` calls
+        # __clean_dirty_splits on the split outputs + self).
+        clean_dirty_splits([self] + new_cells)
         return new_cells
 
     def _carve_territories(self, centroids: np.ndarray
@@ -227,6 +235,62 @@ class Cell:
                     pieces.append(clipped)
             territories.append(pieces)
         return territories
+
+
+def clean_dirty_splits(cells: List[Cell], buffer_deg: float = 0.01) -> None:
+    """Repair fragmented splits: non-largest disconnected fragments of a
+    cell's territory move (shape AND points) to the adjacent cell with the
+    largest shared border.
+
+    Rebuilds the reference's `__clean_dirty_splits` (`cell.py:420-481`):
+    it keeps each MultiPolygon's largest sub-polygon and reassigns every
+    smaller one to the neighbor with the largest buffer(0.01)-intersection
+    area — for touching polygons that area is proportional to shared
+    border length, which `boundary_proximity_count` scores directly.
+    Fragments touching no neighbor (true islands) stay, as in the
+    reference (`cell.py:460-461`).
+    """
+    for cell in cells:
+        if len(cell.polygons) <= 1:
+            continue
+        comps = geom.dissolve(cell.polygons)
+        if len(comps) <= 1:
+            continue
+        areas = [abs(geom.polygon_area(s)) for s, _ in comps]
+        largest = int(np.argmax(areas))
+
+        # Group original pieces by dissolved component (smallest
+        # containing shell of the piece centroid).
+        piece_comp = []
+        for piece in cell.polygons:
+            rep = geom.polygon_centroid(piece)
+            inside = [i for i, (s, _) in enumerate(comps)
+                      if geom.points_in_ring(rep[None], s)[0]]
+            piece_comp.append(min(inside, key=lambda i: areas[i])
+                              if inside else largest)
+
+        others = [c for c in cells if c is not cell]
+        keep_pieces = [p for p, ci in zip(cell.polygons, piece_comp)
+                       if ci == largest]
+        for ci, (shell, _holes) in enumerate(comps):
+            if ci == largest:
+                continue
+            frag_pieces = [p for p, pc in zip(cell.polygons, piece_comp)
+                           if pc == ci]
+            scores = [geom.boundary_proximity_count(
+                shell, c.polygons, tol=buffer_deg) for c in others]
+            if not scores or max(scores) == 0:
+                keep_pieces.extend(frag_pieces)   # island: stays
+                continue
+            target = others[int(np.argmax(scores))]
+            target.polygons.extend(frag_pieces)
+            if cell.size:
+                mask = geom.points_in_multipolygon(cell.points, frag_pieces)
+                if mask.any():
+                    target.points = np.vstack([target.points,
+                                               cell.points[mask]])
+                    cell.points = cell.points[~mask]
+        cell.polygons = keep_pieces
 
 
 def _bisector_half_planes(a: np.ndarray, b: np.ndarray,

@@ -28,7 +28,7 @@ synthetic shapes that deliberately cross the dateline.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -237,6 +237,226 @@ def convex_hull(points: np.ndarray) -> Polygon:
     lower = half(pts)
     upper = half(pts[::-1])
     return np.asarray(lower[:-1] + upper[:-1])
+
+
+def dissolve(rings: Sequence[Polygon], snap: float = 1e-7
+             ) -> List[Tuple[np.ndarray, List[np.ndarray]]]:
+    """Dissolve a polygon COVERAGE (interior-disjoint pieces) into unioned
+    polygons with holes.
+
+    The geocell pipeline produces piece lists whose shared borders carry
+    snapped-identical vertex chains (Voronoi cuts are computed from the
+    same parent edges on both sides; admin products ship shared chains).
+    Dissolving such a coverage = cancelling opposite directed edges and
+    stitching what remains into rings — the same contract as GEOS coverage
+    union, which the reference gets implicitly from `shapely.unary_union`
+    when exporting geocell WKT (`cell.py:51-59,475-481`). Pieces whose
+    borders DON'T match simply stay as separate rings (graceful
+    degradation to the piece list).
+
+    Returns a list of ``(shell, holes)`` per dissolved polygon; shells are
+    CCW, holes CW.
+    """
+    def key(pt) -> Tuple[int, int]:
+        return (int(round(pt[0] / snap)), int(round(pt[1] / snap)))
+
+    coord: Dict[Tuple[int, int], np.ndarray] = {}
+    ring_keys: List[List[Tuple[int, int]]] = []
+    for ring in rings:
+        r = as_ring(ring)
+        if len(r) < 3:
+            continue
+        if polygon_area(r) < 0:
+            r = r[::-1]
+        ks = []
+        for p in r:
+            k = key(p)
+            coord.setdefault(k, np.asarray(p, np.float64))
+            if not ks or ks[-1] != k:
+                ks.append(k)
+        if len(ks) > 1 and ks[0] == ks[-1]:
+            ks.pop()
+        if len(ks) >= 3:
+            ring_keys.append(ks)
+    if not ring_keys:
+        return []
+
+    # Node edges at T-junctions: a vertex of one piece lying mid-edge of
+    # another (partial border overlaps, e.g. a long admin edge met by two
+    # shorter neighbor edges) must split that edge, or opposite sub-edges
+    # can't cancel.
+    all_keys = list(coord)
+    vtx = np.asarray([coord[k] for k in all_keys])       # (V, 2)
+    tol = 2.0 * snap
+
+    edge_count: Dict[Tuple, int] = {}
+    for ks in ring_keys:
+        for i in range(len(ks)):
+            ka, kb = ks[i], ks[(i + 1) % len(ks)]
+            a, b = coord[ka], coord[kb]
+            d = b - a
+            L2 = float(d @ d)
+            if L2 <= tol * tol:
+                chain = [ka, kb]
+            else:
+                rel = vtx - a
+                u = (rel @ d) / L2
+                perp = np.abs(rel[:, 0] * d[1] - rel[:, 1] * d[0]) \
+                    / np.sqrt(L2)
+                on = (perp <= tol) & (u > 1e-12) & (u < 1 - 1e-12)
+                interior = [(float(u[j]), all_keys[j])
+                            for j in np.where(on)[0]
+                            if all_keys[j] != ka and all_keys[j] != kb]
+                interior.sort()
+                chain = [ka] + [k for _, k in interior] + [kb]
+            for j in range(len(chain) - 1):
+                if chain[j] != chain[j + 1]:
+                    e = (chain[j], chain[j + 1])
+                    edge_count[e] = edge_count.get(e, 0) + 1
+
+    # Cancel opposite shared edges (interior borders of the coverage).
+    for (a, b) in list(edge_count):
+        if a >= b:          # visit each unordered pair once
+            continue
+        fwd, rev = edge_count.get((a, b), 0), edge_count.get((b, a), 0)
+        cancel = min(fwd, rev)
+        if cancel:
+            edge_count[(a, b)] = fwd - cancel
+            edge_count[(b, a)] = rev - cancel
+
+    out_edges: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
+    n_edges = 0
+    for (a, b), cnt in edge_count.items():
+        for _ in range(cnt):
+            out_edges.setdefault(a, []).append(b)
+            n_edges += 1
+
+    def take_next(prev: Tuple[int, int], cur: Tuple[int, int]):
+        """Pop the outgoing edge making the sharpest LEFT turn — keeps
+        stitched rings simple at shared corners."""
+        cands = out_edges.get(cur)
+        if not cands:
+            return None
+        if len(cands) == 1:
+            return cands.pop()
+        vin = coord[cur] - coord[prev]
+        ain = np.arctan2(vin[1], vin[0])
+        best_i, best_t = 0, -np.inf
+        for i, nxt in enumerate(cands):
+            if nxt == prev and len(cands) > 1:
+                turn = -np.inf  # avoid immediate backtrack if avoidable
+            else:
+                v = coord[nxt] - coord[cur]
+                # CCW turn angle in (-pi, pi]; larger = harder left
+                turn = np.arctan2(vin[0] * v[1] - vin[1] * v[0],
+                                  vin[0] * v[0] + vin[1] * v[1])
+            if turn > best_t:
+                best_i, best_t = i, turn
+        return cands.pop(best_i)
+
+    stitched: List[np.ndarray] = []
+    guard = 4 * n_edges + 16
+    while any(out_edges.values()) and guard > 0:
+        start = next(k for k, v in out_edges.items() if v)
+        cur = out_edges[start].pop()
+        path = [start, cur]
+        prev = start
+        while cur != start and guard > 0:
+            guard -= 1
+            nxt = take_next(prev, cur)
+            if nxt is None:       # dangling chain: drop it
+                path = []
+                break
+            prev, cur = cur, nxt
+            path.append(cur)
+        if len(path) >= 4:        # closed ring (start repeated at end)
+            ring = np.asarray([coord[k] for k in path[:-1]], np.float64)
+            if abs(polygon_area(ring)) > 0:
+                stitched.append(ring)
+
+    # Classify shells (CCW) vs holes (CW); nest holes in smallest shell.
+    shells = [r for r in stitched if polygon_area(r) > 0]
+    holes = [r for r in stitched if polygon_area(r) < 0]
+    result: List[Tuple[np.ndarray, List[np.ndarray]]] = \
+        [(s, []) for s in shells]
+    for h in holes:
+        inside = [i for i, (s, _) in enumerate(result)
+                  if points_in_ring(h[:1], s)[0]]
+        if inside:
+            i = min(inside, key=lambda i: abs(polygon_area(result[i][0])))
+            result[i][1].append(h)
+        # orphan holes (mismatched borders) are dropped
+    return result
+
+
+def dissolve_to_wkt(rings: Sequence[Polygon], snap: float = 1e-7) -> str:
+    """Dissolved-union WKT export (the reference's geocell geometry
+    column is a shapely union, `cell.py:51-59`)."""
+    return components_to_wkt(dissolve(rings, snap))
+
+
+def components_to_wkt(polys: Sequence[Tuple[np.ndarray, List[np.ndarray]]]
+                      ) -> str:
+    """WKT for pre-dissolved ``(shell, holes)`` components."""
+    if not polys:
+        return "POLYGON EMPTY"
+
+    def ring_str(r):
+        closed = np.vstack([r, r[:1]])
+        return "(" + ", ".join(f"{x:.6f} {y:.6f}" for x, y in closed) + ")"
+
+    def poly_str(shell, holes):
+        return ("(" + ring_str(shell)
+                + "".join(", " + ring_str(h) for h in holes) + ")")
+
+    if len(polys) == 1:
+        shell, holes = polys[0]
+        return ("POLYGON (" + ring_str(shell)
+                + "".join(", " + ring_str(h) for h in holes) + ")")
+    return ("MULTIPOLYGON ("
+            + ", ".join(poly_str(s, h) for s, h in polys) + ")")
+
+
+def boundary_proximity_count(subject: Polygon, others: Sequence[Polygon],
+                             tol: float, samples: int = 64) -> int:
+    """How many of `samples` points along `subject`'s boundary lie within
+    `tol` of any boundary in `others` — the adjacency score used for
+    sliver reassignment (approximates the reference's buffered-
+    intersection area, `cell.py:455-470`: for touching polygons the
+    buffer(0.01) intersection area is proportional to shared border
+    length)."""
+    r = as_ring(subject)
+    if len(r) < 2 or not others:
+        return 0
+    closed = np.vstack([r, r[:1]])
+    seg = np.diff(closed, axis=0)
+    seg_len = np.hypot(seg[:, 0], seg[:, 1])
+    total = seg_len.sum()
+    if total == 0:
+        return 0
+    # `samples` points spaced evenly by arc length.
+    cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    t = (np.arange(samples) + 0.5) / samples * total
+    idx = np.clip(np.searchsorted(cum, t) - 1, 0, len(seg) - 1)
+    frac = (t - cum[idx]) / np.maximum(seg_len[idx], 1e-30)
+    pts = closed[idx] + seg[idx] * frac[:, None]          # (samples, 2)
+
+    hit = np.zeros(samples, bool)
+    for other in others:
+        o = as_ring(other)
+        if len(o) < 2:
+            continue
+        oc = np.vstack([o, o[:1]])
+        a, d = oc[:-1], np.diff(oc, axis=0)               # (M, 2)
+        rel = pts[:, None, :] - a[None]                   # (S, M, 2)
+        denom = np.maximum((d * d).sum(-1), 1e-30)
+        u = np.clip((rel * d[None]).sum(-1) / denom, 0, 1)
+        near = a[None] + u[..., None] * d[None]
+        dist = np.hypot(*(pts[:, None, :] - near).transpose(2, 0, 1))
+        hit |= (dist <= tol).any(1)
+        if hit.all():
+            break
+    return int(hit.sum())
 
 
 def to_wkt(rings: Sequence[Polygon] | Polygon) -> str:

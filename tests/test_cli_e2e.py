@@ -181,6 +181,35 @@ def test_evaluate_full_metric_suite(tiny_world, monkeypatch):
     assert 0.0 <= metrics["Country_accuracy"] <= 1.0
 
 
+def test_evaluate_vendored_sample_benchmark(tmp_path, monkeypatch):
+    """The vendored sample20 benchmark exercises the registry path with
+    REAL committed files (no synthetic fixtures) — the registry, meta CSV,
+    and images ship in data/benchmarks/."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    registry = os.path.join(repo, "data", "benchmarks", "benchmarks.json")
+    assert os.path.exists(registry)
+
+    cells = np.array([[-100., 40.], [10., 50.], [120., 30.], [150., -30.]],
+                     np.float32)
+    pd.DataFrame({"name": list("abcd"), "lng": cells[:, 0],
+                  "lat": cells[:, 1]}).to_csv(tmp_path / "cells.csv",
+                                              index=False)
+    monkeypatch.chdir(tmp_path)
+    out = tmp_path / "sample20.json"
+    rc = main(["evaluate", "runs20", "--tiny", "-l", "sample20",
+               "--benchmarks", registry,
+               "--geocells", str(tmp_path / "cells.csv"),
+               "--batch-size", "4", "--output", str(out)])
+    assert rc == 0
+    metrics = json.loads(out.read_text())["sample20"]
+    assert "Median_km_error" in metrics
+    assert "Geocell_accuracy" in metrics  # geocell_idx column present
+    assert 0 <= metrics["Geocell_accuracy"] <= 1
+
+
 def test_pretrain_command(tiny_world, monkeypatch):
     tmp = tiny_world
     monkeypatch.chdir(tmp)

@@ -309,3 +309,136 @@ class TestFusePriority:
         coll.clean()
         sizes = sorted(c.size for c in coll)
         assert sum(sizes) == 30
+
+
+class TestDissolve:
+    """Dissolved-union export + sliver repair (reference `cell.py:51-59,
+    420-481`)."""
+
+    def test_shared_edge_pieces_dissolve_to_one_polygon(self):
+        left = np.array([[0, 0], [0.5, 0], [0.5, 1], [0, 1]], float)
+        right = np.array([[0.5, 0], [1, 0], [1, 1], [0.5, 1]], float)
+        out = geom.dissolve([left, right])
+        assert len(out) == 1
+        shell, holes = out[0]
+        assert abs(geom.polygon_area(shell)) == pytest.approx(1.0)
+        assert not holes
+        wkt = geom.dissolve_to_wkt([left, right])
+        assert wkt.startswith("POLYGON") and "MULTI" not in wkt
+
+    def test_t_junction_ring_dissolves_with_hole(self):
+        # Four strips forming a square ring around a 1x1 hole; the long
+        # bottom/top edges meet two short side edges each (T-junctions).
+        pieces = [np.array([[0, 0], [3, 0], [3, 1], [0, 1]], float),
+                  np.array([[0, 2], [3, 2], [3, 3], [0, 3]], float),
+                  np.array([[0, 1], [1, 1], [1, 2], [0, 2]], float),
+                  np.array([[2, 1], [3, 1], [3, 2], [2, 2]], float)]
+        out = geom.dissolve(pieces)
+        assert len(out) == 1
+        shell, holes = out[0]
+        assert geom.polygon_area(shell) == pytest.approx(9.0)
+        assert len(holes) == 1
+        assert geom.polygon_area(holes[0]) == pytest.approx(-1.0)
+        wkt = geom.dissolve_to_wkt(pieces)
+        assert wkt.count("(") == 3  # POLYGON ( (shell), (hole) )
+
+    def test_disjoint_pieces_stay_multipolygon(self):
+        a = square(0, 0, 1)
+        b = square(5, 5, 1)
+        assert len(geom.dissolve([a, b])) == 2
+        assert geom.dissolve_to_wkt([a, b]).startswith("MULTIPOLYGON")
+
+    def test_fp_jittered_borders_still_cancel(self):
+        left = np.array([[0, 0], [0.5, 0], [0.5, 1], [0, 1]], float)
+        right = np.array([[0.5, 0], [1, 0], [1, 1], [0.5, 1]], float)
+        right[0, 0] += 3e-8
+        right[3, 1] -= 4e-8
+        out = geom.dissolve([left, right])
+        assert len(out) == 1
+        assert abs(geom.polygon_area(out[0][0])) == pytest.approx(1.0,
+                                                                  rel=1e-5)
+
+    def test_dissolve_preserves_total_area(self):
+        # Random 4-way Voronoi carve of a square must dissolve back to it.
+        parent = [square(0, 0, 10)]
+        cell = Cell("p", "a1", "c", RNG.uniform(0, 10, (40, 2)), parent)
+        cents = np.array([[2, 2], [8, 2], [2, 8], [8, 8]], float)
+        terr = cell._carve_territories(cents)
+        pieces = [p for t in terr for p in t]
+        out = geom.dissolve(pieces)
+        total = sum(abs(geom.polygon_area(s)) for s, _ in out)
+        holes = sum(abs(geom.polygon_area(h)) for _, hs in out for h in hs)
+        assert total - holes == pytest.approx(100.0, rel=1e-6)
+        assert len(out) == 1
+
+    def test_cell_to_row_exports_dissolved_wkt(self):
+        pieces = [np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float),
+                  np.array([[1, 0], [2, 0], [2, 1], [1, 1]], float)]
+        cell = Cell("x", "a1", "c", np.array([[0.5, 0.5]]), pieces)
+        row = cell.to_row()
+        assert row["num_polygons"] == 1
+        assert row["geometry"].startswith("POLYGON")
+        back = geom.from_wkt(row["geometry"])
+        assert abs(geom.polygon_area(back[0])) == pytest.approx(2.0,
+                                                                rel=1e-4)
+
+
+class TestCleanDirtySplits:
+    def test_fragment_moves_to_touching_neighbor(self):
+        from pigeon_tpu.geocell.cells import clean_dirty_splits
+
+        # Cell A: big piece at origin + detached fragment touching B.
+        frag = np.array([[5, 0], [6, 0], [6, 1], [5, 1]], float)
+        a = Cell("a", "a1", "c",
+                 np.array([[0.5, 0.5], [5.5, 0.5]]),
+                 [square(0, 0, 2), frag])
+        b = Cell("b", "a1", "c", np.array([[6.5, 0.5]]),
+                 [np.array([[6, 0], [8, 0], [8, 2], [6, 2]], float)])
+        clean_dirty_splits([a, b])
+        # Fragment (and the point inside it) moved to b.
+        assert a.size == 1 and b.size == 2
+        assert len(a.polygons) == 1
+        assert any(np.allclose(p, frag) for p in b.polygons)
+        # b's point sets now contain the moved point
+        assert any(np.allclose(pt, [5.5, 0.5]) for pt in b.points)
+
+    def test_island_fragment_stays(self):
+        from pigeon_tpu.geocell.cells import clean_dirty_splits
+
+        island = square(50, 50, 1)
+        a = Cell("a", "a1", "c", np.array([[0.5, 0.5], [50.5, 50.5]]),
+                 [square(0, 0, 2), island])
+        b = Cell("b", "a1", "c", np.array([[10.5, 0.5]]),
+                 [square(10, 0, 2)])
+        clean_dirty_splits([a, b])
+        assert a.size == 2
+        assert any(np.allclose(p, island) for p in a.polygons)
+
+    def test_split_triggers_cleanup(self):
+        # A dumbbell shape whose Voronoi cut fragments one side: the split
+        # output must come back with each cell's territory connected or
+        # island-only (no sliver sharing a border with a neighbor).
+        from pigeon_tpu.geocell.cells import clean_dirty_splits  # noqa: F401
+
+        rng = np.random.default_rng(7)
+        pts = np.concatenate([rng.normal([0, 0], 0.25, (60, 2)),
+                              rng.normal([8, 0], 0.25, (60, 2))])
+        cell = Cell("d", "a1", "c", pts,
+                    [square(-2, -2, 4),
+                     np.array([[2, -0.2], [6, -0.2], [6, 0.2], [2, 0.2]]),
+                     square(6, -2, 4)])
+        new = cell.split((15, 0.05), min_cell_size=20, max_cell_size=50)
+        assert new, "dumbbell must split into two clusters"
+        for c in [cell] + new:
+            comps = geom.dissolve(c.polygons)
+            if len(comps) <= 1:
+                continue
+            # Any extra component must be a true island w.r.t. the others.
+            areas = [abs(geom.polygon_area(s)) for s, _ in comps]
+            largest = int(np.argmax(areas))
+            others = [o for o in [cell] + new if o is not c]
+            for i, (shell, _) in enumerate(comps):
+                if i == largest:
+                    continue
+                assert max(geom.boundary_proximity_count(
+                    shell, o.polygons, tol=0.01) for o in others) == 0
