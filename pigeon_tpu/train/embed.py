@@ -7,9 +7,12 @@ their source indices (the reference's rank-0 gather+save contract,
 `embed.py:36-43`) — consumed later by headless training and by the
 refiner's bank.
 
-Multi-host note: on a multi-host mesh wrap `collect` in
-`jax.experimental.multihost_utils.process_allgather`; single-host (this
-environment) needs no collective because jax arrays are addressable.
+Multi-host: each process embeds only its `host_slice` of the dataset and
+the shards are `process_allgather`-ed so every host holds the full
+embedding table (the reference's per-batch `accelerator.gather`,
+`embed.py:36-37`); `embed_splits_to_disk` saves on the primary host only
+with barriers between splits (`embed.py:41-43,75-79`). Single-process runs
+take the same code path with no collective.
 """
 
 from __future__ import annotations
@@ -45,13 +48,25 @@ def embed_dataset(model, params, dataset: TabularImageDataset,
     The last batch is padded to `batch_size` (static shapes — one compiled
     executable) and the padding is dropped on the host.
     """
+    from pigeon_tpu.data.pipeline import TabularImageDataset
     from pigeon_tpu.train.mesh import shard_batch
+    from pigeon_tpu.train.multihost import allgather_hosts, host_slice
 
     step = make_embed_step(model, params)
+
+    # Per-host input sharding: each process decodes + embeds only its
+    # contiguous slice; results allgather at the end.
     n = len(dataset)
+    nproc = jax.process_count()
+    sl = host_slice(n)
+    local_ds = dataset if nproc == 1 else TabularImageDataset(
+        dataset.df.iloc[sl], image_dir=dataset.image_dir,
+        image_size=dataset.image_size, panorama=dataset.panorama,
+        normalize=dataset.normalize)
+
     chunks, index_chunks = [], []
-    seen = 0
-    for batch in iter_batches(dataset, batch_size, shuffle=False,
+    seen = sl.start
+    for batch in iter_batches(local_ds, batch_size, shuffle=False,
                               num_workers=num_workers):
         pixels = batch["inputs"]
         real = len(pixels)
@@ -59,18 +74,34 @@ def embed_dataset(model, params, dataset: TabularImageDataset,
             pad = np.repeat(pixels[-1:], batch_size - real, axis=0)
             pixels = np.concatenate([pixels, pad])
         pixels = jnp.asarray(pixels)
-        if mesh is not None:
+        if mesh is not None and nproc == 1:
             pixels = shard_batch({"inputs": pixels}, mesh)["inputs"]
         emb = np.asarray(step(pixels))[:real]
         chunks.append(emb)
         index_chunks.append(np.arange(seen, seen + real))
         seen += real
-    return {
-        "embeddings": np.concatenate(chunks) if chunks
-        else np.zeros((0,)),
-        "indices": np.concatenate(index_chunks) if index_chunks
-        else np.zeros((0,), np.int64),
-    }
+
+    local_emb = np.concatenate(chunks) if chunks else np.zeros((0,))
+    local_idx = (np.concatenate(index_chunks) if index_chunks
+                 else np.zeros((0,), np.int64))
+    if nproc > 1:
+        # Hosts may hold unequal slices: allgather per-host counts first,
+        # then pad to the max, gather, and trim (process_allgather needs
+        # uniform shapes).
+        counts = allgather_hosts(np.array([len(local_idx)]))[:, 0]
+        m = int(counts.max())
+        if m == 0:
+            return {"embeddings": local_emb, "indices": local_idx}
+        pad_emb = np.zeros((m, *local_emb.shape[1:]), local_emb.dtype)
+        pad_idx = np.full((m,), -1, np.int64)
+        pad_emb[:len(local_emb)] = local_emb
+        pad_idx[:len(local_idx)] = local_idx
+        all_emb = allgather_hosts(pad_emb)
+        all_idx = allgather_hosts(pad_idx)
+        keep = all_idx.reshape(-1) >= 0
+        local_emb = all_emb.reshape(-1, *all_emb.shape[2:])[keep]
+        local_idx = all_idx.reshape(-1)[keep]
+    return {"embeddings": local_emb, "indices": local_idx}
 
 
 def embed_splits_to_disk(model, params, datasets: Dict[str, object],
@@ -78,13 +109,20 @@ def embed_splits_to_disk(model, params, datasets: Dict[str, object],
     """Embed named splits and save ``{split}.npy`` + ``{split}_indices.npy``
     (the reference's on-disk embedding layout,
     `preprocessing/embed.py:41-43`, consumed at
-    `preprocessing/dataset_preprocessing.py:292-311`)."""
-    os.makedirs(out_dir, exist_ok=True)
+    `preprocessing/dataset_preprocessing.py:292-311`). Multi-host: primary
+    saves, barrier between splits (`embed.py:75-79`)."""
+    from pigeon_tpu.train.multihost import is_primary, sync_hosts
+
+    if is_primary():
+        os.makedirs(out_dir, exist_ok=True)
     for split, ds in datasets.items():
         out = embed_dataset(model, params, ds, batch_size, mesh=mesh)
-        np.save(os.path.join(out_dir, f"{split}.npy"), out["embeddings"])
-        np.save(os.path.join(out_dir, f"{split}_indices.npy"),
-                out["indices"])
+        if is_primary():
+            np.save(os.path.join(out_dir, f"{split}.npy"),
+                    out["embeddings"])
+            np.save(os.path.join(out_dir, f"{split}_indices.npy"),
+                    out["indices"])
+        sync_hosts(f"embed_{split}")
 
 
 def load_embeddings(emb_dir: str, split: str,
