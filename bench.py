@@ -17,7 +17,12 @@ Protocol notes for this environment (axon-tunneled TPU; docs/PERF.md):
   * per-dispatch RPC overhead is measured with a trivial kernel and
     subtracted (segments + 1 dispatches per iteration).
 
-Env knobs: BENCH_BATCH (64), BENCH_ITERS (8), BENCH_SEGMENTS (3).
+Variance control: the timing loop runs BENCH_WINDOWS (default 5)
+independent windows and reports the MEDIAN rate (all windows on stderr) —
+single-window numbers on this shared tunnel vary ~10%.
+
+Env knobs: BENCH_BATCH (64), BENCH_ITERS (8), BENCH_SEGMENTS (1),
+BENCH_WINDOWS (5), BENCH_ATTN (flash).
 """
 
 from __future__ import annotations
@@ -86,14 +91,18 @@ def main() -> None:
     compile_s = time.perf_counter() - t0
     chain(pixels[1])                       # steady state warmup
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        chain(pixels[i % 2])
-    per_iter = (time.perf_counter() - t0) / iters
-
+    windows = int(os.environ.get("BENCH_WINDOWS", "5"))
     dispatches = segments + 1              # segments + scalarize
-    net = max(per_iter - dispatches * overhead, 1e-9)
-    rate = batch / net
+    rates = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            chain(pixels[i % 2])
+        per_iter = (time.perf_counter() - t0) / iters
+        net = max(per_iter - dispatches * overhead, 1e-9)
+        rates.append(batch / net)
+    rates.sort()
+    rate = rates[len(rates) // 2]          # median window
     print(json.dumps({
         "metric": "vit_l14_336_embed_classify_images_per_sec_per_chip"
                   f"_bs{batch}_{attn_impl}",
@@ -101,8 +110,9 @@ def main() -> None:
         "unit": "images/sec",
         "vs_baseline": round(rate / BASELINE_IMAGES_PER_SEC, 4),
     }))
-    print(f"# per_iter={per_iter*1000:.1f}ms overhead={overhead*1000:.1f}ms"
-          f" x{dispatches} compile={compile_s:.1f}s", file=sys.stderr)
+    print(f"# windows={[round(r, 1) for r in rates]} "
+          f"overhead={overhead*1000:.1f}ms x{dispatches} "
+          f"compile={compile_s:.1f}s", file=sys.stderr)
 
 
 if __name__ == "__main__":

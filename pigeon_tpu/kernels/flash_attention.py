@@ -36,15 +36,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-#: (batch, head) pairs processed per grid program. 2 amortizes per-program
-#: overhead and DMA setup across two full attention computations — measured
-#: ~5x faster than pack=1 standalone on v5e (pack=4 regresses: VMEM
-#: pressure starts fighting double-buffering).
-DEFAULT_PACK = 2
+#: (batch, head) pairs processed per grid program. Forward: 4 measured
+#: best on v5e (2.49 vs 2.91 ms/layer-attention at the ViT-L shape);
+#: 8 fails server-side compile (VMEM). Backward keeps 2 (4 dots + extra
+#: (S, S) buffers per slice put pack=4 over VMEM).
+FWD_PACK = 4
+BWD_PACK = 2
+DEFAULT_PACK = FWD_PACK  # backward-compat alias
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, pack: int):
-    """`pack` (batch*head) slices: full (S, Dh) attention in VMEM each."""
+    """`pack` (batch*head) slices: full (S, Dh) attention in VMEM each.
+
+    The softmax denominator is applied to the (S, Dh) OUTPUT of the PV dot
+    rather than to the (S, S) probability block — exactly the same math
+    (1/denom is per-row, the dot is linear in rows), one less full pass
+    over the S x S buffer. Measured 12% faster at the ViT-L shape; the
+    kernel is VPU-bound (dots are K=64-limited to <=50% MXU; see
+    docs/PERF.md SOL analysis), so removing S² VPU work is the lever.
+    """
     for i in range(pack):
         q = q_ref[i]                           # (S, Dh)
         k = k_ref[i]
@@ -55,13 +65,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, pack: int):
             preferred_element_type=jnp.float32) * np.float32(scale)
 
         m = jnp.max(logits, axis=1, keepdims=True)
-        p = jnp.exp(logits - m)
+        p = jnp.exp(logits - m)                # unnormalized, f32
         denom = jnp.sum(p, axis=1, keepdims=True)
-        p = (p / denom).astype(v.dtype)
 
-        o_ref[i] = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[i] = (o / denom).astype(o_ref.dtype)
 
 
 def _flash_forward(q, k, v, block_q: int = DEFAULT_BLOCK_Q):
@@ -77,7 +87,7 @@ def _flash_forward(q, k, v, block_q: int = DEFAULT_BLOCK_Q):
     del block_q  # whole (S, Dh) tiles per (batch, head): K/V DMA'd once
     bh, s, dh = q.shape
     scale = dh ** -0.5
-    pack = DEFAULT_PACK if bh % DEFAULT_PACK == 0 else 1
+    pack = next((p for p in (FWD_PACK, 2, 1) if bh % p == 0), 1)
 
     return pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, pack=pack),
@@ -100,12 +110,17 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
                      *, scale: float, pack: int):
     """Fused attention backward: recompute softmax in VMEM, emit dq/dk/dv.
 
-    Standard gradients (per (batch, head) slice):
-        p  = softmax(q k^T * scale)
-        dv = p^T g
-        dp = g v^T
-        dl = p * (dp - rowsum(dp * p)) * scale
-        dq = dl k ;  dk = dl^T q
+    Standard gradients (per (batch, head) slice), with the softmax
+    denominator folded into the (S, Dh)-shaped tensors instead of
+    normalizing the (S, S) block (exact same math, one less S² pass —
+    the forward's trick applied twice):
+        u   = exp(q k^T * scale - rowmax)       # unnormalized
+        den = rowsum(u)
+        dv  = u^T (g / den)                      # == p^T g
+        dp  = g v^T
+        dl  = (u / den) * (dp - rowsum(dp * u) / den) * scale
+            = u * (dp - r) * (scale / den)       # r broadcast per row
+        dq  = dl k ;  dk = dl^T q
     """
     for i in range(pack):
         q = q_ref[i]
@@ -117,19 +132,20 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * np.float32(scale)
         m = jnp.max(logits, axis=1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)          # (S, S) f32
+        u = jnp.exp(logits - m)                             # (S, S) f32
+        den = jnp.sum(u, axis=1, keepdims=True)             # (S, 1)
 
-        p_lo = p.astype(v.dtype)
+        u_lo = u.astype(v.dtype)
+        g_n = (g / den).astype(v.dtype)                     # (S, Dh)
         dv_ref[i] = jax.lax.dot_general(
-            p_lo, g.astype(v.dtype), (((0,), (0,)), ((), ())),
+            u_lo, g_n, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dv_ref.dtype)
 
         dp = jax.lax.dot_general(
             g.astype(v.dtype), v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)             # (S, S)
-        dl = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
-        dl = (dl * np.float32(scale)).astype(q.dtype)
+        r = jnp.sum(dp * u, axis=1, keepdims=True) / den    # (S, 1)
+        dl = (u * (dp - r) * (np.float32(scale) / den)).astype(q.dtype)
 
         dq_ref[i] = jax.lax.dot_general(
             dl, k, (((1,), (0,)), ((), ())),
@@ -146,7 +162,7 @@ def _flash_backward(q, k, v, g):
 
     bh, s, dh = q.shape
     scale = dh ** -0.5
-    pack = DEFAULT_PACK if bh % DEFAULT_PACK == 0 else 1
+    pack = next((p for p in (BWD_PACK, 1) if bh % p == 0), 1)
     spec = pl.BlockSpec((pack, s, dh), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((bh, s, dh), q.dtype)

@@ -144,9 +144,17 @@ class TransformerLayer(nn.Module):
             param_dtype=jnp.float32, name=name)
         act = _ACTIVATIONS[self.hidden_act]
 
-        x = x + MultiHeadAttention(
+        attn_out = MultiHeadAttention(
             self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
             name="attn")(ln("ln1")(x), mask)
+        # Named for remat='attn_out': saving this (B, S, d) tensor skips
+        # re-running the attention kernel during the rematerialized
+        # backward (the flash backward recomputes softmax internally
+        # anyway, so full remat runs the attention THREE times).
+        from jax.ad_checkpoint import checkpoint_name
+
+        attn_out = checkpoint_name(attn_out, "attn_out")
+        x = x + attn_out
         h = ln("ln2")(x)
         h = nn.Dense(self.intermediate_size, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc1")(h)
@@ -172,13 +180,22 @@ class TransformerStack(nn.Module):
     layer_norm_eps: float = 1e-5
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False
+    #: False/'none' = save all activations; True/'full' = full per-layer
+    #: remat; 'attn_out' = remat but SAVE the attention outputs
+    #: ((B, S, d) per layer — cheap in HBM, skips one of the three
+    #: attention executions).
+    remat: Any = False
 
     @nn.compact
     def __call__(self, x, mask=None):
         layer_cls = TransformerLayer
-        if self.remat:
-            layer_cls = nn.remat(layer_cls, prevent_cse=False)
+        if self.remat and self.remat != "none":
+            policy = None
+            if self.remat == "attn_out":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_out")
+            layer_cls = nn.remat(layer_cls, prevent_cse=False,
+                                 policy=policy)
 
         def body(layer, carry):
             return layer(carry, mask), None
@@ -217,7 +234,7 @@ class CLIPVisionTower(nn.Module):
     config: VisionConfig
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False
+    remat: Any = False  # False | True("full") | "attn_out" | "none"
 
     @nn.compact
     def __call__(self, pixel_values):
@@ -338,7 +355,7 @@ class CLIPModel(nn.Module):
     dtype: Dtype = jnp.float32
     eos_token_id: int = 49407
     attn_impl: str = "xla"
-    remat: bool = False
+    remat: Any = False  # False | True("full") | "attn_out" | "none"
     logit_scale_init: float = float(np.log(1.0 / 0.07))
 
     @nn.compact

@@ -36,7 +36,7 @@ class ClipEmbedder(nn.Module):
     config: VisionConfig
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False
+    remat: Any = False  # False | True("full") | "attn_out" | "none"
 
     @nn.compact
     def __call__(self, pixel_values):

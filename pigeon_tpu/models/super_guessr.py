@@ -39,7 +39,7 @@ class SuperGuessr(nn.Module):
     head_config: HeadConfig
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False
+    remat: Any = False  # False | True("full") | "attn_out" | "none"
 
     @nn.compact
     def __call__(self, pixel_values, heading=None,

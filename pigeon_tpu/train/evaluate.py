@@ -24,6 +24,12 @@ REFINER_PRESETS: Dict[str, RefinerConfig] = {
                                 temperature=1.6),
     "geoguessr": RefinerConfig(topk=5, max_refinement_km=1000.0,
                                temperature=1.6),
+    # gws15k: the reference's comment block (`evaluate.py:73-80`) is
+    # ambiguous about its family; it IS StreetView imagery (Clark et al.
+    # 2023), so the StreetView preset applies. Sensitivity: with the
+    # planet preset (topk 20-40, unbounded refinement) the refiner can
+    # move guesses across continents, which the 1000 km guard exists to
+    # prevent on StreetView-like distributions.
     "gws15k": RefinerConfig(topk=5, max_refinement_km=1000.0,
                             temperature=1.6),
     "im2gps": RefinerConfig(topk=20, max_refinement_km=10000.0,
