@@ -136,6 +136,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--port", type=int, default=5000)
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--serve-batch", type=int, default=0,
+                   help="serve: micro-batch up to N concurrent requests "
+                        "into one device dispatch (0 = serialized bs1)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (smoke tests)")
     return p
@@ -650,17 +653,34 @@ def cmd_serve(args) -> int:
                          "--metadata (hedging applies to refined guesses)")
 
     # Warm up (compile) before accepting traffic — the first compile can
-    # take minutes in remote-compile environments.
+    # take minutes in remote-compile environments. Requests arrive as
+    # uint8 (the low-transfer wire format), so warm THAT executable.
     logger.warning("warming up serving executable ...")
-    out = serve_fn(jnp.zeros_like(example))
+    out = serve_fn(jnp.zeros_like(example, dtype=jnp.uint8))
     if refine_fn is not None:
         refine_fn(out["embedding"], out["pred_lla"], out["topk_cells"],
                   out["topk_probs"])
+
+    batcher = None
+    if args.serve_batch > 1:
+        from pigeon_tpu.serve import MicroBatcher
+
+        batcher = MicroBatcher(serve_fn, refine_fn=refine_fn,
+                               max_batch=args.serve_batch)
+        # Compile the batched executable too.
+        warm = jnp.zeros((args.serve_batch, *example.shape[1:]), jnp.uint8)
+        bout = serve_fn(warm)
+        if refine_fn is not None:
+            refine_fn(bout["embedding"], bout["pred_lla"],
+                      bout["topk_cells"], bout["topk_probs"])
+        logger.warning("micro-batching up to %d requests/dispatch",
+                       args.serve_batch)
     logger.warning("warmup done")
     service = PredictionService(serve_fn,
                                 image_size=cfg.vision.image_size,
                                 panorama=cfg.head.panorama,
                                 refine_fn=refine_fn,
+                                batcher=batcher,
                                 game_log=os.path.join("runs", "games.jsonl"))
     serve(service, host=args.host, port=args.port)
     return 0

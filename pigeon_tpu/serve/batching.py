@@ -1,0 +1,129 @@
+"""Micro-batched serving dispatcher.
+
+The Chrome-extension bot sends one panorama per round, but a deployment
+serving many concurrent games (the reference ran duels from a single
+SSH-forwarded A100, `bot/README.md:3`) would serialize whole-model
+forwards per request. This coalesces concurrent requests into ONE device
+dispatch: requests queue, a collector thread drains up to ``max_batch``
+within ``max_wait_ms`` of the first arrival, pads to the compiled batch
+shape (single executable, static shapes — the XLA rule), and fans results
+back out through per-request futures.
+
+Latency cost for a lone request is bounded by ``max_wait_ms``; throughput
+under load approaches the bs=max_batch forward rate instead of
+bs1 x concurrency.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Callable, Optional
+
+import numpy as np
+
+
+class MicroBatcher:
+    """Coalesce concurrent single-sample predictions into batched calls.
+
+    Args:
+        serve_fn: batched ``pixels (B, ...) -> dict of (B, ...) arrays``
+            (the jitted serving forward, `server.py::make_serving_fn`).
+        refine_fn: optional batched refiner applied to the whole batch.
+        max_batch: compiled batch size (requests pad up to this).
+        max_wait_ms: how long the collector waits for co-riders after the
+            first request of a batch arrives.
+    """
+
+    def __init__(self, serve_fn: Callable,
+                 refine_fn: Optional[Callable] = None,
+                 max_batch: int = 8, max_wait_ms: float = 5.0):
+        self.serve_fn = serve_fn
+        self.refine_fn = refine_fn
+        self.max_batch = int(max_batch)
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        self.batches_run = 0        # observability
+        self.requests_served = 0
+
+    def submit(self, pixels: np.ndarray) -> "Future":
+        """Enqueue one sample (no batch dim); resolves to its result row:
+        dict with ``pred_lla`` (2,) plus the serving tuple fields."""
+        fut: Future = Future()
+        self._q.put((np.asarray(pixels), fut))
+        return fut
+
+    def predict_one(self, pixels: np.ndarray, timeout: float = 120.0):
+        return self.submit(pixels).result(timeout=timeout)
+
+    def close(self) -> None:
+        self._stop.set()
+        self._q.put(None)           # wake the collector
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+
+    def _collect(self):
+        """Block for the first request, then drain co-riders briefly."""
+        first = self._q.get()
+        if first is None:
+            return []
+        items = [first]
+        deadline = None
+        import time
+
+        while len(items) < self.max_batch:
+            if deadline is None:
+                deadline = time.monotonic() + self.max_wait
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            items.append(nxt)
+        return items
+
+    def _loop(self):
+        while not self._stop.is_set():
+            items = self._collect()
+            if not items:
+                continue
+            pixels = np.stack([p for p, _ in items])
+            n = len(items)
+            if n < self.max_batch:
+                # Pad to the compiled shape ON DEVICE: transfer exactly n
+                # rows (host->device bandwidth is the serving bottleneck
+                # on slow links), then a cheap device-side concat brings
+                # the batch to the static executable shape.
+                import jax.numpy as jnp
+
+                dev = jnp.asarray(pixels)
+                pad = jnp.zeros((self.max_batch - n, *dev.shape[1:]),
+                                dev.dtype)
+                pixels = jnp.concatenate([dev, pad])
+            try:
+                out = self.serve_fn(pixels)
+                if self.refine_fn is not None:
+                    refined = self.refine_fn(
+                        out["embedding"], out["pred_lla"],
+                        out["topk_cells"], out["topk_probs"])
+                    out = dict(out, pred_lla=refined["pred_lla"],
+                               pred_cell=refined.get("pred_cell"))
+                rows = {k: np.asarray(v) for k, v in out.items()
+                        if v is not None}
+                self.batches_run += 1
+                self.requests_served += n
+                for i, (_, fut) in enumerate(items):
+                    fut.set_result({k: v[i] for k, v in rows.items()})
+            except Exception as e:  # noqa: BLE001 — propagate per-request
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)

@@ -49,23 +49,28 @@ class PredictionService:
     def __init__(self, serve_fn: Callable, image_size: int = 336,
                  panorama: bool = True,
                  refine_fn: Optional[Callable] = None,
-                 game_log: Optional[str] = None):
+                 game_log: Optional[str] = None,
+                 batcher=None):
         """Args:
             serve_fn: jitted ``pixels -> dict`` with keys ``pred_lla``
                 (B, 2), ``topk_cells``, ``topk_probs``, ``embedding``.
                 Input is ``(1, 4, S, S, 3)`` (panorama) or ``(1, S, S, 3)``.
             refine_fn: optional batched refiner
                 (`pigeon_tpu.models.refiner.make_refine_fn`).
+            batcher: optional `serve.batching.MicroBatcher` — concurrent
+                requests coalesce into one device dispatch instead of
+                serializing bs1 forwards behind the lock.
         """
         self.serve_fn = serve_fn
         self.image_size = image_size
         self.panorama = panorama
         self.refine_fn = refine_fn
         self.game_log = game_log
+        self.batcher = batcher
         self._lock = threading.Lock()
 
     def predict(self, payload: dict) -> dict:
-        from pigeon_tpu.data.image_ops import clip_preprocess_pil
+        from pigeon_tpu.data.image_ops import resize_crop_pil
 
         keys = (["image", "image_2", "image_3", "image_4"]
                 if self.panorama else ["image"])
@@ -74,18 +79,27 @@ class PredictionService:
             if key not in payload:
                 raise ValueError(f"missing field {key!r}")
             img = _decode_data_url(payload[key])
-            views.append(clip_preprocess_pil(img, self.image_size))
+            # uint8 to the device (4x less host->device traffic — the
+            # serving bottleneck through slow links); CLIP normalization
+            # runs inside the jitted forward where it fuses into the
+            # patch-embed matmul.
+            views.append(resize_crop_pil(img, self.image_size))
         pixels = np.stack(views)[None] if self.panorama \
             else views[0][None]
 
-        with self._lock:      # one TPU dispatch at a time
-            out = self.serve_fn(pixels)
-            pred = np.asarray(out["pred_lla"])
-            if self.refine_fn is not None:
-                refined = self.refine_fn(
-                    out["embedding"], out["pred_lla"],
-                    out["topk_cells"], out["topk_probs"])
-                pred = np.asarray(refined["pred_lla"])
+        if self.batcher is not None:
+            # Micro-batched path: concurrent requests share one dispatch.
+            row = self.batcher.predict_one(pixels[0])
+            pred = np.asarray(row["pred_lla"])[None]
+        else:
+            with self._lock:      # one TPU dispatch at a time
+                out = self.serve_fn(pixels)
+                pred = np.asarray(out["pred_lla"])
+                if self.refine_fn is not None:
+                    refined = self.refine_fn(
+                        out["embedding"], out["pred_lla"],
+                        out["topk_cells"], out["topk_probs"])
+                    pred = np.asarray(refined["pred_lla"])
 
         lng, lat = float(pred[0, 0]), float(pred[0, 1])
         return {"results": {"lat": lat, "lng": lng},
@@ -110,6 +124,7 @@ def make_serving_fn(model, params, head_cfg, geocells):
     import jax
     import jax.numpy as jnp
 
+    from pigeon_tpu.data.image_ops import normalize_images
     from pigeon_tpu.models.geocell_head import geocell_predictions
 
     geocells = jnp.asarray(geocells, jnp.float32)
@@ -118,6 +133,10 @@ def make_serving_fn(model, params, head_cfg, geocells):
     # constants and balloon the compiled program; docs/PERF.md).
     @jax.jit
     def serve_jit(p, pixels, cells):
+        if pixels.dtype == jnp.uint8:
+            # uint8 wire format: normalize on device (fuses into the
+            # patch-embed matmul; 4x less host->device transfer).
+            pixels = normalize_images(pixels)
         out = model.apply({"params": p}, pixels)
         preds = geocell_predictions(out.logits, cells,
                                     head_cfg.num_candidates)

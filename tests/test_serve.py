@@ -259,6 +259,72 @@ class TestServeCommand:
                                 np.float32)])
         assert np.isclose(pool, [lng, lat], atol=1e-4).all(-1).any()
 
+    def test_micro_batcher_coalesces_concurrent_requests(self, server):
+        """Concurrent HTTP requests through a MicroBatcher service must
+        coalesce into fewer device dispatches AND return the same answers
+        as the serialized path."""
+        import concurrent.futures as cf
+
+        from pigeon_tpu.serve import MicroBatcher
+
+        cfg = HeadConfig(num_cells=6, embed_dim=32, panorama=True)
+        model = SuperGuessr(TINY, cfg)
+        example = jnp.zeros((1, 4, 32, 32, 3))
+        params = model.init(jax.random.PRNGKey(0), example)["params"]
+        cells = np.stack([np.linspace(-150, 150, 6),
+                          np.linspace(-50, 60, 6)], -1).astype(np.float32)
+        serve_fn = make_serving_fn(model, params, cfg, cells)
+
+        calls = {"n": 0}
+
+        def counting_serve(pixels):
+            calls["n"] += 1
+            return serve_fn(pixels)
+
+        batcher = MicroBatcher(counting_serve, max_batch=4,
+                               max_wait_ms=50.0)
+        service = PredictionService(serve_fn, image_size=32, panorama=True,
+                                    batcher=batcher)
+        httpd = serve(service, host="127.0.0.1", port=0, block=False)
+        port = httpd.server_address[1]
+
+        payloads = []
+        for i in range(8):
+            payloads.append({"gameID": f"g{i}", "roundID": i,
+                             "image": b64_image(), "image_2": b64_image(),
+                             "image_3": b64_image(),
+                             "image_4": b64_image()})
+        with cf.ThreadPoolExecutor(8) as pool:
+            results = list(pool.map(
+                lambda p: post(f"http://127.0.0.1:{port}/api/v1/predict",
+                               p), payloads))
+        httpd.shutdown()
+
+        assert all(status == 200 for status, _ in results)
+        assert calls["n"] < 8, "no coalescing happened"
+        assert batcher.requests_served == 8
+
+        # Same answers as the serialized path.
+        serial = PredictionService(serve_fn, image_size=32, panorama=True)
+        for payload, (_, body) in zip(payloads, results):
+            ref = serial.predict(payload)["results"]
+            assert body["results"]["lat"] == pytest.approx(ref["lat"],
+                                                           abs=1e-4)
+            assert body["results"]["lng"] == pytest.approx(ref["lng"],
+                                                           abs=1e-4)
+        batcher.close()
+
+    def test_micro_batcher_propagates_errors(self):
+        from pigeon_tpu.serve import MicroBatcher
+
+        def broken(_pixels):
+            raise RuntimeError("device on fire")
+
+        batcher = MicroBatcher(broken, max_batch=2, max_wait_ms=1.0)
+        with pytest.raises(RuntimeError, match="device on fire"):
+            batcher.predict_one(np.zeros((4, 32, 32, 3)), timeout=10)
+        batcher.close()
+
     def test_hedge_without_refiner_assets_errors(self, tmp_path,
                                                  monkeypatch):
         import pandas as pd
