@@ -341,12 +341,16 @@ def _finetune_on_pixels(args) -> int:
     step = make_train_step(model, opt, cfg.head, cells, grad_mask=mask)
     eval_step = make_eval_step(model, cfg.head, cells)
 
+    # uint8 host pipeline: decode+resize on workers, normalize on device
+    # (4x less host->device transfer; the steps dtype-dispatch on uint8).
     train = TabularImageDataset.from_csv(
         args.metadata, "train", args.images,
-        image_size=cfg.vision.image_size, panorama=cfg.head.panorama)
+        image_size=cfg.vision.image_size, panorama=cfg.head.panorama,
+        normalize=False)
     val = TabularImageDataset.from_csv(
         args.metadata, "val", args.images,
-        image_size=cfg.vision.image_size, panorama=cfg.head.panorama)
+        image_size=cfg.vision.image_size, panorama=cfg.head.panorama,
+        normalize=False)
     if args.sample:
         train.df = train.df.head(args.sample)
 
@@ -395,7 +399,8 @@ def cmd_embed(args) -> int:
     for split in ("train", "val", "test"):
         ds = TabularImageDataset.from_csv(
             args.metadata, split, args.images,
-            image_size=cfg.vision.image_size, panorama=cfg.head.panorama)
+            image_size=cfg.vision.image_size, panorama=cfg.head.panorama,
+            normalize=False)
         if len(ds):
             splits[split] = ds
     out = args.output or args.embeddings or "data/embeddings"
@@ -487,13 +492,13 @@ def cmd_evaluate(args) -> int:
             return TabularImageDataset.from_csv(
                 args.metadata, "test", args.images,
                 image_size=cfg.vision.image_size,
-                panorama=cfg.head.panorama)
+                panorama=cfg.head.panorama, normalize=False)
     else:
         names = (args.load or "im2gps3k").split(",")
         def make_ds(name):
             return BenchmarkDataset(
                 name, args.benchmarks or cfg.paths.benchmark_registry,
-                image_size=cfg.vision.image_size)
+                image_size=cfg.vision.image_size, normalize=False)
 
     for benchmark in names:
         ds = make_ds(benchmark)

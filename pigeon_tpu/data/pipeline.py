@@ -59,11 +59,13 @@ class TabularImageDataset:
     @classmethod
     def from_csv(cls, csv_path: str, split: Optional[str] = None,
                  image_dir: str = "", image_size: int = 336,
-                 panorama: bool = False) -> "TabularImageDataset":
+                 panorama: bool = False,
+                 normalize: bool = True) -> "TabularImageDataset":
         df = pd.read_csv(csv_path)
         if split is not None and "selection" in df.columns:
             df = df[df["selection"] == split]
-        return cls(df, image_dir, image_size, panorama)
+        return cls(df, image_dir, image_size, panorama,
+                   normalize=normalize)
 
     def __len__(self) -> int:
         return len(self.df.index)
@@ -123,7 +125,7 @@ class BenchmarkDataset(TabularImageDataset):
     """
 
     def __init__(self, name: str, registry_path: str,
-                 image_size: int = 336):
+                 image_size: int = 336, normalize: bool = True):
         with open(registry_path) as f:
             registry = json.load(f)
         if name not in registry:
@@ -140,7 +142,7 @@ class BenchmarkDataset(TabularImageDataset):
             images = os.path.join(base, images)
         df = pd.read_csv(meta)
         super().__init__(df, image_dir=images, image_size=image_size,
-                         panorama=False)
+                         panorama=False, normalize=normalize)
         self.name = name
 
 

@@ -30,11 +30,13 @@ from pigeon_tpu.data.pipeline import TabularImageDataset, iter_batches
 def make_embed_step(model, params):
     """Jitted pixels -> token-mean embeddings step.
 
-    Params are a jit argument (closure constants balloon the program)."""
+    Params are a jit argument (closure constants balloon the program).
+    uint8 batches normalize on device (low-transfer wire format)."""
+    from pigeon_tpu.train.train_loop import _maybe_normalize
 
     @jax.jit
     def step(p, pixels):
-        return model.apply({"params": p}, pixels)
+        return model.apply({"params": p}, _maybe_normalize(pixels))
 
     return lambda pixels: step(params, pixels)
 

@@ -62,6 +62,17 @@ def create_train_state(rng, model, optimizer, example_inputs, mesh=None,
     return jax.jit(init_fn)(rng)
 
 
+def _maybe_normalize(inputs, force: bool = False):
+    """uint8 batches normalize on device (the low-transfer wire format:
+    4x fewer host->device bytes, and the float math fuses into the
+    patch-embed matmul). Float batches pass through unless forced."""
+    if force or inputs.dtype == jnp.uint8:
+        from pigeon_tpu.data.image_ops import normalize_images
+
+        return normalize_images(inputs)
+    return inputs
+
+
 def make_train_step(model, optimizer, head_cfg: HeadConfig, geocells,
                     grad_mask=None, donate: bool = True,
                     normalize_inputs: bool = False) -> Callable:
@@ -84,11 +95,7 @@ def make_train_step(model, optimizer, head_cfg: HeadConfig, geocells,
     geocells = jnp.asarray(geocells, jnp.float32)
 
     def loss_fn(params, batch, rng):
-        inputs = batch["inputs"]
-        if normalize_inputs:
-            from pigeon_tpu.data.image_ops import normalize_images
-
-            inputs = normalize_images(inputs)
+        inputs = _maybe_normalize(batch["inputs"], normalize_inputs)
         out = model.apply(
             {"params": params}, inputs,
             heading=batch.get("heading"),
@@ -136,7 +143,8 @@ def make_eval_step(model, head_cfg: HeadConfig, geocells,
 
     @jax.jit
     def eval_step(params, batch):
-        out = model.apply({"params": params}, batch["inputs"],
+        out = model.apply({"params": params},
+                          _maybe_normalize(batch["inputs"]),
                           heading=batch.get("heading"), deterministic=True)
         total, parts = geocell_loss(
             out, geocells, head_cfg,

@@ -249,3 +249,87 @@ class TestRaggedOptionalFields:
             assert b["inputs"].shape[0] == b["labels"].shape[0]
             if "heading" in b:
                 assert b["heading"].shape[0] == b["inputs"].shape[0]
+
+
+class TestUint8WireFormat:
+    """uint8 host pipeline + device normalization must equal the f32
+    host-normalized path (the steps dtype-dispatch on uint8)."""
+
+    def test_train_and_eval_steps_match_f32_path(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from pigeon_tpu.config import HeadConfig, VisionConfig
+        from pigeon_tpu.data.pipeline import TabularImageDataset, iter_batches
+        from pigeon_tpu.models.super_guessr import SuperGuessr
+        from pigeon_tpu.train import create_train_state, make_eval_step, \
+            make_train_step
+        from pigeon_tpu.train.train_loop import adamw
+
+        rng = np.random.default_rng(11)
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        rows = []
+        for i in range(8):
+            Image.fromarray(rng.integers(0, 255, (40, 48, 3),
+                                         dtype=np.uint8)).save(
+                img_dir / f"{i}.png")
+            rows.append({"image": f"{i}.png", "lng": float(i * 10 - 40),
+                         "lat": float(i * 5 - 20), "geocell_idx": i % 3})
+        import pandas as pd
+
+        df = pd.DataFrame(rows)
+
+        tiny = VisionConfig(image_size=32, patch_size=8, hidden_size=32,
+                            intermediate_size=64, num_layers=2, num_heads=4)
+        head = HeadConfig(num_cells=3, embed_dim=32, panorama=False)
+        model = SuperGuessr(tiny, head)
+        cells = np.array([[-40., -20.], [0., 0.], [30., 15.]], np.float32)
+        opt = adamw(1e-3)
+        state = create_train_state(jax.random.PRNGKey(0), model, opt,
+                                   (jnp.zeros((2, 32, 32, 3)),))
+        step = make_train_step(model, opt, head, cells, donate=False)
+        eval_step = make_eval_step(model, head, cells)
+
+        def batch_for(normalize):
+            ds = TabularImageDataset(df, str(img_dir), image_size=32,
+                                     normalize=normalize)
+            return next(iter_batches(ds, 8, num_workers=2))
+
+        b_f32 = {k: jnp.asarray(v) for k, v in batch_for(True).items()}
+        b_u8 = {k: jnp.asarray(v) for k, v in batch_for(False).items()}
+        assert b_u8["inputs"].dtype == jnp.uint8
+
+        _, m_f32 = step(state, b_f32, jax.random.PRNGKey(3))
+        _, m_u8 = step(state, b_u8, jax.random.PRNGKey(3))
+        assert float(m_f32["loss"]) == pytest.approx(float(m_u8["loss"]),
+                                                     rel=1e-5)
+
+        e_f32, p_f32 = eval_step(state.params, b_f32)
+        e_u8, p_u8 = eval_step(state.params, b_u8)
+        assert float(e_f32["loss"]) == pytest.approx(float(e_u8["loss"]),
+                                                     rel=1e-5)
+        np.testing.assert_allclose(np.asarray(p_f32["pred_lla"]),
+                                   np.asarray(p_u8["pred_lla"]), atol=1e-4)
+
+    def test_embed_step_matches(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from pigeon_tpu.config import VisionConfig
+        from pigeon_tpu.models.embedder import ClipEmbedder
+        from pigeon_tpu.train.embed import make_embed_step
+        from pigeon_tpu.data.image_ops import normalize_images
+
+        tiny = VisionConfig(image_size=32, patch_size=8, hidden_size=32,
+                            intermediate_size=64, num_layers=2, num_heads=4)
+        model = ClipEmbedder(tiny)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, 32, 32, 3)))["params"]
+        step = make_embed_step(model, params)
+        rng = np.random.default_rng(5)
+        u8 = rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8)
+        out_u8 = np.asarray(step(jnp.asarray(u8)))
+        out_f32 = np.asarray(step(jnp.asarray(normalize_images(u8))))
+        np.testing.assert_allclose(out_u8, out_f32, atol=1e-5)
