@@ -139,6 +139,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve-batch", type=int, default=0,
                    help="serve: micro-batch up to N concurrent requests "
                         "into one device dispatch (0 = serialized bs1)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="model (tensor-parallel) mesh axis size; must "
+                        "divide the device count (docs/SHARDING.md)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (smoke tests)")
     return p
@@ -248,7 +251,7 @@ def _finetune_on_embeddings(args) -> int:
     cells, _ = load_geocells(args)
     cfg = config_with_cells(args, cells)
     model = build_embedding_model(cfg)
-    mesh = create_mesh()
+    mesh = create_mesh(tp=args.tp)
     tcfg = cfg.train
     batch = args.batch_size or tcfg.batch_size_per_device
 
@@ -321,7 +324,7 @@ def _finetune_on_pixels(args) -> int:
     model, mask_builder = build_finetune_model(cfg, attn_impl=_attn_impl())
     tcfg = cfg.train
     batch = args.batch_size or tcfg.batch_size_per_device
-    mesh = create_mesh()
+    mesh = create_mesh(tp=args.tp)
 
     views = (4,) if cfg.head.panorama else ()
     example = (jnp.zeros((2, *views, cfg.vision.image_size,

@@ -247,3 +247,23 @@ def test_evaluate_test_split_holdout(tiny_world, monkeypatch):
     assert rc == 0
     results = json.loads(out.read_text())
     assert "Median_km_error" in results["test"]
+
+
+def test_finetune_on_embeddings_with_tp2(tiny_world, monkeypatch):
+    """--tp 2 trains on a (4 data x 2 model) mesh (8 virtual CPU devices)."""
+    tmp = tiny_world
+    monkeypatch.chdir(tmp)
+    rc = main(["embed", "runtp", "--tiny",
+               "--metadata", str(tmp / "meta.csv"),
+               "--images", str(tmp / "imgs"),
+               "--output", str(tmp / "emb"), "--batch-size", "8"])
+    assert rc == 0
+    rc = main(["finetune", "runtp", "--tiny", "--tp", "2",
+               "--metadata", str(tmp / "meta.csv"),
+               "--geocells", str(tmp / "cells.csv"),
+               "--embeddings", str(tmp / "emb"),
+               "--batch-size", "8", "--epochs", "2"])
+    assert rc == 0
+    from pigeon_tpu.train.checkpoints import latest_step
+
+    assert latest_step(str(tmp / "saved_models" / "runtp")) is not None
