@@ -158,8 +158,11 @@ class Cell:
 
         min_samples, xi = params
         min_samples = min(min_samples, max(2, self.size - 1))
-        labels = OPTICS(min_samples=min_samples, xi=xi).fit_predict(
-            self.points)
+        # n_jobs parallelizes the O(n²) neighbor searches — the critical
+        # path of planet-scale balancing is OPTICS on the largest cell,
+        # which no amount of per-cell fan-out can hide.
+        labels = OPTICS(min_samples=min_samples, xi=xi,
+                        n_jobs=-1).fit_predict(self.points)
 
         # Dissolve small clusters into noise.
         ids, counts = np.unique(labels[labels >= 0], return_counts=True)
@@ -235,6 +238,14 @@ class Cell:
                     pieces.append(clipped)
             territories.append(pieces)
         return territories
+
+
+def _split_worker(task):
+    """Process-pool task: split one cell (must be module-level to pickle).
+    Returns the (mutated) cell and its new children."""
+    cell, params, min_size, max_size = task
+    new_cells = cell.split(params, min_size, max_size)
+    return cell, new_cells
 
 
 def clean_dirty_splits(cells: List[Cell], buffer_deg: float = 0.01) -> None:
@@ -344,13 +355,18 @@ class CellCollection:
 
     def balance(self, min_cell_size: int, max_cell_size: int,
                 optics_params: Sequence[Tuple[int, float]]
-                = OPTICS_PARAMS_PLANET, seed: int = 330) -> None:
+                = OPTICS_PARAMS_PLANET, seed: int = 330,
+                num_workers: int = 0) -> None:
         """Fuse small cells per country, then split large cells
-        (reference `cell_collection.py:121-133`)."""
+        (reference `cell_collection.py:121-133`).
+
+        ``num_workers`` > 0 parallelizes the split phase over a process
+        pool (planet-scale runs are OPTICS-bound)."""
         for country in self.countries[::-1]:
             self._fuse_country(country, min_cell_size, seed)
         self.clean()
-        self._split_all(min_cell_size, max_cell_size, optics_params)
+        self._split_all(min_cell_size, max_cell_size, optics_params,
+                        num_workers=num_workers)
         self.clean()
 
     def _fuse_country(self, country: str, min_cell_size: int,
@@ -401,23 +417,49 @@ class CellCollection:
         return None
 
     def _split_all(self, min_cell_size: int, max_cell_size: int,
-                   optics_params: Sequence[Tuple[int, float]]) -> None:
+                   optics_params: Sequence[Tuple[int, float]],
+                   num_workers: int = 0) -> None:
         """Escalating OPTICS ladders; iterate until no cell splits
-        (reference `cell_collection.py:145-182`)."""
+        (reference `cell_collection.py:145-182`).
+
+        Splits within a round are independent, so with ``num_workers`` > 0
+        they fan out over a process pool (the reference's
+        ThreadPoolExecutor split parallelism, `cell_collection.py:165` —
+        a process pool here because sklearn OPTICS holds the GIL for its
+        O(n²) core, which dominates planet-scale runs).
+        """
         for params in optics_params:
-            pending = [c for c in self if c.size > max_cell_size]
+            pending = sorted((c for c in self if c.size > max_cell_size),
+                             key=lambda c: c.cell_id)
             while pending:
+                results: List[Tuple[Cell, List[Cell]]] = []
+                if num_workers and len(pending) > 1:
+                    from concurrent.futures import ProcessPoolExecutor
+
+                    with ProcessPoolExecutor(
+                            max_workers=min(num_workers,
+                                            len(pending))) as pool:
+                        results = list(pool.map(
+                            _split_worker,
+                            [(c, params, min_cell_size, max_cell_size)
+                             for c in pending]))
+                else:
+                    results = [_split_worker(
+                        (c, params, min_cell_size, max_cell_size))
+                        for c in pending]
+
                 next_round: List[Cell] = []
-                for cell in pending:
-                    new_cells = cell.split(params, min_cell_size,
-                                           max_cell_size)
+                for cell, new_cells in results:
+                    # Worker results are pickled copies: re-register the
+                    # (possibly mutated) parent under its id.
+                    self.add(cell)
                     for nc in new_cells:
                         self.add(nc)
                         if nc.size > max_cell_size:
                             next_round.append(nc)
                     if new_cells and cell.size > max_cell_size:
                         next_round.append(cell)
-                pending = next_round
+                pending = sorted(next_round, key=lambda c: c.cell_id)
 
     # ------------------------------------------------------------------
 

@@ -124,7 +124,8 @@ class GeocellCreator:
 
     def generate(self, min_cell_size: int, max_cell_size: int,
                  optics_params=OPTICS_PARAMS_PLANET,
-                 output_csv: Optional[str] = None) -> CellCollection:
+                 output_csv: Optional[str] = None,
+                 num_workers: int = 0) -> CellCollection:
         points = self.df[["lng", "lat"]].to_numpy(np.float64)
 
         have_ids = all(c in self.df.columns for c in LEVEL_NAMES) and \
@@ -149,7 +150,8 @@ class GeocellCreator:
         if self.admin_2 is not None:
             self._attach_empty_areas(cells)
         self.cells = CellCollection(cells)
-        self.cells.balance(min_cell_size, max_cell_size, optics_params)
+        self.cells.balance(min_cell_size, max_cell_size, optics_params,
+                           num_workers=num_workers)
         if output_csv:
             self.cells.to_csv(output_csv)
         return self.cells

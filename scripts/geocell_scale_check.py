@@ -40,12 +40,13 @@ def synthetic_planet(n_points: int, seed: int = 330) -> pd.DataFrame:
     return pd.DataFrame({"lng": pts[:, 0], "lat": pts[:, 1]})
 
 
-def main(n_points: int = 79_000) -> int:
+def main(n_points: int = 79_000, num_workers: int = 8) -> int:
     df = synthetic_planet(n_points)
     t0 = time.time()
     creator = GeocellCreator(df)
     cells = creator.generate(min_cell_size=1000, max_cell_size=2000,
-                             optics_params=OPTICS_PARAMS_PLANET)
+                             optics_params=OPTICS_PARAMS_PLANET,
+                             num_workers=num_workers)
     t1 = time.time()
 
     sizes = np.array([c.size for c in cells])

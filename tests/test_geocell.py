@@ -442,3 +442,34 @@ class TestCleanDirtySplits:
                     continue
                 assert max(geom.boundary_proximity_count(
                     shell, o.polygons, tol=0.01) for o in others) == 0
+
+
+class TestParallelSplit:
+    def test_process_pool_split_matches_serial(self):
+        """num_workers>0 must produce the identical partition (same ids,
+        sizes, and point assignment) as the serial path."""
+        rng = np.random.default_rng(9)
+        pts = np.concatenate([rng.normal([0, 0], 0.3, (70, 2)),
+                              rng.normal([6, 0], 0.3, (70, 2)),
+                              rng.normal([0, 6], 0.3, (70, 2))])
+
+        def build():
+            from pigeon_tpu.geocell.cells import CellCollection
+            cell = Cell("root", "a1", "c", pts.copy(),
+                        [square(-2, -2, 10)])
+            return CellCollection([cell])
+
+        serial = build()
+        serial.balance(20, 60, optics_params=((15, 0.05),), num_workers=0)
+        parallel = build()
+        parallel.balance(20, 60, optics_params=((15, 0.05),),
+                         num_workers=4)
+
+        s = {c.cell_id: c for c in serial}
+        p = {c.cell_id: c for c in parallel}
+        assert set(s) == set(p)
+        for cid in s:
+            assert s[cid].size == p[cid].size
+            np.testing.assert_array_equal(
+                np.sort(s[cid].points, axis=0),
+                np.sort(p[cid].points, axis=0))

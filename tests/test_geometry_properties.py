@@ -123,6 +123,46 @@ class TestPipProperties:
             native.pip_batch(pts, geom.as_ring(poly)))
 
 
+class TestDissolveProperties:
+    @given(seed=st.integers(0, 2**31 - 1), k=st.integers(2, 8))
+    def test_voronoi_partition_dissolves_to_parent(self, seed, k):
+        """Carving a convex parent into k Voronoi territories and
+        dissolving the pieces must recover the parent's area exactly
+        (shared borders cancel; shells minus holes)."""
+        from pigeon_tpu.geocell.voronoi import voronoi_regions_for_points
+
+        rng = np.random.default_rng(seed)
+        parent = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+        sites = rng.uniform(1, 9, (k, 2))
+        if len(np.unique(np.round(sites, 6), axis=0)) < k or k < 3:
+            return  # degenerate/too-few sites for scipy Voronoi
+        regions = voronoi_regions_for_points(sites)
+        pieces = []
+        for region in regions:
+            clipped = geom.clip_to_convex(parent, region)
+            if len(clipped) >= 3:
+                pieces.append(clipped)
+        out = geom.dissolve(pieces)
+        total = sum(abs(geom.polygon_area(s)) for s, _ in out) \
+            - sum(abs(geom.polygon_area(h)) for _, hs in out for h in hs)
+        assert total == pytest.approx(100.0, rel=1e-6)
+        assert len(out) == 1, "a partition of a square dissolves to one"
+
+    @given(seed=st.integers(0, 2**31 - 1))
+    def test_dissolve_idempotent_on_shells(self, seed):
+        rng = np.random.default_rng(seed)
+        a = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float)
+        b = a + [4.0, 0.0]          # shares the x=4 edge
+        c = a + [20.0, 0.0]         # disjoint
+        out1 = geom.dissolve([a, b, c])
+        shells = [s for s, _ in out1]
+        out2 = geom.dissolve(shells)
+        area1 = sum(abs(geom.polygon_area(s)) for s, _ in out1)
+        area2 = sum(abs(geom.polygon_area(s)) for s, _ in out2)
+        assert area1 == pytest.approx(area2, rel=1e-9)
+        assert len(out1) == len(out2) == 2
+
+
 class TestAreaProperties:
     @given(poly=convex_polygon(), factor=st.floats(0.1, 3.0))
     def test_scaling_scales_area_quadratically(self, poly, factor):
