@@ -154,15 +154,14 @@ class Cell:
         """
         if self.size <= max_cell_size:
             return []
-        from sklearn.cluster import OPTICS
+        from pigeon_tpu.geocell.optics import optics_xi_labels
 
         min_samples, xi = params
         min_samples = min(min_samples, max(2, self.size - 1))
-        # n_jobs parallelizes the O(n²) neighbor searches — the critical
-        # path of planet-scale balancing is OPTICS on the largest cell,
-        # which no amount of per-cell fan-out can hide.
-        labels = OPTICS(min_samples=min_samples, xi=xi,
-                        n_jobs=-1).fit_predict(self.points)
+        # The critical path of planet-scale balancing is OPTICS on the
+        # largest cell, which no amount of per-cell fan-out can hide —
+        # optics_xi_labels runs the O(n²) graph in native C++/OpenMP.
+        labels = optics_xi_labels(self.points, min_samples, xi)
 
         # Dissolve small clusters into noise.
         ids, counts = np.unique(labels[labels >= 0], return_counts=True)
@@ -304,6 +303,20 @@ def clean_dirty_splits(cells: List[Cell], buffer_deg: float = 0.01) -> None:
         cell.polygons = keep_pieces
 
 
+def _adjacent_mask(subject: List[np.ndarray],
+                   candidates: List[Cell]) -> np.ndarray:
+    """Per-candidate `polygons_intersect(subject, c.polygons)` — one
+    OpenMP pass through the native kernel when available (the fuse
+    phase's hot predicate at admin-2 seeding scale), numpy otherwise."""
+    from pigeon_tpu import native
+
+    if subject and len(candidates) >= 8 and native.available():
+        return native.multipoly_intersect_batch(
+            subject, [c.polygons for c in candidates])
+    return np.array([geom.polygons_intersect(subject, c.polygons)
+                     for c in candidates], bool)
+
+
 def _bisector_half_planes(a: np.ndarray, b: np.ndarray,
                           pieces: Sequence[np.ndarray]) -> List[np.ndarray]:
     """Two large convex quads covering each side of the perpendicular
@@ -402,18 +415,25 @@ class CellCollection:
                        any_tier_only: bool = False) -> Optional[Cell]:
         """Adjacency ladder (reference `cell_collection.py:205-237`):
         small+same-admin-1 -> same-admin-1 -> small -> any; within a tier
-        pick the LARGEST intersecting neighbor."""
+        pick the LARGEST intersecting neighbor.
+
+        The intersection predicate is evaluated ONCE per candidate (one
+        batched native pass when available) and the tiers filter the hit
+        set — equivalent to testing per tier, since a tier's hits are
+        tier ∩ all-hits."""
         others = [c for c in cells if c.cell_id != center.cell_id]
-        small = [c for c in others if c.size < min_cell_size]
-        same_a1 = [c for c in others if c.admin_1 == center.admin_1]
+        hits = _adjacent_mask(scaled, others)
+        adj = [c for c, h in zip(others, hits) if h]
+        if not adj:
+            return None
+        if any_tier_only:
+            return max(adj, key=lambda c: c.size)
+        small = [c for c in adj if c.size < min_cell_size]
+        same_a1 = [c for c in adj if c.admin_1 == center.admin_1]
         small_a1 = [c for c in small if c.admin_1 == center.admin_1]
-        tiers = ([others] if any_tier_only
-                 else [small_a1, same_a1, small, others])
-        for tier in tiers:
-            hits = [c for c in tier
-                    if geom.polygons_intersect(scaled, c.polygons)]
-            if hits:
-                return max(hits, key=lambda c: c.size)
+        for tier in (small_a1, same_a1, small, adj):
+            if tier:
+                return max(tier, key=lambda c: c.size)
         return None
 
     def _split_all(self, min_cell_size: int, max_cell_size: int,

@@ -30,7 +30,7 @@ DEFAULT_CLUSTER_ARGS = (5, 0.05)
 def _cluster_cell(points: np.ndarray,
                   cluster_args: Tuple[int, float]) -> np.ndarray:
     """OPTICS labels for one cell's points (precomputed haversine)."""
-    from sklearn.cluster import OPTICS
+    from pigeon_tpu.geocell.optics import optics_xi_labels
 
     min_samples, xi = cluster_args
     if len(points) < min_samples:
@@ -45,8 +45,7 @@ def _cluster_cell(points: np.ndarray,
     else:
         distances = haversine_matrix_np(points, points)
     distances = np.where(distances == 0, 1e-5, distances)
-    return OPTICS(min_samples=min_samples, xi=xi,
-                  metric="precomputed").fit_predict(distances)
+    return optics_xi_labels(distances, min_samples, xi, precomputed=True)
 
 
 def _cell_job(args):

@@ -39,6 +39,12 @@ def _signatures(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.assign_features.argtypes = [f64p, i64, f64p, i64p, i64p, i64,
                                     f64p, i64p]
     lib.haversine_matrix.argtypes = [f64p, i64, f64p, i64, f64p]
+    lib.optics_graph_euclidean.argtypes = [f64p, i64, i64, i64p, f64p,
+                                           f64p, i64p]
+    lib.optics_graph_precomputed.argtypes = [f64p, i64, i64, i64p, f64p,
+                                             f64p, i64p]
+    lib.multipoly_intersect_batch.argtypes = [f64p, i64p, i64, f64p, i64p,
+                                              i64p, i64, u8p]
     return lib
 
 
@@ -49,14 +55,18 @@ def load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH):
-            src = os.path.join(_NATIVE_DIR, "geokernels.cpp")
+        src = os.path.join(_NATIVE_DIR, "geokernels.cpp")
+        stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+        if stale or not os.path.exists(_LIB_PATH):
             if not os.path.exists(src):
                 return None
             try:
+                # -ffp-contract=off: OPTICS kernel parity with sklearn's
+                # uncontracted euclidean distances (see native/build.sh).
                 subprocess.run(
-                    ["g++", "-O3", "-march=native", "-fPIC", "-shared",
-                     "-fopenmp", "-o", _LIB_PATH, src],
+                    ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                     "-fPIC", "-shared", "-fopenmp", "-o", _LIB_PATH, src],
                     check=True, capture_output=True, timeout=120)
             except (OSError, subprocess.SubprocessError) as e:
                 logger.info("native build unavailable: %s", e)
@@ -132,3 +142,73 @@ def haversine_matrix(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     out = np.empty((len(xx), len(yy)), np.float64)
     lib.haversine_matrix(xx, len(xx), yy, len(yy), out)
     return out
+
+
+def multipoly_intersect_batch(subject_rings, candidate_ring_lists
+                              ) -> np.ndarray:
+    """Does the subject multipolygon intersect each candidate?
+
+    Args:
+        subject_rings: list of (k, 2) rings.
+        candidate_ring_lists: list (one per candidate) of lists of rings.
+
+    Returns:
+        bool array (num_candidates,), semantics of
+        `geometry.polygons_intersect(subject_rings, candidate)`.
+    """
+    lib = load()
+    subj_offsets = [0]
+    for r in subject_rings:
+        subj_offsets.append(subj_offsets[-1] + len(r))
+    subj_data = (np.ascontiguousarray(
+        np.concatenate([np.asarray(r, np.float64)
+                        for r in subject_rings]))
+        if subject_rings else np.zeros((0, 2)))
+
+    ring_offsets = [0]
+    feat_offsets = [0]
+    chunks = []
+    for rings in candidate_ring_lists:
+        for r in rings:
+            chunks.append(np.asarray(r, np.float64))
+            ring_offsets.append(ring_offsets[-1] + len(r))
+        feat_offsets.append(feat_offsets[-1] + len(rings))
+    cand_data = (np.ascontiguousarray(np.concatenate(chunks))
+                 if chunks else np.zeros((0, 2)))
+
+    out = np.zeros(len(candidate_ring_lists), np.uint8)
+    if len(subject_rings) and len(candidate_ring_lists):
+        lib.multipoly_intersect_batch(
+            subj_data, np.asarray(subj_offsets, np.int64),
+            len(subject_rings), cand_data,
+            np.asarray(ring_offsets, np.int64),
+            np.asarray(feat_offsets, np.int64),
+            len(candidate_ring_lists), out)
+    return out.astype(bool)
+
+
+def optics_graph(points: np.ndarray, min_samples: int,
+                 precomputed: bool = False):
+    """OPTICS reachability graph, bit-parity with sklearn's
+    `compute_optics_graph` at max_eps=inf.
+
+    Args:
+        points: (n, 2) euclidean coords, or (n, n) pairwise distances when
+            `precomputed`.
+        min_samples: core-point neighborhood size (counts the point itself).
+
+    Returns:
+        (ordering, core_distances, reachability, predecessor) — the inputs
+        sklearn's `cluster_optics_xi` extraction consumes.
+    """
+    lib = load()
+    x = np.ascontiguousarray(points, np.float64)
+    n = len(x)
+    ordering = np.empty(n, np.int64)
+    core = np.empty(n, np.float64)
+    reach = np.empty(n, np.float64)
+    pred = np.empty(n, np.int64)
+    fn = (lib.optics_graph_precomputed if precomputed
+          else lib.optics_graph_euclidean)
+    fn(x, n, int(min_samples), ordering, core, reach, pred)
+    return ordering, core, reach, pred

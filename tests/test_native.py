@@ -42,6 +42,93 @@ class TestPip:
         np.testing.assert_array_equal(got, [0, 1, 1, -1])
 
 
+class TestMultipolyIntersect:
+    def test_matches_numpy_polygons_intersect(self):
+        def rnd_ring(cx, cy, r):
+            ang = np.sort(RNG.uniform(0, 2 * np.pi, 8))
+            return np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)],
+                            -1)
+
+        for _ in range(100):
+            subj = [rnd_ring(RNG.uniform(-3, 3), RNG.uniform(-3, 3),
+                             RNG.uniform(0.2, 2))
+                    for _ in range(RNG.integers(1, 4))]
+            cands = [[rnd_ring(RNG.uniform(-6, 6), RNG.uniform(-6, 6),
+                               RNG.uniform(0.2, 2))
+                      for _ in range(RNG.integers(1, 4))]
+                     for _ in range(10)]
+            got = native.multipoly_intersect_batch(subj, cands)
+            want = np.array([geom.polygons_intersect(subj, c)
+                             for c in cands])
+            np.testing.assert_array_equal(got, want)
+
+    def test_containment_and_empty(self):
+        outer = square(0, 0, 10)
+        inner = square(4, 4, 1)          # fully inside: no edge crossing
+        far = square(50, 50, 1)
+        got = native.multipoly_intersect_batch(
+            [outer], [[inner], [far], []])
+        np.testing.assert_array_equal(got, [True, False, False])
+
+
+class TestOptics:
+    """The native OPTICS graph must be BIT-identical to sklearn's
+    `compute_optics_graph` (max_eps=inf) so that `cluster_optics_xi` on
+    top of it reproduces `OPTICS(...).fit_predict` exactly — the geocell
+    split ladder (`cells.py`) and the prototype builder (`prototypes.py`)
+    both route through it (reference contract:
+    `dataset_creation/geocell/cell.py:336-418`,
+    `dataset_creation/prototype/prototype.py:135-149`)."""
+
+    @staticmethod
+    def blobs(n, k, spread, seed):
+        rng = np.random.default_rng(seed)
+        centers = rng.uniform(-50, 50, (k, 2))
+        return (centers[rng.integers(0, k, n)]
+                + rng.normal(0, spread, (n, 2)))
+
+    def test_graph_arrays_match_sklearn(self):
+        from sklearn.cluster import OPTICS
+
+        pts = self.blobs(400, 5, 1.0, seed=3)
+        ref = OPTICS(min_samples=8, xi=0.05).fit(pts)
+        ordering, core, reach, pred = native.optics_graph(pts, 8)
+        np.testing.assert_array_equal(ordering, ref.ordering_)
+        np.testing.assert_array_equal(core, ref.core_distances_)
+        np.testing.assert_array_equal(reach, ref.reachability_)
+        np.testing.assert_array_equal(pred, ref.predecessor_)
+
+    @pytest.mark.parametrize("n,min_samples,xi", [
+        (400, 8, 0.05),       # streetview ladder entry
+        (500, 15, 0.015),     # streetview ladder entry
+        (600, 300, 0.05),     # planet ladder entry (clamped regime)
+    ])
+    def test_labels_match_sklearn_euclidean(self, n, min_samples, xi):
+        from sklearn.cluster import OPTICS
+
+        from pigeon_tpu.geocell.optics import optics_xi_labels
+
+        pts = self.blobs(n, 6, 1.2, seed=n)
+        want = OPTICS(min_samples=min_samples, xi=xi).fit_predict(pts)
+        got = optics_xi_labels(pts, min_samples, xi)
+        np.testing.assert_array_equal(got, want)
+
+    def test_labels_match_sklearn_precomputed_haversine(self):
+        from sklearn.cluster import OPTICS
+
+        from pigeon_tpu.geocell.optics import optics_xi_labels
+
+        rng = np.random.default_rng(9)
+        pts = np.stack([rng.uniform(-10, 10, 350),
+                        rng.uniform(40, 50, 350)], -1)
+        d = haversine_matrix_np(pts, pts)
+        d = np.where(d == 0, 1e-5, d)   # reference's zero clamp
+        want = OPTICS(min_samples=5, xi=0.05,
+                      metric="precomputed").fit_predict(d)
+        got = optics_xi_labels(d, 5, 0.05, precomputed=True)
+        np.testing.assert_array_equal(got, want)
+
+
 class TestHaversine:
     def test_matches_numpy(self):
         x = np.stack([RNG.uniform(-180, 180, 300),
