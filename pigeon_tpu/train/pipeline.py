@@ -228,3 +228,81 @@ def pipeline_vision_forward(cfg: VisionConfig, tower_params, pixel_values,
 
     pooled = ln.apply({"params": tower_params["post_ln"]}, x[:, 0])
     return x, pooled
+
+
+# ---------------------------------------------------------------------------
+# Training with the pipelined encoder
+# ---------------------------------------------------------------------------
+
+
+def create_pipeline_train_state(rng, cfg: VisionConfig, head_cfg, optimizer,
+                                example_pixels, mesh: Mesh,
+                                dtype: Any = jnp.float32):
+    """TrainState for the pipelined tower+head: tower layers sharded over
+    ``stage``, everything else (head, pre/post, optimizer scalars)
+    replicated; optimizer moments inherit their parameter's layout."""
+    from pigeon_tpu.models.clip import CLIPVisionTower
+    from pigeon_tpu.models.geocell_head import GeocellHead
+    from pigeon_tpu.train.train_loop import TrainState
+
+    tower = CLIPVisionTower(cfg, dtype=dtype)
+    head = GeocellHead(head_cfg, dtype=dtype)
+    tower_params = jax.jit(tower.init)(rng, example_pixels)["params"]
+    emb = jnp.zeros((example_pixels.shape[0], cfg.hidden_size))
+    head_params = jax.jit(head.init)(rng, emb)["params"]
+    params = {"tower": shard_pipeline_params(tower_params, mesh),
+              "head": jax.device_put(
+                  head_params, NamedSharding(mesh, P()))}
+    # zeros_like under jit preserves each leaf's sharding, so adamw
+    # moments land stage-sharded alongside their parameters.
+    opt_state = jax.jit(optimizer.init)(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=opt_state)
+
+
+def make_pipeline_train_step(cfg: VisionConfig, head_cfg, geocells,
+                             optimizer, mesh: Mesh, num_microbatches: int,
+                             dtype: Any = jnp.float32,
+                             attn_impl: str = "xla") -> Callable:
+    """Jitted train step with the encoder pipelined over ``stage``.
+
+    Same objective as `train_loop.make_train_step` (smoothed-CE +
+    multi-task, `models/geocell_head.py::geocell_loss`); the backward
+    through the pipeline reverses the ppermute chain automatically.
+    Signature: ``(state, batch, rng) -> (state, metrics)``.
+    """
+    import optax
+
+    from pigeon_tpu.models.embedder import token_mean_embedding
+    from pigeon_tpu.models.geocell_head import GeocellHead, geocell_loss
+
+    geocells = jnp.asarray(geocells, jnp.float32)
+    head = GeocellHead(head_cfg, dtype=dtype)
+
+    def loss_fn(params, batch, rng):
+        hidden, _ = pipeline_vision_forward(
+            cfg, params["tower"], batch["inputs"], mesh,
+            num_microbatches, dtype=dtype, attn_impl=attn_impl)
+        emb = token_mean_embedding(hidden)
+        out = head.apply({"params": params["head"]}, emb,
+                         deterministic=False, rngs={"dropout": rng})
+        return geocell_loss(
+            out, geocells, head_cfg,
+            labels_lla=batch.get("labels"),
+            labels_clf=batch.get("labels_clf"),
+            labels_multi_task=batch.get("labels_multi_task"),
+            labels_climate=batch.get("labels_climate"),
+            labels_month=batch.get("labels_month"))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grads, parts = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), parts
+
+    return train_step

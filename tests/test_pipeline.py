@@ -106,6 +106,49 @@ class TestPipelineGradients:
                 np.asarray(b), np.asarray(a), atol=2e-4, rtol=5e-3,
                 err_msg=f"gradient mismatch at {name}")
 
+    def test_pipeline_train_step_learns(self):
+        """Full train step through the pipelined encoder: smoothed-CE +
+        multi-task loss decreases and stage sharding survives updates."""
+        from pigeon_tpu.config import HeadConfig
+        from pigeon_tpu.train.mesh import shard_batch
+        from pigeon_tpu.train.pipeline import (
+            create_pipeline_train_state,
+            make_pipeline_train_step,
+        )
+        from pigeon_tpu.train.train_loop import adamw
+
+        head_cfg = HeadConfig(num_cells=16, embed_dim=32, panorama=False,
+                              multi_task=True, smooth_labels=True)
+        mesh = create_pipeline_mesh(pp=4)
+        opt = adamw(1e-3, max_grad_norm=1.0)
+        rng = np.random.default_rng(0)
+        px = jnp.asarray(rng.normal(size=(8, 16, 16, 3)).astype(np.float32))
+        state = create_pipeline_train_state(
+            jax.random.PRNGKey(0), CFG, head_cfg, opt, px, mesh)
+        cells = np.stack([np.linspace(-170, 170, 16),
+                          np.linspace(-55, 65, 16)], -1).astype(np.float32)
+        step = make_pipeline_train_step(CFG, head_cfg, cells, opt, mesh,
+                                        num_microbatches=2)
+        batch = shard_batch({
+            "inputs": px,
+            "labels": jnp.asarray(np.stack(
+                [rng.uniform(-180, 180, 8), rng.uniform(-60, 70, 8)],
+                -1).astype(np.float32)),
+            "labels_multi_task": jnp.asarray(
+                rng.normal(size=(8, 6)).astype(np.float32)),
+            "labels_climate": jnp.asarray(rng.integers(0, 28, 8)),
+            "labels_month": jnp.asarray(rng.integers(0, 12, 8)),
+        }, mesh)
+        losses = []
+        for _ in range(8):
+            state, parts = step(state, batch, jax.random.PRNGKey(7))
+            losses.append(float(parts["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0] * 0.8, losses
+        spec = state.params["tower"]["encoder"]["layers"][
+            "fc1"]["kernel"].sharding.spec
+        assert spec[0] == "stage", spec
+
     def test_stage_sharding_applied(self, setup):
         _, params, _ = setup
         mesh = create_pipeline_mesh(pp=4)
