@@ -48,19 +48,24 @@ from pigeon_tpu.models.clip import PatchEmbed, TransformerLayer
 
 
 def create_pipeline_mesh(pp: int, num_devices: Optional[int] = None,
-                         axis_names: Tuple[str, str] = ("data", "stage"),
-                         ) -> Mesh:
-    """(data, stage) mesh: batch over ``data``, encoder depth over ``stage``.
+                         tp: int = 1,
+                         axis_names: Tuple[str, str, str]
+                         = ("data", "stage", "model")) -> Mesh:
+    """(data, stage, model) mesh: batch over ``data``, encoder depth over
+    ``stage``, Megatron TP over ``model``.
 
-    Stages should map to ICI-adjacent devices — `jax.devices()` order is
-    ICI-contiguous on TPU slices, so the trailing (fastest-varying) axis is
-    the stage axis and each ppermute hop is one ICI neighbor.
+    The ``stage`` hops should ride ICI — `jax.devices()` order is
+    ICI-contiguous on TPU slices, so stage and model are the
+    fastest-varying axes and each ppermute hop is a near neighbor. The
+    pipeline runs ``stage`` (and ``data``) as MANUAL shard_map axes while
+    ``model`` stays an AUTO axis: GSPMD places the TP collectives inside
+    each stage's layer scan from the parameter shardings alone.
     """
     devices = jax.devices()
     n = num_devices or len(devices)
-    if n % pp != 0:
-        raise ValueError(f"pp={pp} must divide device count {n}")
-    grid = np.array(devices[:n]).reshape(n // pp, pp)
+    if n % (pp * tp) != 0:
+        raise ValueError(f"pp*tp={pp * tp} must divide device count {n}")
+    grid = np.array(devices[:n]).reshape(n // (pp * tp), pp, tp)
     return Mesh(grid, axis_names)
 
 
@@ -117,14 +122,25 @@ def pipeline_stack_apply(layer_fn: Callable, stacked_params, x, mesh: Mesh,
         raise ValueError(f"batch {b} not divisible by microbatches {m}")
     x_mb = x.reshape(m, b // m, *x.shape[1:])
 
+    # Parameter in_specs carry only the MANUAL axes (the stage split on
+    # the layer dim); TP shardings on other mesh axes stay with the
+    # arrays and are handled by GSPMD as auto axes.
     param_specs = jax.tree_util.tree_map(lambda _: P(stage_axis),
                                          stacked_params)
     perm = [(i, (i + 1) % pp) for i in range(pp)]
     steps = m + pp - 1
 
+    sm_kwargs = {}
+    extra_axes = [a for a in mesh.axis_names
+                  if a not in (stage_axis, data_axis)]
+    if extra_axes:
+        # Leave non-pipeline axes (e.g. 'model' TP) to GSPMD. Requires
+        # the partial-manual shard_map API (jax >= 0.8 `axis_names`).
+        sm_kwargs["axis_names"] = {stage_axis, data_axis}
+
     @partial(shard_map, mesh=mesh,
              in_specs=(param_specs, P(None, data_axis)),
-             out_specs=P(None, data_axis))
+             out_specs=P(None, data_axis), **sm_kwargs)
     def run(local_params, mb):
         stage = jax.lax.axis_index(stage_axis)
 
@@ -179,13 +195,28 @@ def pipeline_stack_apply(layer_fn: Callable, stacked_params, x, mesh: Mesh,
 
 def shard_pipeline_params(tower_params, mesh: Mesh,
                           stage_axis: str = "stage"):
-    """Device-put tower params: stacked encoder layers over the stage
-    axis, everything else replicated."""
+    """Device-put tower params: stacked encoder layers split over the
+    stage axis; when the mesh has a ``model`` axis of size > 1, the
+    Megatron TP rules (`train/mesh.py::DEFAULT_RULES`) apply to the
+    remaining dims (their leading layer-axis entry becomes the stage
+    split). Everything else replicated."""
+    from pigeon_tpu.train.mesh import spec_for_path
+
+    tp = int(mesh.shape.get("model", 1))
 
     def put(path, x):
         names = [str(getattr(p, "key", getattr(p, "name", p)))
                  for p in path]
-        spec = P(stage_axis) if "layers" in names else P()
+        if "layers" in names:
+            spec = P(stage_axis)
+            if tp > 1:
+                rule = spec_for_path("encoder/layers/"
+                                     + "/".join(names[names.index("layers")
+                                                      + 1:]))
+                if len(rule) > 0:   # rule[0] is the stacked layer axis
+                    spec = P(stage_axis, *rule[1:])
+        else:
+            spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, tower_params)

@@ -56,6 +56,23 @@ class TestPipelineForward:
         np.testing.assert_allclose(got_h, want_h, atol=2e-5, rtol=1e-5)
         np.testing.assert_allclose(got_p, want_p, atol=2e-5, rtol=1e-5)
 
+    @pytest.mark.parametrize("pp,tp", [(2, 2), (4, 2), (2, 4)])
+    def test_pp_tp_composition(self, setup, pp, tp):
+        """stage (manual) x model (auto GSPMD Megatron TP) x data in one
+        mesh: same tower output, TP specs on the qkv/MLP kernels."""
+        model, params, px = setup
+        want_h, want_p = model.apply({"params": params}, px)
+        mesh = create_pipeline_mesh(pp=pp, tp=tp)
+        sp = shard_pipeline_params(params, mesh)
+        qk = sp["encoder"]["layers"]["attn"]["q_proj"]["kernel"]
+        assert qk.sharding.spec == ("stage", None, "model")
+        fc2 = sp["encoder"]["layers"]["fc2"]["kernel"]
+        assert fc2.sharding.spec == ("stage", "model", None)
+        got_h, got_p = pipeline_vision_forward(
+            CFG, sp, px, mesh, num_microbatches=2)
+        np.testing.assert_allclose(got_h, want_h, atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(got_p, want_p, atol=2e-5, rtol=1e-5)
+
     def test_rejects_indivisible_layers(self, setup):
         _, params, px = setup
         mesh = create_pipeline_mesh(pp=4)
