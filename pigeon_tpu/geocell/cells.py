@@ -231,7 +231,11 @@ class Cell:
         for region in regions:
             pieces = []
             for ring in self.polygons:
-                clipped = geom.clip_to_convex(ring, region)
+                # as_ring normalizes near-duplicate closing vertices that
+                # Sutherland-Hodgman can emit, keeping every piece in the
+                # canonical form both the numpy and native adjacency
+                # predicates assume.
+                clipped = geom.as_ring(geom.clip_to_convex(ring, region))
                 if len(clipped) >= 3 and \
                         abs(geom.polygon_area(clipped)) > 1e-12:
                     pieces.append(clipped)

@@ -48,8 +48,65 @@ def _signatures(lib: ctypes.CDLL) -> ctypes.CDLL:
     return lib
 
 
+def _build() -> bool:
+    """(Re)compile the library. Atomic (temp + rename) and serialized
+    across processes with an flock — process-pool workers (prototype
+    builder, split fan-out) may race to build on first use."""
+    src = os.path.join(_NATIVE_DIR, "geokernels.cpp")
+    if not os.path.exists(src):
+        return False
+    lock_path = _LIB_PATH + ".lock"
+    tmp_path = f"{_LIB_PATH}.tmp.{os.getpid()}"
+    try:
+        with open(lock_path, "w") as lock_file:
+            try:
+                import fcntl
+
+                fcntl.flock(lock_file, fcntl.LOCK_EX)
+            except ImportError:  # pragma: no cover (non-POSIX)
+                pass
+            # Another process may have finished the build while we waited.
+            if (os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH)
+                    >= os.path.getmtime(src)):
+                return True
+            # -ffp-contract=off: OPTICS kernel parity with sklearn's
+            # uncontracted euclidean distances (see native/build.sh).
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                 "-fPIC", "-shared", "-fopenmp", "-o", tmp_path, src],
+                check=True, capture_output=True, timeout=120)
+            # rename keeps the old inode alive for processes that
+            # already dlopen'd it (no mid-run SIGBUS).
+            os.replace(tmp_path, _LIB_PATH)
+            return True
+    except (OSError, subprocess.SubprocessError) as e:
+        logger.info("native build unavailable: %s", e)
+        return False
+    finally:
+        if os.path.exists(tmp_path):
+            try:
+                os.remove(tmp_path)
+            except OSError:
+                pass
+
+
+def _try_load(path: str = _LIB_PATH) -> Optional[ctypes.CDLL]:
+    """dlopen + bind symbols; None if the .so is missing symbols (stale
+    build from an older source revision) or unloadable."""
+    try:
+        return _signatures(ctypes.CDLL(path))
+    except (OSError, AttributeError) as e:
+        logger.info("native load failed: %s", e)
+        return None
+
+
 def load() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library; None on failure."""
+    """Load (building if needed) the native library; None on failure.
+
+    Fallback ladder: rebuild when the source is newer than the .so; if
+    no compiler is available but a prebuilt .so exists, try it anyway —
+    `_signatures` validates every symbol, so an outdated binary degrades
+    to the numpy/sklearn paths instead of crashing."""
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
@@ -59,23 +116,33 @@ def load() -> Optional[ctypes.CDLL]:
         stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
                  and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
         if stale or not os.path.exists(_LIB_PATH):
-            if not os.path.exists(src):
+            built = _build()
+            if not built and not os.path.exists(_LIB_PATH):
                 return None
+        _lib = _try_load()
+        if _lib is None and os.path.exists(src):
+            # Symbol-incomplete binary (stale cache with a fresh-looking
+            # mtime): force one rebuild and retry. glibc dlopen caches by
+            # NAME within a process, so the retry must go through a
+            # unique path (the handle survives the unlink).
             try:
-                # -ffp-contract=off: OPTICS kernel parity with sklearn's
-                # uncontracted euclidean distances (see native/build.sh).
-                subprocess.run(
-                    ["g++", "-O3", "-march=native", "-ffp-contract=off",
-                     "-fPIC", "-shared", "-fopenmp", "-o", _LIB_PATH, src],
-                    check=True, capture_output=True, timeout=120)
-            except (OSError, subprocess.SubprocessError) as e:
-                logger.info("native build unavailable: %s", e)
-                return None
-        try:
-            _lib = _signatures(ctypes.CDLL(_LIB_PATH))
-        except OSError as e:
-            logger.info("native load failed: %s", e)
-            _lib = None
+                os.remove(_LIB_PATH)
+            except OSError:
+                pass
+            if _build():
+                import shutil
+
+                retry = f"{_LIB_PATH}.retry.{os.getpid()}"
+                try:
+                    shutil.copy2(_LIB_PATH, retry)
+                    _lib = _try_load(retry)
+                except OSError:
+                    _lib = None
+                finally:
+                    try:
+                        os.remove(retry)
+                    except OSError:
+                        pass
         return _lib
 
 

@@ -132,7 +132,8 @@ def pipeline_stack_apply(layer_fn: Callable, stacked_params, x, mesh: Mesh,
 
     sm_kwargs = {}
     extra_axes = [a for a in mesh.axis_names
-                  if a not in (stage_axis, data_axis)]
+                  if a not in (stage_axis, data_axis)
+                  and mesh.shape[a] > 1]
     if extra_axes:
         # Leave non-pipeline axes (e.g. 'model' TP) to GSPMD. Requires
         # the partial-manual shard_map API (jax >= 0.8 `axis_names`).
@@ -232,6 +233,10 @@ def pipeline_vision_forward(cfg: VisionConfig, tower_params, pixel_values,
     are O(B·S·d) — negligible next to the 24-layer encoder — and run
     data-parallel outside the pipeline, re-applying the SAME submodules
     on the same param subtrees (the `models/segmented.py` decomposition).
+    This re-composition necessarily mirrors `CLIPVisionTower.__call__`
+    (a Flax Module's param creation can't be shared with a functional
+    path); drift is caught by the exact-parity tests in
+    tests/test_pipeline.py, which compare against the Module directly.
 
     Returns ``(last_hidden_state, pooled)`` — identical to
     `models.clip.CLIPVisionTower.apply`.

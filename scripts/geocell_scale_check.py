@@ -9,6 +9,12 @@ sliver-repair invariants can be re-validated after geometry changes:
   * exported geometry is dissolved (fragments only where true islands).
 
 Usage: python scripts/geocell_scale_check.py [n_points]
+       python scripts/geocell_scale_check.py fuse [n_cells]
+
+The `fuse` mode stresses the OTHER balance phase: a grid of admin-seeded
+cells with long-tail sizes (the admin-2 seeding shape,
+`creation.py::_seed_cells`) drives the fuse ladder + the native
+`multipoly_intersect_batch` adjacency kernel.
 """
 
 import sys
@@ -75,5 +81,41 @@ def main(n_points: int = 79_000, num_workers: int = 8) -> int:
     return 0
 
 
+def fuse_stress(n_cells: int = 3000, min_cell_size: int = 30,
+                seed: int = 330) -> int:
+    """Fuse-phase stress: admin-seeded grid cells with pareto sizes."""
+    from pigeon_tpu.geocell.cells import Cell, CellCollection
+
+    rng = np.random.default_rng(0)
+    side = int(np.ceil(np.sqrt(n_cells)))
+    cells = []
+    for k in range(n_cells):
+        i, j = divmod(k, side)
+        x0, y0 = i - side / 2, j - side / 2
+        n = int(rng.pareto(1.0) * 8) + 1
+        pts = rng.uniform([x0, y0], [x0 + 1, y0 + 1], (n, 2))
+        poly = np.array([[x0, y0], [x0 + 1, y0],
+                         [x0 + 1, y0 + 1], [x0, y0 + 1]], float)
+        cells.append(Cell(f"c{k}", f"a{i // 6}", "X", pts, [poly]))
+    total = sum(c.size for c in cells)
+    coll = CellCollection(cells)
+    t0 = time.time()
+    coll._fuse_country("X", min_cell_size=min_cell_size, seed=seed)
+    t = time.time() - t0
+    coll.clean()
+    after = sum(c.size for c in coll)
+    print(f"fuse: cells={n_cells} points={total} time={t:.1f}s "
+          f"remaining={len(coll)}")
+    assert after == total, f"point loss in fuse: {after} != {total}"
+    small_unfusable = [c for c in coll if c.size < min_cell_size]
+    # Isolated cells may legitimately stay small; they must be rare.
+    assert len(small_unfusable) < n_cells * 0.01, len(small_unfusable)
+    print("OK")
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "fuse":
+        sys.exit(fuse_stress(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 3000))
     sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 79_000))

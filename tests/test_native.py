@@ -113,6 +113,42 @@ class TestOptics:
         got = optics_xi_labels(pts, min_samples, xi)
         np.testing.assert_array_equal(got, want)
 
+    def test_parallel_path_matches_serial_bitwise(self, tmp_path):
+        """The OpenMP fused relax+argmin path (m >= 8192, per-thread
+        argmin chunks merged with first-occurrence tie-breaking) must be
+        BIT-identical to the serial path. This box may expose 1 CPU, so
+        the multi-threaded run happens in a subprocess with
+        OMP_NUM_THREADS=8 (OpenMP timeslices threads over fewer cores —
+        the merge logic still executes with nt > 1)."""
+        import os
+        import subprocess
+        import sys
+
+        n = 10_000   # above the 8192 OpenMP threshold
+        pts = self.blobs(n, 6, 1.5, seed=11)
+        ordering, core, reach, pred = native.optics_graph(pts, 300)
+
+        pts_file = tmp_path / "pts.npy"
+        out_file = tmp_path / "graph.npz"
+        np.save(pts_file, pts)
+        code = (
+            "import numpy as np\n"
+            "from pigeon_tpu import native\n"
+            "pts = np.load(%r)\n"
+            "o, c, r, p = native.optics_graph(pts, 300)\n"
+            "np.savez(%r, o=o, c=c, r=r, p=p)\n"
+            % (str(pts_file), str(out_file)))
+        env = dict(os.environ, OMP_NUM_THREADS="8",
+                   PYTHONPATH=os.pathsep.join(
+                       [os.getcwd()] + sys.path))
+        subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                       timeout=300)
+        got = np.load(out_file)
+        np.testing.assert_array_equal(got["o"], ordering)
+        np.testing.assert_array_equal(got["c"], core)
+        np.testing.assert_array_equal(got["r"], reach)
+        np.testing.assert_array_equal(got["p"], pred)
+
     def test_labels_match_sklearn_precomputed_haversine(self):
         from sklearn.cluster import OPTICS
 
