@@ -22,7 +22,9 @@ independent windows and reports the MEDIAN rate (all windows on stderr) —
 single-window numbers on this shared tunnel vary ~10%.
 
 Env knobs: BENCH_BATCH (64), BENCH_ITERS (8), BENCH_SEGMENTS (1),
-BENCH_WINDOWS (5), BENCH_ATTN (flash).
+BENCH_WINDOWS (5), BENCH_ATTN (flash), BENCH_QUANT (0; 1 = the int8
+W8A8 serving path, `models/quant.py` — separate metric name, default
+headline stays bf16).
 """
 
 from __future__ import annotations
@@ -63,9 +65,40 @@ def main() -> None:
     head_params = jax.jit(GeocellHead(head_cfg).init)(
         jax.random.PRNGKey(1), jnp.zeros((2, 1024)))["params"]
 
-    fns = build_segmented_forward(vision_cfg, head_cfg, tower_params,
-                                  head_params, segments,
-                                  dtype=jnp.bfloat16, attn_impl=attn_impl)
+    quant = os.environ.get("BENCH_QUANT", "0") == "1"
+    if quant:
+        from pigeon_tpu.models.embedder import token_mean_embedding
+        from pigeon_tpu.models.quant import (
+            calibrate_act_scales,
+            quantize_tower_params,
+        )
+
+        qtower = quantize_tower_params(tower_params)
+        # Calibrate activation ranges with ONE dynamic-mode forward,
+        # then serve with frozen per-tensor scales (no runtime reduces).
+        dyn = CLIPVisionTower(vision_cfg, dtype=jnp.bfloat16,
+                              attn_impl=attn_impl, quant=True)
+        calib_px = jax.random.normal(jax.random.PRNGKey(7),
+                                     (8, size, size, 3), jnp.float32)
+        qtower = calibrate_act_scales(dyn, qtower, calib_px)
+
+        tower = CLIPVisionTower(vision_cfg, dtype=jnp.bfloat16,
+                                attn_impl=attn_impl, quant="static")
+        head = GeocellHead(head_cfg, dtype=jnp.bfloat16)
+        qparams = {"tower": qtower, "head": head_params}
+
+        def whole(p, px):
+            h, _ = tower.apply({"params": p["tower"]}, px)
+            emb = token_mean_embedding(h)
+            out = head.apply({"params": p["head"]}, emb)
+            return out.logits, emb
+
+        jitted = jax.jit(whole)
+        fns = [lambda px, _f=jitted, _p=qparams: _f(_p, px)]
+    else:
+        fns = build_segmented_forward(
+            vision_cfg, head_cfg, tower_params, head_params, segments,
+            dtype=jnp.bfloat16, attn_impl=attn_impl)
     scalarize = jax.jit(lambda a, b: a.astype(jnp.float32).sum()
                         + b.astype(jnp.float32).sum())
 
@@ -105,7 +138,7 @@ def main() -> None:
     rate = rates[len(rates) // 2]          # median window
     print(json.dumps({
         "metric": "vit_l14_336_embed_classify_images_per_sec_per_chip"
-                  f"_bs{batch}_{attn_impl}",
+                  f"_bs{batch}_{attn_impl}{'_int8' if quant else ''}",
         "value": round(rate, 2),
         "unit": "images/sec",
         "vs_baseline": round(rate / BASELINE_IMAGES_PER_SEC, 4),

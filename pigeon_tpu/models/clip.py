@@ -106,13 +106,21 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
+    quant: Any = False  # False | True (int8, dynamic act) | "static"
 
     @nn.compact
     def __call__(self, x, mask=None):
         d = x.shape[-1]
         head_dim = d // self.num_heads
-        dense = lambda name: nn.Dense(  # noqa: E731
-            d, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        if self.quant:
+            from pigeon_tpu.models.quant import QuantDense
+
+            dense = lambda name: QuantDense(  # noqa: E731
+                d, dtype=self.dtype,
+                static_act=self.quant == "static", name=name)
+        else:
+            dense = lambda name: nn.Dense(  # noqa: E731
+                d, dtype=self.dtype, param_dtype=jnp.float32, name=name)
         q = dense("q_proj")(x).reshape(*x.shape[:-1], self.num_heads, head_dim)
         k = dense("k_proj")(x).reshape(*x.shape[:-1], self.num_heads, head_dim)
         v = dense("v_proj")(x).reshape(*x.shape[:-1], self.num_heads, head_dim)
@@ -136,6 +144,7 @@ class TransformerLayer(nn.Module):
     layer_norm_eps: float = 1e-5
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
+    quant: Any = False  # False | True (dynamic act) | "static"
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -143,10 +152,20 @@ class TransformerLayer(nn.Module):
             epsilon=self.layer_norm_eps, dtype=self.dtype,
             param_dtype=jnp.float32, name=name)
         act = _ACTIVATIONS[self.hidden_act]
+        if self.quant:
+            from pigeon_tpu.models.quant import QuantDense
+
+            mlp_dense = lambda feats, name: QuantDense(  # noqa: E731
+                feats, dtype=self.dtype,
+                static_act=self.quant == "static", name=name)
+        else:
+            mlp_dense = lambda feats, name: nn.Dense(  # noqa: E731
+                feats, dtype=self.dtype, param_dtype=jnp.float32,
+                name=name)
 
         attn_out = MultiHeadAttention(
             self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
-            name="attn")(ln("ln1")(x), mask)
+            quant=self.quant, name="attn")(ln("ln1")(x), mask)
         # Named for remat='attn_out': saving this (B, S, d) tensor skips
         # re-running the attention kernel during the rematerialized
         # backward (the flash backward recomputes softmax internally
@@ -156,11 +175,9 @@ class TransformerLayer(nn.Module):
         attn_out = checkpoint_name(attn_out, "attn_out")
         x = x + attn_out
         h = ln("ln2")(x)
-        h = nn.Dense(self.intermediate_size, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="fc1")(h)
+        h = mlp_dense(self.intermediate_size, "fc1")(h)
         h = act(h)
-        h = nn.Dense(x.shape[-1], dtype=self.dtype,
-                     param_dtype=jnp.float32, name="fc2")(h)
+        h = mlp_dense(x.shape[-1], "fc2")(h)
         return x + h
 
 
@@ -180,6 +197,7 @@ class TransformerStack(nn.Module):
     layer_norm_eps: float = 1e-5
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
+    quant: Any = False  # False | True (dynamic act) | "static"
     #: False/'none' = save all activations; True/'full' = full per-layer
     #: remat; 'attn_out' = remat but SAVE the attention outputs
     #: ((B, S, d) per layer — cheap in HBM, skips one of the three
@@ -202,7 +220,7 @@ class TransformerStack(nn.Module):
 
         stack = nn.scan(
             body,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "intermediates": 0},
             split_rngs={"params": True},
             length=self.num_layers,
             metadata_params={nn.PARTITION_NAME: "layers"},
@@ -215,6 +233,7 @@ class TransformerStack(nn.Module):
                 layer_norm_eps=self.layer_norm_eps,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                quant=self.quant,
                 name="layers",
             ),
             x,
@@ -234,6 +253,7 @@ class CLIPVisionTower(nn.Module):
     config: VisionConfig
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
+    quant: Any = False  # False | True (dynamic act) | "static" (serving)
     remat: Any = False  # False | True("full") | "attn_out" | "none"
 
     @nn.compact
@@ -243,13 +263,25 @@ class CLIPVisionTower(nn.Module):
         cfg = self.config
         b = pixel_values.shape[0]
 
-        patches = PatchEmbed(
-            features=cfg.hidden_size,
-            patch_size=cfg.patch_size,
-            use_bias=False,
-            dtype=self.dtype,
-            name="patch_embed",
-        )(pixel_values.astype(self.dtype))
+        if self.quant:
+            from pigeon_tpu.models.quant import QuantPatchEmbed
+
+            patches = QuantPatchEmbed(
+                features=cfg.hidden_size,
+                patch_size=cfg.patch_size,
+                use_bias=False,
+                static_act=self.quant == "static",
+                dtype=self.dtype,
+                name="patch_embed",
+            )(pixel_values.astype(self.dtype))
+        else:
+            patches = PatchEmbed(
+                features=cfg.hidden_size,
+                patch_size=cfg.patch_size,
+                use_bias=False,
+                dtype=self.dtype,
+                name="patch_embed",
+            )(pixel_values.astype(self.dtype))
 
         cls = self.param("cls_token", nn.initializers.normal(0.02),
                          (cfg.hidden_size,), jnp.float32)
@@ -271,6 +303,7 @@ class CLIPVisionTower(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            quant=self.quant,
             remat=self.remat,
             name="encoder",
         )(x)

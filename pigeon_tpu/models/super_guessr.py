@@ -39,6 +39,7 @@ class SuperGuessr(nn.Module):
     head_config: HeadConfig
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
+    quant: bool = False  # int8 W8A8 tower matmuls (serving; models/quant.py)
     remat: Any = False  # False | True("full") | "attn_out" | "none"
 
     @nn.compact
@@ -58,7 +59,7 @@ class SuperGuessr(nn.Module):
 
         last_hidden, _ = CLIPVisionTower(
             self.vision_config, dtype=self.dtype, attn_impl=self.attn_impl,
-            remat=self.remat, name="vision")(pixels)
+            quant=self.quant, remat=self.remat, name="vision")(pixels)
         embedding = token_mean_embedding(last_hidden)
 
         if cfg.panorama:
