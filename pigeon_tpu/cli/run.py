@@ -139,6 +139,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve-batch", type=int, default=0,
                    help="serve: micro-batch up to N concurrent requests "
                         "into one device dispatch (0 = serialized bs1)")
+    p.add_argument("--quant", action="store_true",
+                   help="serve: int8 W8A8 tower (models/quant.py; +33%% "
+                        "throughput on v5e). Activation scales calibrate "
+                        "on a synthetic batch at startup — validate "
+                        "quality on real data before production use")
     p.add_argument("--tp", type=int, default=1,
                    help="model (tensor-parallel) mesh axis size; must "
                         "divide the device count (docs/SHARDING.md)")
@@ -635,6 +640,26 @@ def cmd_serve(args) -> int:
                                    adamw(1e-4), (example,))
         params = restore_checkpoint(ckpt_dir, state).params
         logger.warning("serving checkpoint step %d", int(state.step))
+
+    if getattr(args, "quant", False):
+        from pigeon_tpu.models.quant import (
+            calibrate_act_scales,
+            quantize_tower_params,
+        )
+
+        qparams = dict(params)
+        qparams["vision"] = quantize_tower_params(params["vision"])
+        dyn = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
+                          attn_impl=_attn_impl(), quant=True)
+        calib = jax.random.normal(
+            jax.random.PRNGKey(3), (2, *example.shape[1:]), jnp.float32)
+        params = calibrate_act_scales(dyn, qparams, calib)
+        model = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
+                            attn_impl=_attn_impl(), quant="static")
+        logger.warning(
+            "int8 W8A8 tower enabled (activation scales calibrated on a "
+            "synthetic batch — calibrate on real panoramas for "
+            "production quality)")
 
     serve_fn = make_serving_fn(model, params, cfg.head, cells)
 

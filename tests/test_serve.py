@@ -176,6 +176,47 @@ class TestServeCommand:
         lat, lng = body["results"]["lat"], body["results"]["lng"]
         assert np.isclose(cells, [lng, lat], atol=1e-3).all(-1).any()
 
+    def test_cmd_serve_quant_int8(self, tmp_path, monkeypatch):
+        """`serve --quant` serves through the int8 W8A8 tower (static
+        activation scales calibrated at startup) end-to-end over HTTP."""
+        import pandas as pd
+
+        import pigeon_tpu.cli.run as cli
+        import pigeon_tpu.serve as serve_pkg
+
+        cells = np.stack([np.linspace(-150, 150, 5),
+                          np.linspace(-50, 60, 5)], -1).astype(np.float32)
+        pd.DataFrame({"name": list("abcde"), "lng": cells[:, 0],
+                      "lat": cells[:, 1]}).to_csv(
+            tmp_path / "cells.csv", index=False)
+
+        captured = {}
+        real_serve = serve_pkg.serve
+
+        def fake_serve(service, host="127.0.0.1", port=5000, block=True):
+            captured["httpd"] = real_serve(service, host=host, port=0,
+                                           block=False)
+            return captured["httpd"]
+
+        monkeypatch.setattr(cli, "serve", fake_serve, raising=False)
+        monkeypatch.setattr("pigeon_tpu.serve.serve", fake_serve)
+        monkeypatch.chdir(tmp_path)
+
+        from pigeon_tpu.cli.run import main
+
+        rc = main(["serve", "srvq", "--tiny", "--quant",
+                   "--geocells", str(tmp_path / "cells.csv")])
+        assert rc == 0
+        httpd = captured["httpd"]
+        port = httpd.server_address[1]
+        status, body = post(f"http://127.0.0.1:{port}/api/v1/predict",
+                            {"gameID": "g", "roundID": 1,
+                             "image": b64_image()})
+        httpd.shutdown()
+        assert status == 200
+        lat, lng = body["results"]["lat"], body["results"]["lng"]
+        assert np.isclose(cells, [lng, lat], atol=1e-3).all(-1).any()
+
     def test_cmd_serve_with_refinement_and_hedge(self, tmp_path,
                                                  monkeypatch):
         """cmd_serve --prototypes/--embeddings/--metadata --hedge must run
