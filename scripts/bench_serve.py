@@ -1,0 +1,180 @@
+"""Serving round-trip latency benchmark (reproducible protocol).
+
+Measures the full HTTP path the GeoGuessr bot exercises
+(`bot/chrome_extension/scripts/duel.js:51-64`): 4 base64 JPEG
+screenshots -> POST /api/v1/predict -> JPEG decode + resize + uint8
+device transfer + ViT-L/14-336 panorama forward + top-k [+ refinement]
+-> (lat, lng). Round-2's 156 ms (unrefined) / 194 ms (refined+hedged)
+numbers in docs/PERF.md follow this protocol.
+
+Env knobs:
+  SERVE_QUANT  (0) — 1: int8 W8A8 tower (static act scales).
+  SERVE_REFINE (0) — 1: production-scale refiner+hedge bank
+                     (2203 cells x 64 protos x 1024-d, 100k members).
+  SERVE_N      (20) — timed requests (median reported).
+  SERVE_PX     (512) — screenshot resolution posted by the fake bot.
+
+Prints ONE JSON line {metric, value(ms), unit, ...}.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import os
+import sys
+import time
+import urllib.request
+
+
+def _screenshot_b64(rng, px: int) -> str:
+    from PIL import Image
+
+    img = Image.fromarray(
+        rng.integers(0, 255, (px, px, 3), dtype="uint8"), "RGB")
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=85)
+    return "data:image/jpeg;base64," + base64.b64encode(
+        buf.getvalue()).decode()
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pigeon_tpu.config import HeadConfig, vit_l14_336_vision
+    from pigeon_tpu.models.super_guessr import SuperGuessr
+    from pigeon_tpu.serve import PredictionService, serve
+    from pigeon_tpu.serve.server import make_serving_fn
+
+    quant = os.environ.get("SERVE_QUANT", "0") == "1"
+    refine = os.environ.get("SERVE_REFINE", "0") == "1"
+    n = int(os.environ.get("SERVE_N", "20"))
+    px = int(os.environ.get("SERVE_PX", "512"))
+
+    if os.environ.get("SERVE_TINY", "0") == "1":   # CPU smoke-test mode
+        from pigeon_tpu.config import VisionConfig
+
+        vision_cfg = VisionConfig(image_size=32, patch_size=8,
+                                  hidden_size=64, intermediate_size=128,
+                                  num_layers=2, num_heads=4,
+                                  projection_dim=32)
+        head_cfg = HeadConfig(num_cells=32, embed_dim=64, panorama=True,
+                              multi_task=True)
+    else:
+        vision_cfg = vit_l14_336_vision()
+        head_cfg = HeadConfig(num_cells=2203, embed_dim=1024,
+                              panorama=True, multi_task=True)
+    attn = "xla" if os.environ.get("SERVE_TINY") == "1" else "flash"
+    model = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.bfloat16,
+                        attn_impl=attn)
+    size = vision_cfg.image_size
+    example = jnp.zeros((1, 4, size, size, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), example)["params"]
+
+    if quant:
+        from pigeon_tpu.models.quant import (
+            calibrate_act_scales,
+            quantize_tower_params,
+        )
+
+        qparams = dict(params)
+        qparams["vision"] = quantize_tower_params(params["vision"])
+        dyn = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.bfloat16,
+                          attn_impl=attn, quant=True)
+        calib = jax.random.normal(jax.random.PRNGKey(3),
+                                  (1, 4, size, size, 3), jnp.float32)
+        params = calibrate_act_scales(dyn, qparams, calib)
+        model = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.bfloat16,
+                            attn_impl=attn, quant="static")
+
+    rng = np.random.default_rng(0)
+    cells = np.stack([rng.uniform(-170, 170, head_cfg.num_cells),
+                      rng.uniform(-55, 65, head_cfg.num_cells)],
+                     -1).astype(np.float32)
+    serve_fn = make_serving_fn(model, params, head_cfg, cells)
+
+    refine_fn = None
+    if refine:
+        from pigeon_tpu.train.evaluate import RefinerConfig, build_refiner
+
+        n_bank, dim, protos = 100_000, 1024, 64
+        bank_emb = rng.normal(size=(n_bank, dim)).astype(np.float32)
+        bank_lla = np.stack([rng.uniform(-170, 170, n_bank),
+                             rng.uniform(-55, 65, n_bank)],
+                            -1).astype(np.float32)
+        per_cell = n_bank // head_cfg.num_cells
+        rows = []
+        for c in range(head_cfg.num_cells):
+            base = c * per_cell
+            step = max(per_cell // protos, 1)
+            for j in range(min(protos, per_cell)):
+                idx = list(range(base + j * step,
+                                 min(base + (j + 1) * step, n_bank)))
+                if not idx:
+                    break
+                rows.append({"geocell_idx": c,
+                             "lng": float(bank_lla[idx, 0].mean()),
+                             "lat": float(bank_lla[idx, 1].mean()),
+                             "count": len(idx),
+                             "indices": json.dumps(idx)})
+        preset = RefinerConfig(topk=5, max_refinement_km=1000.0,
+                               temperature=1.6, hedge=True)
+        refine_fn = build_refiner(rows, bank_emb, bank_lla,
+                                  num_cells=head_cfg.num_cells, cfg=preset)
+
+    # Warm the uint8 executable (the wire format) + the refiner.
+    out = serve_fn(jnp.zeros_like(example, dtype=jnp.uint8))
+    if refine_fn is not None:
+        refine_fn(out["embedding"], out["pred_lla"], out["topk_cells"],
+                  out["topk_probs"])
+
+    service = PredictionService(serve_fn, image_size=size, panorama=True,
+                                refine_fn=refine_fn)
+    httpd = serve(service, host="127.0.0.1", port=0, block=False)
+    port = httpd.server_address[1]
+    url = f"http://127.0.0.1:{port}/api/v1/predict"
+
+    payload = {"gameID": "bench", "roundID": 1}
+    for i, key in enumerate(("image", "image_2", "image_3", "image_4")):
+        payload[key] = _screenshot_b64(rng, px)
+    body = json.dumps(payload).encode()
+
+    def post(timeout=60):
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return json.loads(resp.read())
+
+    # Warm the HTTP path end to end (a generous timeout: the first
+    # in-handler dispatch may hit a fresh remote compile).
+    t0 = time.perf_counter()
+    post(timeout=600)
+    print(f"# first request {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    post()
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        result = post()
+        times.append((time.perf_counter() - t0) * 1000.0)
+    httpd.shutdown()
+    times.sort()
+    median = times[len(times) // 2]
+
+    suffix = ("_int8" if quant else "") + ("_refined" if refine else "")
+    print(json.dumps({
+        "metric": f"serving_panorama_roundtrip_ms{suffix}",
+        "value": round(median, 1),
+        "unit": "ms",
+        "p10": round(times[len(times) // 10], 1),
+        "p90": round(times[(len(times) * 9) // 10], 1),
+    }))
+    print(f"# n={n} px={px} last_guess={result['results']}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
