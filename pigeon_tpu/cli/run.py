@@ -140,10 +140,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve: micro-batch up to N concurrent requests "
                         "into one device dispatch (0 = serialized bs1)")
     p.add_argument("--quant", action="store_true",
-                   help="serve: int8 W8A8 tower (models/quant.py; +33%% "
-                        "throughput on v5e). Activation scales calibrate "
-                        "on a synthetic batch at startup — validate "
-                        "quality on real data before production use")
+                   help="serve/evaluate: int8 W8A8 tower (models/quant.py; "
+                        "+33%% throughput on v5e). serve calibrates "
+                        "activation scales on a synthetic batch at startup; "
+                        "evaluate calibrates on the first real benchmark "
+                        "batch — run evaluate with/without --quant to bound "
+                        "the int8 quality delta before serving it")
     p.add_argument("--tp", type=int, default=1,
                    help="model (tensor-parallel) mesh axis size; must "
                         "divide the device count (docs/SHARDING.md)")
@@ -419,6 +421,31 @@ def cmd_embed(args) -> int:
     return 0
 
 
+def _quantize_for_inference(cfg, params, calib_pixels):
+    """int8 W8A8 tower for inference (`models/quant.py`).
+
+    Quantizes the tower weights per output channel, freezes activation
+    scales from one observed ``calib_pixels`` batch (CLIP-normalized
+    float32), and returns ``(static_quant_model, params)``.
+    """
+    import jax.numpy as jnp
+
+    from pigeon_tpu.models.quant import (
+        calibrate_act_scales,
+        quantize_tower_params,
+    )
+    from pigeon_tpu.models.super_guessr import SuperGuessr
+
+    qparams = dict(params)
+    qparams["vision"] = quantize_tower_params(params["vision"])
+    dyn = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
+                      attn_impl=_attn_impl(), quant=True)
+    params = calibrate_act_scales(dyn, qparams, calib_pixels)
+    model = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
+                        attn_impl=_attn_impl(), quant="static")
+    return model, params
+
+
 def cmd_evaluate(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -459,9 +486,6 @@ def cmd_evaluate(args) -> int:
     elif args.base:
         params = _load_base_checkpoint(params, args.base,
                                        cfg.vision.num_layers)
-
-    eval_step = make_eval_step(model, cfg.head, cells,
-                               num_candidates=EVAL_NUM_CANDIDATES)
 
     # Prototype bank built ONCE; a refine function per benchmark family
     # (the per-family topk/temperature/guard presets differ —
@@ -507,6 +531,24 @@ def cmd_evaluate(args) -> int:
             return BenchmarkDataset(
                 name, args.benchmarks or cfg.paths.benchmark_registry,
                 image_size=cfg.vision.image_size, normalize=False)
+
+    if getattr(args, "quant", False):
+        # Calibrate activation scales on the first REAL batch of the first
+        # benchmark, then evaluate everything through the int8 tower —
+        # with/without --quant bounds the int8 quality delta on real data
+        # (the validation step docs/PERF.md calls for before serving int8).
+        from pigeon_tpu.data.image_ops import normalize_images
+
+        first = next(iter(iter_batches(make_ds(names[0]),
+                                       min(8, args.batch_size or 8))))
+        calib = normalize_images(jnp.asarray(first["inputs"]))
+        model, params = _quantize_for_inference(cfg, params, calib)
+        logger.warning("evaluating through the int8 W8A8 tower "
+                       "(calibrated on %d real %s images)",
+                       int(calib.shape[0]), names[0])
+
+    eval_step = make_eval_step(model, cfg.head, cells,
+                               num_candidates=EVAL_NUM_CANDIDATES)
 
     for benchmark in names:
         ds = make_ds(benchmark)
@@ -642,24 +684,13 @@ def cmd_serve(args) -> int:
         logger.warning("serving checkpoint step %d", int(state.step))
 
     if getattr(args, "quant", False):
-        from pigeon_tpu.models.quant import (
-            calibrate_act_scales,
-            quantize_tower_params,
-        )
-
-        qparams = dict(params)
-        qparams["vision"] = quantize_tower_params(params["vision"])
-        dyn = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
-                          attn_impl=_attn_impl(), quant=True)
         calib = jax.random.normal(
             jax.random.PRNGKey(3), (2, *example.shape[1:]), jnp.float32)
-        params = calibrate_act_scales(dyn, qparams, calib)
-        model = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
-                            attn_impl=_attn_impl(), quant="static")
+        model, params = _quantize_for_inference(cfg, params, calib)
         logger.warning(
             "int8 W8A8 tower enabled (activation scales calibrated on a "
-            "synthetic batch — calibrate on real panoramas for "
-            "production quality)")
+            "synthetic batch — run `evaluate --quant` on real data to "
+            "bound the quality delta before production)")
 
     serve_fn = make_serving_fn(model, params, cfg.head, cells)
 

@@ -210,6 +210,34 @@ def test_evaluate_vendored_sample_benchmark(tmp_path, monkeypatch):
     assert 0 <= metrics["Geocell_accuracy"] <= 1
 
 
+def test_evaluate_quant_int8_path(tmp_path, monkeypatch):
+    """`evaluate --quant` runs the whole benchmark through the int8 W8A8
+    tower (activation scales calibrated on the first real batch) — the
+    with/without-quant comparison users run to bound the int8 quality
+    delta before serving it (`docs/PERF.md`)."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    registry = os.path.join(repo, "data", "benchmarks", "benchmarks.json")
+
+    cells = np.array([[-100., 40.], [10., 50.], [120., 30.], [150., -30.]],
+                     np.float32)
+    pd.DataFrame({"name": list("abcd"), "lng": cells[:, 0],
+                  "lat": cells[:, 1]}).to_csv(tmp_path / "cells.csv",
+                                              index=False)
+    monkeypatch.chdir(tmp_path)
+    out = tmp_path / "sample20_int8.json"
+    rc = main(["evaluate", "runq", "--tiny", "-l", "sample20", "--quant",
+               "--benchmarks", registry,
+               "--geocells", str(tmp_path / "cells.csv"),
+               "--batch-size", "4", "--output", str(out)])
+    assert rc == 0
+    metrics = json.loads(out.read_text())["sample20"]
+    assert "Median_km_error" in metrics and "Geoguessr_score" in metrics
+    assert np.isfinite(metrics["Median_km_error"])
+
+
 def test_pretrain_command(tiny_world, monkeypatch):
     tmp = tiny_world
     monkeypatch.chdir(tmp)
