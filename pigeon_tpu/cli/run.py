@@ -421,26 +421,24 @@ def cmd_embed(args) -> int:
     return 0
 
 
-def _quantize_for_inference(cfg, params, calib_pixels):
+def _quantize_for_inference(cfg, params, calib_pixels,
+                            margin: float = 1.0):
     """int8 W8A8 tower for inference (`models/quant.py`).
 
     Quantizes the tower weights per output channel, freezes activation
     scales from one observed ``calib_pixels`` batch (CLIP-normalized
-    float32), and returns ``(static_quant_model, params)``.
+    float32) with ``margin`` headroom, and returns
+    ``(static_quant_model, params)``.
     """
     import jax.numpy as jnp
 
-    from pigeon_tpu.models.quant import (
-        calibrate_act_scales,
-        quantize_tower_params,
-    )
+    from pigeon_tpu.models.quant import quantize_and_calibrate
     from pigeon_tpu.models.super_guessr import SuperGuessr
 
-    qparams = dict(params)
-    qparams["vision"] = quantize_tower_params(params["vision"])
     dyn = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
                       attn_impl=_attn_impl(), quant=True)
-    params = calibrate_act_scales(dyn, qparams, calib_pixels)
+    params = quantize_and_calibrate(dyn, params, calib_pixels,
+                                    tower_key="vision", margin=margin)
     model = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
                         attn_impl=_attn_impl(), quant="static")
     return model, params
@@ -532,6 +530,13 @@ def cmd_evaluate(args) -> int:
                 name, args.benchmarks or cfg.paths.benchmark_registry,
                 image_size=cfg.vision.image_size, normalize=False)
 
+    ds_cache = {}
+
+    def get_ds(name):
+        if name not in ds_cache:
+            ds_cache[name] = make_ds(name)
+        return ds_cache[name]
+
     if getattr(args, "quant", False):
         # Calibrate activation scales on the first REAL batch of the first
         # benchmark, then evaluate everything through the int8 tower —
@@ -539,7 +544,7 @@ def cmd_evaluate(args) -> int:
         # (the validation step docs/PERF.md calls for before serving int8).
         from pigeon_tpu.data.image_ops import normalize_images
 
-        first = next(iter(iter_batches(make_ds(names[0]),
+        first = next(iter(iter_batches(get_ds(names[0]),
                                        min(8, args.batch_size or 8))))
         calib = normalize_images(jnp.asarray(first["inputs"]))
         model, params = _quantize_for_inference(cfg, params, calib)
@@ -551,7 +556,7 @@ def cmd_evaluate(args) -> int:
                                num_candidates=EVAL_NUM_CANDIDATES)
 
     for benchmark in names:
-        ds = make_ds(benchmark)
+        ds = get_ds(benchmark)
         to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
         metrics = evaluate_benchmark(
             eval_step, params,
@@ -684,13 +689,18 @@ def cmd_serve(args) -> int:
         logger.warning("serving checkpoint step %d", int(state.step))
 
     if getattr(args, "quant", False):
+        # Synthetic N(0,1) calibration batch (matches CLIP-normalized
+        # input stats but not real activation tails) — leave 25% headroom
+        # above the observed amax so out-of-distribution activations
+        # don't hard-clip at every matmul.
         calib = jax.random.normal(
             jax.random.PRNGKey(3), (2, *example.shape[1:]), jnp.float32)
-        model, params = _quantize_for_inference(cfg, params, calib)
+        model, params = _quantize_for_inference(cfg, params, calib,
+                                                margin=1.25)
         logger.warning(
             "int8 W8A8 tower enabled (activation scales calibrated on a "
-            "synthetic batch — run `evaluate --quant` on real data to "
-            "bound the quality delta before production)")
+            "synthetic batch, margin 1.25 — run `evaluate --quant` on "
+            "real data to bound the quality delta before production)")
 
     serve_fn = make_serving_fn(model, params, cfg.head, cells)
 

@@ -112,15 +112,10 @@ class MultiHeadAttention(nn.Module):
     def __call__(self, x, mask=None):
         d = x.shape[-1]
         head_dim = d // self.num_heads
-        if self.quant:
-            from pigeon_tpu.models.quant import QuantDense
+        from pigeon_tpu.models.quant import dense_factory
 
-            dense = lambda name: QuantDense(  # noqa: E731
-                d, dtype=self.dtype,
-                static_act=self.quant == "static", name=name)
-        else:
-            dense = lambda name: nn.Dense(  # noqa: E731
-                d, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        make = dense_factory(self.quant, self.dtype)
+        dense = lambda name: make(d, name)  # noqa: E731
         q = dense("q_proj")(x).reshape(*x.shape[:-1], self.num_heads, head_dim)
         k = dense("k_proj")(x).reshape(*x.shape[:-1], self.num_heads, head_dim)
         v = dense("v_proj")(x).reshape(*x.shape[:-1], self.num_heads, head_dim)
@@ -152,16 +147,9 @@ class TransformerLayer(nn.Module):
             epsilon=self.layer_norm_eps, dtype=self.dtype,
             param_dtype=jnp.float32, name=name)
         act = _ACTIVATIONS[self.hidden_act]
-        if self.quant:
-            from pigeon_tpu.models.quant import QuantDense
+        from pigeon_tpu.models.quant import dense_factory
 
-            mlp_dense = lambda feats, name: QuantDense(  # noqa: E731
-                feats, dtype=self.dtype,
-                static_act=self.quant == "static", name=name)
-        else:
-            mlp_dense = lambda feats, name: nn.Dense(  # noqa: E731
-                feats, dtype=self.dtype, param_dtype=jnp.float32,
-                name=name)
+        mlp_dense = dense_factory(self.quant, self.dtype)
 
         attn_out = MultiHeadAttention(
             self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
@@ -263,25 +251,18 @@ class CLIPVisionTower(nn.Module):
         cfg = self.config
         b = pixel_values.shape[0]
 
+        embed_kwargs = dict(features=cfg.hidden_size,
+                            patch_size=cfg.patch_size, use_bias=False,
+                            dtype=self.dtype, name="patch_embed")
         if self.quant:
             from pigeon_tpu.models.quant import QuantPatchEmbed
 
             patches = QuantPatchEmbed(
-                features=cfg.hidden_size,
-                patch_size=cfg.patch_size,
-                use_bias=False,
-                static_act=self.quant == "static",
-                dtype=self.dtype,
-                name="patch_embed",
+                static_act=self.quant == "static", **embed_kwargs,
             )(pixel_values.astype(self.dtype))
         else:
-            patches = PatchEmbed(
-                features=cfg.hidden_size,
-                patch_size=cfg.patch_size,
-                use_bias=False,
-                dtype=self.dtype,
-                name="patch_embed",
-            )(pixel_values.astype(self.dtype))
+            patches = PatchEmbed(**embed_kwargs)(
+                pixel_values.astype(self.dtype))
 
         cls = self.param("cls_token", nn.initializers.normal(0.02),
                          (cfg.hidden_size,), jnp.float32)

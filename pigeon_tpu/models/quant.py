@@ -38,6 +38,19 @@ import numpy as np
 Dtype = Any
 
 
+def dense_factory(quant, dtype):
+    """``dense(features, name)`` constructor for a maybe-quantized layer.
+
+    One switch point shared by every dense site in the tower (MHA
+    projections, MLP) so the quantization scheme cannot silently diverge
+    between sites. ``quant``: False | True (dynamic act) | "static"."""
+    if quant:
+        return lambda features, name: QuantDense(
+            features, dtype=dtype, static_act=quant == "static", name=name)
+    return lambda features, name: nn.Dense(
+        features, dtype=dtype, param_dtype=jnp.float32, name=name)
+
+
 def quantize_channelwise(w: jnp.ndarray, axis: int = -1):
     """Symmetric per-channel int8 quantization along ``axis`` (the
     output-feature dim). Returns (w_q int8, scale f32) with
@@ -216,9 +229,20 @@ def calibrate_act_scales(quant_model, params, sample_pixels,
     replaced by ``amax * margin / 127`` — ready for the STATIC model
     (``quant='static'``), whose quantize step is a fusable
     round/clip/cast with no runtime reduce.
+
+    ``margin > 1`` leaves headroom above the observed batch max —
+    activations beyond ``act_scale * 127`` hard-clip at every matmul, so
+    calibration on a small or unrepresentative batch (e.g. the synthetic
+    batch `cli serve --quant` uses at startup) should not sit exactly at
+    the observed max. The cost is a proportionally coarser quantization
+    step for in-range values.
     """
-    _, state = quant_model.apply({"params": params}, sample_pixels,
-                                 mutable=["intermediates"])
+    # One compile + one dispatch (params as jit ARGUMENTS — an un-jitted
+    # apply would execute the 24-layer tower op-by-op, paying per-dispatch
+    # RPC overhead thousands of times through the TPU tunnel).
+    forward = jax.jit(lambda p, x: quant_model.apply(
+        {"params": p}, x, mutable=["intermediates"]))
+    _, state = forward(params, sample_pixels)
     inter = state["intermediates"]
 
     def graft(ptree, itree):
@@ -241,3 +265,29 @@ def calibrate_act_scales(quant_model, params, sample_pixels,
         return out
 
     return graft(params, inter)
+
+
+def quantize_and_calibrate(dyn_model, params, calib_pixels,
+                           tower_key: Optional[str] = None,
+                           margin: float = 1.0):
+    """The full int8 conversion recipe in one call.
+
+    Quantizes the tower kernels per output channel, runs ``dyn_model``
+    (the SAME architecture constructed with ``quant=True``) once over
+    ``calib_pixels`` (CLIP-normalized f32) to freeze activation scales,
+    and returns the params tree ready for the ``quant='static'`` model.
+    ``tower_key`` names the tower subtree when the tower is nested
+    (e.g. ``"vision"`` inside SuperGuessr params); None quantizes the
+    whole tree (bare `CLIPVisionTower` params).
+
+    Single implementation shared by `cli serve/evaluate --quant`,
+    `bench.py` (BENCH_QUANT=1) and `scripts/bench_serve.py` so the
+    benchmarks measure exactly the serving recipe.
+    """
+    if tower_key is None:
+        qparams = quantize_tower_params(params)
+    else:
+        qparams = dict(params)
+        qparams[tower_key] = quantize_tower_params(params[tower_key])
+    return calibrate_act_scales(dyn_model, qparams, calib_pixels,
+                                margin=margin)
