@@ -1,0 +1,39 @@
+// Service worker: privileged operations the content scripts cannot do
+// themselves. Rebuilt MV3 counterpart of the reference bot's worker
+// (reference bot/chrome_extension/scripts/background.js:1-20): tab
+// screenshots, window resize to the model's expected aspect, and log
+// relay. Screenshot capture uses chrome.tabs.captureVisibleTab — no
+// html2canvas dependency.
+
+const PANORAMA_WINDOW = { width: 921, height: 1000 };
+
+chrome.runtime.onMessage.addListener((request, sender, sendResponse) => {
+  if (!request || !request.action) return false;
+
+  switch (request.action) {
+    case "resizeWindow":
+      chrome.windows.getCurrent((win) => {
+        chrome.windows.update(win.id, { ...PANORAMA_WINDOW, state: "normal" });
+        sendResponse({ ok: true });
+      });
+      return true;
+
+    case "screenshot":
+      // JPEG (not the default PNG): the server re-encodes to 336px
+      // anyway and JPEG cuts the localhost POST body ~5x.
+      chrome.tabs.captureVisibleTab(
+        null,
+        { format: "jpeg", quality: 90 },
+        (dataUri) => sendResponse({ image: dataUri })
+      );
+      return true;
+
+    case "log":
+      console.log(request.content);
+      sendResponse({ ok: true });
+      return false;
+
+    default:
+      return false;
+  }
+});
