@@ -1,4 +1,4 @@
-"""CLI: pretrain | finetune | embed | evaluate | serve | geocells.
+"""CLI: pretrain | finetune | embed | evaluate | predict | serve | geocells.
 
 Keeps the reference's public command surface (`run.py:21-93`:
 ``{pretrain,finetune,embed,evaluate} NAME`` with ``-l -b -s -a -t -m
@@ -84,7 +84,7 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native PIGEON: planet-scale image geolocation.")
     p.add_argument("function",
                    choices=["pretrain", "finetune", "embed", "evaluate",
-                            "serve", "geocells"],
+                            "predict", "serve", "geocells"],
                    help="operation to run")
     p.add_argument("name", nargs="?", default="pigeon",
                    help="model/run name or checkpoint path")
@@ -421,6 +421,35 @@ def cmd_embed(args) -> int:
     return 0
 
 
+def _init_and_restore(args, cfg, model, example):
+    """Init params, then restore the run's latest Orbax checkpoint if one
+    exists, else overlay ``--base`` (torch) weights. Shared by
+    evaluate/serve/predict — one restore policy for every inference
+    surface."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    from pigeon_tpu.train.checkpoints import latest_step
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), example)["params"]
+    ckpt_dir = os.path.join(args.checkpoint_dir, args.name)
+    if latest_step(ckpt_dir) is not None:
+        from pigeon_tpu.train import create_train_state
+        from pigeon_tpu.train.checkpoints import restore_checkpoint
+        from pigeon_tpu.train.train_loop import adamw
+
+        state = create_train_state(jax.random.PRNGKey(0), model,
+                                   adamw(1e-4), (example,))
+        state = restore_checkpoint(ckpt_dir, state)
+        logger.warning("restored checkpoint step %d from %s",
+                       int(state.step), ckpt_dir)
+        return state.params
+    if args.base:
+        return _load_base_checkpoint(params, args.base,
+                                     cfg.vision.num_layers)
+    return params
+
+
 def _quantize_for_inference(cfg, params, calib_pixels,
                             margin: float = 1.0):
     """int8 W8A8 tower for inference (`models/quant.py`).
@@ -464,26 +493,9 @@ def cmd_evaluate(args) -> int:
     model = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
                         attn_impl=_attn_impl())
     views = (4,) if cfg.head.panorama else ()
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, *views, cfg.vision.image_size,
-                   cfg.vision.image_size, 3)))["params"]
-    ckpt_dir = os.path.join(args.checkpoint_dir, args.name)
-    from pigeon_tpu.train.checkpoints import latest_step
-
-    if latest_step(ckpt_dir) is not None:
-        from pigeon_tpu.train import create_train_state
-        from pigeon_tpu.train.checkpoints import restore_checkpoint
-        from pigeon_tpu.train.train_loop import adamw
-
-        state = create_train_state(
-            jax.random.PRNGKey(0), model, adamw(1e-4),
-            (jnp.zeros((1, *views, cfg.vision.image_size,
-                        cfg.vision.image_size, 3)),))
-        params = restore_checkpoint(ckpt_dir, state).params
-    elif args.base:
-        params = _load_base_checkpoint(params, args.base,
-                                       cfg.vision.num_layers)
+    example = jnp.zeros((1, *views, cfg.vision.image_size,
+                         cfg.vision.image_size, 3))
+    params = _init_and_restore(args, cfg, model, example)
 
     # Prototype bank built ONCE; a refine function per benchmark family
     # (the per-family topk/temperature/guard presets differ —
@@ -555,9 +567,29 @@ def cmd_evaluate(args) -> int:
     eval_step = make_eval_step(model, cfg.head, cells,
                                num_candidates=EVAL_NUM_CANDIDATES)
 
+    # Multi-chip eval: shard params by the TP rules and batches over the
+    # data axis; GSPMD inserts the collectives (docs/SHARDING.md). Ragged
+    # tail batches stay on the default device (their leading dim may not
+    # divide the data axis).
+    to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
+    if jax.device_count() > 1 or args.tp > 1:
+        from pigeon_tpu.train import create_mesh, shard_batch
+        from pigeon_tpu.train.mesh import shard_params
+
+        mesh = create_mesh(tp=args.tp)
+        params = shard_params(params, mesh)
+        data_size = mesh.shape["data"]
+
+        def to_dev(b):  # noqa: F811
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            if b["inputs"].shape[0] % data_size == 0:
+                return shard_batch(b, mesh)
+            return b
+        logger.warning("evaluating on %d devices (mesh %s)",
+                       jax.device_count(), dict(mesh.shape))
+
     for benchmark in names:
         ds = get_ds(benchmark)
-        to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
         metrics = evaluate_benchmark(
             eval_step, params,
             iter_batches(ds, args.batch_size or 32),
@@ -570,6 +602,139 @@ def cmd_evaluate(args) -> int:
 
         with open(args.output, "w") as f:
             json.dump(results, f, indent=2)
+    return 0
+
+
+def cmd_predict(args) -> int:
+    """Batch geolocation: images in -> coordinates CSV out.
+
+    The deployment surface the reference never shipped as a command (its
+    only inference paths were the benchmark evaluator and the absent bot
+    server). Input is either ``--images DIR`` (recursive scan, single
+    image per sample) or ``-l/--load CSV`` (metadata rows with `image`
+    [+ `image_2..4` when --panorama] columns, resolved against
+    ``--images`` as a prefix). Output CSV columns: image, lat, lng,
+    geocell_idx, prob [+ refined_cell when refinement assets are given].
+    Supports ``--quant`` (int8 tower, calibrated on the first batch) and
+    refinement via ``--prototypes/--embeddings/--metadata``.
+    """
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pandas as pd
+
+    from pigeon_tpu.data import TabularImageDataset
+    from pigeon_tpu.models.super_guessr import SuperGuessr
+    from pigeon_tpu.serve.server import make_serving_fn
+
+    cells, _ = load_geocells(args)
+    cfg = config_with_cells(args, cells)
+    model = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
+                        attn_impl=_attn_impl())
+    views = (4,) if cfg.head.panorama else ()
+    size = cfg.vision.image_size
+    example = jnp.zeros((1, *views, size, size, 3))
+    params = _init_and_restore(args, cfg, model, example)
+
+    if args.load:
+        df = pd.read_csv(args.load)
+        names = df["image"].astype(str).tolist()
+    else:
+        if not args.images:
+            raise SystemExit("predict needs --images DIR or -l CSV")
+        exts = (".jpg", ".jpeg", ".png", ".webp", ".bmp")
+        names = sorted(
+            p for p in glob.glob(os.path.join(args.images, "**"),
+                                 recursive=True)
+            if p.lower().endswith(exts))
+        if not names:
+            raise SystemExit(f"no images under {args.images}")
+        if cfg.head.panorama:
+            raise SystemExit("--panorama predict needs -l CSV with "
+                             "image..image_4 columns")
+        df = pd.DataFrame({"image": names})
+    ds = TabularImageDataset(df, args.images if args.load else "",
+                             image_size=size, panorama=cfg.head.panorama,
+                             normalize=False)
+
+    batch = args.batch_size or 32
+
+    def pixel_batches():
+        for start in range(0, len(ds), batch):
+            rows = ds.df.iloc[start:start + batch]
+            pixels = np.stack([ds.load_pixels(r)
+                               for _, r in rows.iterrows()])
+            # Pad the tail to the compiled batch shape (one executable).
+            pad = batch - len(rows)
+            if pad:
+                pixels = np.concatenate(
+                    [pixels, np.repeat(pixels[-1:], pad, 0)])
+            yield pixels, len(rows)
+
+    if getattr(args, "quant", False):
+        from pigeon_tpu.data.image_ops import normalize_images
+
+        first, _n = next(pixel_batches())
+        calib = normalize_images(jnp.asarray(first[:8]))
+        model, params = _quantize_for_inference(cfg, params, calib)
+        logger.warning("predicting through the int8 W8A8 tower")
+
+    # Multi-chip prediction: the compiled batch shape is fixed (tail is
+    # padded), so every dispatch shards evenly over the data axis.
+    place = lambda x: x  # noqa: E731
+    if jax.device_count() > 1 or args.tp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from pigeon_tpu.train import create_mesh
+        from pigeon_tpu.train.mesh import shard_params
+
+        mesh = create_mesh(tp=args.tp)
+        if batch % mesh.shape["data"] == 0:
+            params = shard_params(params, mesh)
+            sh = NamedSharding(mesh, PartitionSpec("data"))
+            place = lambda x: jax.device_put(x, sh)  # noqa: E731
+            logger.warning("predicting on %d devices (mesh %s)",
+                           jax.device_count(), dict(mesh.shape))
+        else:
+            logger.warning(
+                "batch size %d not divisible by the data axis (%d); "
+                "running single-device", batch, mesh.shape["data"])
+
+    serve_fn = make_serving_fn(model, params, cfg.head, cells)
+
+    refine_fn = None
+    assets = _load_refine_assets(args)
+    if assets is not None:
+        from pigeon_tpu.train.evaluate import build_refiner, refiner_preset
+
+        family = "geoguessr" if cfg.head.panorama else "im2gps3k"
+        refine_fn = build_refiner(*assets, num_cells=len(cells),
+                                  cfg=refiner_preset(family))
+        logger.warning("refinement enabled (%s preset)", family)
+
+    out_rows = []
+    for pixels, n in pixel_batches():
+        out = serve_fn(place(jnp.asarray(pixels, jnp.uint8)))
+        lla = np.asarray(out["pred_lla"], np.float64)
+        cell_idx = np.asarray(out["topk_cells"])[:, 0]
+        prob = np.asarray(out["topk_probs"], np.float64)[:, 0]
+        if refine_fn is not None:
+            refined = refine_fn(
+                out["embedding"], out["pred_lla"], out["topk_cells"],
+                out["topk_probs"])
+            lla = np.asarray(refined["pred_lla"], np.float64)
+            cell_idx = np.asarray(refined["pred_cell"])
+        for i in range(n):
+            out_rows.append({"image": names[len(out_rows)],
+                             "lat": lla[i, 1], "lng": lla[i, 0],
+                             "geocell_idx": int(cell_idx[i]),
+                             "prob": prob[i]})
+    result = pd.DataFrame(out_rows)
+    out_path = args.output or "predictions.csv"
+    result.to_csv(out_path, index=False)
+    logger.warning("wrote %d predictions to %s", len(result), out_path)
     return 0
 
 
@@ -673,20 +838,7 @@ def cmd_serve(args) -> int:
     views = (4,) if cfg.head.panorama else ()
     example = jnp.zeros((1, *views, cfg.vision.image_size,
                          cfg.vision.image_size, 3))
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), example)["params"]
-
-    ckpt_dir = os.path.join(args.checkpoint_dir, args.name)
-    from pigeon_tpu.train.checkpoints import latest_step
-
-    if latest_step(ckpt_dir) is not None:
-        from pigeon_tpu.train import create_train_state
-        from pigeon_tpu.train.checkpoints import restore_checkpoint
-        from pigeon_tpu.train.train_loop import adamw
-
-        state = create_train_state(jax.random.PRNGKey(0), model,
-                                   adamw(1e-4), (example,))
-        params = restore_checkpoint(ckpt_dir, state).params
-        logger.warning("serving checkpoint step %d", int(state.step))
+    params = _init_and_restore(args, cfg, model, example)
 
     if getattr(args, "quant", False):
         # Synthetic N(0,1) calibration batch (matches CLIP-normalized
@@ -765,6 +917,7 @@ COMMANDS = {
     "finetune": cmd_finetune,
     "embed": cmd_embed,
     "evaluate": cmd_evaluate,
+    "predict": cmd_predict,
     "serve": cmd_serve,
     "geocells": cmd_geocells,
 }

@@ -158,8 +158,8 @@ def make_refine_fn(bank: ProtoBank, cfg: RefinerConfig,
     """Build the jitted batched refinement function.
 
     Returns ``refine(embedding, initial_preds, candidate_cells,
-    candidate_probs) -> (pred_lla, pred_cell, refine_index)`` operating on
-    a whole batch at once.
+    candidate_probs) -> {"pred_lla", "pred_cell", "refine_index",
+    "changed"}`` operating on a whole batch at once.
     """
     if within_cluster not in ("nearest", "reference"):
         raise ValueError(f"within_cluster={within_cluster!r}")

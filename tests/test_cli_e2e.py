@@ -295,3 +295,64 @@ def test_finetune_on_embeddings_with_tp2(tiny_world, monkeypatch):
     from pigeon_tpu.train.checkpoints import latest_step
 
     assert latest_step(str(tmp / "saved_models" / "runtp")) is not None
+
+
+def test_predict_directory_to_csv(tiny_world, monkeypatch):
+    """`predict --images DIR` geolocates every image into a CSV —
+    the batch-inference surface the reference never shipped."""
+    tmp = tiny_world
+    monkeypatch.chdir(tmp)
+
+    out = tmp / "preds.csv"
+    rc = main(["predict", "runp", "--tiny",
+               "--images", str(tmp / "imgs"),
+               "--geocells", str(tmp / "cells.csv"),
+               "--batch-size", "8", "--output", str(out)])
+    assert rc == 0
+    preds = pd.read_csv(out)
+    assert len(preds) == 36
+    assert set(preds.columns) >= {"image", "lat", "lng", "geocell_idx",
+                                  "prob"}
+    assert preds["lat"].between(-90, 90).all()
+    assert preds["lng"].between(-180, 180).all()
+    assert preds["geocell_idx"].between(0, 2).all()
+    assert preds["prob"].between(0, 1).all()
+    # Tail batch (36 = 4*8 + 4) must not duplicate or drop rows.
+    assert preds["image"].is_unique
+
+
+def test_predict_csv_with_refinement_and_quant(tiny_world, monkeypatch):
+    """`predict -l CSV` with refinement assets + --quant: refined
+    coordinates must come from the prototype bank's geometry."""
+    tmp = tiny_world
+    monkeypatch.chdir(tmp)
+
+    rc = main(["embed", "runq", "--tiny",
+               "--metadata", str(tmp / "meta.csv"),
+               "--images", str(tmp / "imgs"),
+               "--output", str(tmp / "emb"), "--batch-size", "8"])
+    assert rc == 0
+    meta = pd.read_csv(tmp / "meta.csv")
+    train = meta[meta["selection"] == "train"].reset_index(drop=True)
+    from pigeon_tpu.geocell import build_prototypes
+
+    build_prototypes(train, cluster_args=(4, 0.05), num_workers=0,
+                     output_csv=str(tmp / "protos.csv"))
+
+    val = meta[meta["selection"] == "val"].reset_index(drop=True)
+    val.to_csv(tmp / "val.csv", index=False)
+    out = tmp / "preds.csv"
+    rc = main(["predict", "runq", "--tiny", "--quant",
+               "-l", str(tmp / "val.csv"),
+               "--images", str(tmp / "imgs"),
+               "--geocells", str(tmp / "cells.csv"),
+               "--prototypes", str(tmp / "protos.csv"),
+               "--embeddings", str(tmp / "emb"),
+               "--metadata", str(tmp / "meta.csv"),
+               "--batch-size", "4", "--output", str(out)])
+    assert rc == 0
+    preds = pd.read_csv(out)
+    assert len(preds) == len(val)
+    assert (preds["image"] == val["image"]).all()
+    assert preds["lat"].between(-90, 90).all()
+    assert preds["lng"].between(-180, 180).all()
