@@ -68,19 +68,16 @@ def main() -> None:
     quant = os.environ.get("BENCH_QUANT", "0") == "1"
     if quant:
         from pigeon_tpu.models.embedder import token_mean_embedding
-        from pigeon_tpu.models.quant import (
-            calibrate_act_scales,
-            quantize_tower_params,
-        )
+        from pigeon_tpu.models.quant import quantize_and_calibrate
 
-        qtower = quantize_tower_params(tower_params)
-        # Calibrate activation ranges with ONE dynamic-mode forward,
-        # then serve with frozen per-tensor scales (no runtime reduces).
+        # The exact serving recipe (shared with `cli serve --quant`):
+        # per-channel weight quant + one dynamic-mode forward to freeze
+        # activation scales (no runtime reduces in the static model).
         dyn = CLIPVisionTower(vision_cfg, dtype=jnp.bfloat16,
                               attn_impl=attn_impl, quant=True)
         calib_px = jax.random.normal(jax.random.PRNGKey(7),
                                      (8, size, size, 3), jnp.float32)
-        qtower = calibrate_act_scales(dyn, qtower, calib_px)
+        qtower = quantize_and_calibrate(dyn, tower_params, calib_px)
 
         tower = CLIPVisionTower(vision_cfg, dtype=jnp.bfloat16,
                                 attn_impl=attn_impl, quant="static")

@@ -12,17 +12,31 @@ chrome.runtime.onMessage.addListener((request, sender, sendResponse) => {
 
   switch (request.action) {
     case "resizeWindow":
-      chrome.windows.getCurrent((win) => {
-        chrome.windows.update(win.id, { ...PANORAMA_WINDOW, state: "normal" });
-        sendResponse({ ok: true });
-      });
+      // Resize the window the REQUESTING tab lives in — getCurrent in a
+      // service worker is the last-focused window, which may differ.
+      if (sender.tab && sender.tab.windowId !== undefined) {
+        chrome.windows.update(
+          sender.tab.windowId,
+          { ...PANORAMA_WINDOW, state: "normal" },
+          () => sendResponse({ ok: true })
+        );
+      } else {
+        chrome.windows.getCurrent((win) => {
+          chrome.windows.update(win.id, {
+            ...PANORAMA_WINDOW,
+            state: "normal",
+          });
+          sendResponse({ ok: true });
+        });
+      }
       return true;
 
     case "screenshot":
       // JPEG (not the default PNG): the server re-encodes to 336px
-      // anyway and JPEG cuts the localhost POST body ~5x.
+      // anyway and JPEG cuts the localhost POST body ~5x. Capture the
+      // sender's window, not whichever window is focused.
       chrome.tabs.captureVisibleTab(
-        null,
+        sender.tab ? sender.tab.windowId : null,
         { format: "jpeg", quality: 90 },
         (dataUri) => sendResponse({ image: dataUri })
       );

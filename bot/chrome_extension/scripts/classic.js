@@ -8,23 +8,20 @@
 // WITHOUT --panorama (single-image tower).
 
 (async () => {
-  let lastToken = null;
+  // All 5 rounds share the same /game/<token> URL — track rounds by
+  // counting guess-button cycles, not by token.
+  let roundNumber = 1;
 
   while (true) {
     await waitTillAppears(".guess-map__guess-button");
     await randomWait(1500, 5000);
 
     const gameToken = gameIdFromUrl();
-    if (gameToken === lastToken) {
-      await wait(500);
-      continue;
-    }
-
     const image = await captureSingle();
 
     let guess;
     try {
-      guess = await requestPrediction(gameToken, 1, [image]);
+      guess = await requestPrediction(gameToken, roundNumber, [image]);
     } catch (e) {
       console.log("prediction failed", e);
       await wait(2000);
@@ -37,18 +34,28 @@
       guess.results.lat,
       guess.results.lng
     );
-    lastToken = gameToken;
-    await reportGameResult(gameToken, result.round || 1, result);
+    await reportGameResult(gameToken, result.round || roundNumber, result);
+    roundNumber += 1;
+    // Round transition: the guess button goes away with the result
+    // screen, then reappears for the next round.
     await waitTillDisappears(".guess-map__guess-button");
   }
 })();
 
 async function submitClassicGuess(token, lat, lng) {
-  const resp = await fetch(`https://www.geoguessr.com/api/v3/games/${token}`, {
-    method: "POST",
-    credentials: "include",
-    headers: { "Content-Type": "application/json", "x-client": "web" },
-    body: JSON.stringify({ token, lat, lng, timedOut: false }),
-  });
-  return resp.json();
+  try {
+    const resp = await fetch(
+      `https://www.geoguessr.com/api/v3/games/${token}`,
+      {
+        method: "POST",
+        credentials: "include",
+        headers: { "Content-Type": "application/json", "x-client": "web" },
+        body: JSON.stringify({ token, lat, lng, timedOut: false }),
+      }
+    );
+    return await resp.json().catch(() => ({}));
+  } catch (e) {
+    console.log("guess submit failed", e);
+    return {};
+  }
 }

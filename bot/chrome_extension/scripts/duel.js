@@ -35,20 +35,25 @@
     console.log("pigeon_tpu guess", guess.results);
 
     // The duel API rejects a stale round number with HTTP 400 and
-    // returns the current one — resync and retry.
+    // reports the current one — resync to THAT number and retry (with
+    // backoff: a malformed 400 body must not become a tight loop).
     let result;
-    do {
+    let submitted = roundNumber;
+    for (let attempt = 0; attempt < 5; attempt++) {
       result = await submitDuelGuess(
         gameID,
         guess.results.lat,
         guess.results.lng,
-        roundNumber,
+        submitted,
         battleRoyale
       );
-      roundNumber = (result.body.currentRoundNumber || roundNumber) + 1;
-    } while (result.resp.status === 400);
+      if (result.resp.status !== 400) break;
+      submitted = result.body.currentRoundNumber || submitted + 1;
+      await wait(500);
+    }
+    roundNumber = submitted + 1;
 
-    await reportGameResult(gameID, roundNumber - 1, result.body);
+    await reportGameResult(gameID, submitted, result.body);
     await waitTillDisappears(guessButton);
   }
 })();
@@ -56,12 +61,18 @@
 async function submitDuelGuess(gameID, lat, lng, roundNumber, battleRoyale) {
   const mode = battleRoyale ? "battle-royale" : "duels";
   const apiURL = `https://game-server.geoguessr.com/api/${mode}/${gameID}/guess`;
-  const resp = await fetch(apiURL, {
-    method: "POST",
-    credentials: "include",
-    headers: { "Content-Type": "application/json", "x-client": "web" },
-    body: JSON.stringify({ lat, lng, roundNumber }),
-  });
-  const body = await resp.json();
-  return { resp, body };
+  try {
+    const resp = await fetch(apiURL, {
+      method: "POST",
+      credentials: "include",
+      headers: { "Content-Type": "application/json", "x-client": "web" },
+      body: JSON.stringify({ lat, lng, roundNumber }),
+    });
+    // Non-JSON error pages (proxy 502s) must not kill the round loop.
+    const body = await resp.json().catch(() => ({}));
+    return { resp, body };
+  } catch (e) {
+    console.log("guess submit failed", e);
+    return { resp: { status: 0 }, body: {} };
+  }
 }

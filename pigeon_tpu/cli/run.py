@@ -614,9 +614,11 @@ def cmd_predict(args) -> int:
     image per sample) or ``-l/--load CSV`` (metadata rows with `image`
     [+ `image_2..4` when --panorama] columns, resolved against
     ``--images`` as a prefix). Output CSV columns: image, lat, lng,
-    geocell_idx, prob [+ refined_cell when refinement assets are given].
-    Supports ``--quant`` (int8 tower, calibrated on the first batch) and
-    refinement via ``--prototypes/--embeddings/--metadata``.
+    geocell_idx, top1_prob. With refinement assets
+    (``--prototypes/--embeddings/--metadata``) lat/lng/geocell_idx are
+    the REFINED guess; top1_prob stays the unrefined model confidence
+    (the refiner outputs a choice, not a calibrated probability).
+    ``--quant`` runs the int8 tower, calibrated on the first batch.
     """
     import glob
 
@@ -625,7 +627,7 @@ def cmd_predict(args) -> int:
     import numpy as np
     import pandas as pd
 
-    from pigeon_tpu.data import TabularImageDataset
+    from pigeon_tpu.data import TabularImageDataset, iter_batches
     from pigeon_tpu.models.super_guessr import SuperGuessr
     from pigeon_tpu.serve.server import make_serving_fn
 
@@ -662,22 +664,24 @@ def cmd_predict(args) -> int:
     batch = args.batch_size or 32
 
     def pixel_batches():
-        for start in range(0, len(ds), batch):
-            rows = ds.df.iloc[start:start + batch]
-            pixels = np.stack([ds.load_pixels(r)
-                               for _, r in rows.iterrows()])
-            # Pad the tail to the compiled batch shape (one executable).
-            pad = batch - len(rows)
-            if pad:
+        """Threaded decode + prefetch (`data/pipeline.iter_batches`),
+        tail padded to the one compiled batch shape."""
+        for b in iter_batches(ds, batch):
+            pixels = b["inputs"]
+            n = len(pixels)
+            if n < batch:
                 pixels = np.concatenate(
-                    [pixels, np.repeat(pixels[-1:], pad, 0)])
-            yield pixels, len(rows)
+                    [pixels, np.repeat(pixels[-1:], batch - n, 0)])
+            yield pixels, n
 
+    batches_it = pixel_batches()
+    pending = []  # first batch kept for the main loop (no double decode)
     if getattr(args, "quant", False):
         from pigeon_tpu.data.image_ops import normalize_images
 
-        first, _n = next(pixel_batches())
-        calib = normalize_images(jnp.asarray(first[:8]))
+        first = next(batches_it)
+        pending.append(first)
+        calib = normalize_images(jnp.asarray(first[0][:8]))
         model, params = _quantize_for_inference(cfg, params, calib)
         logger.warning("predicting through the int8 W8A8 tower")
 
@@ -714,8 +718,10 @@ def cmd_predict(args) -> int:
                                   cfg=refiner_preset(family))
         logger.warning("refinement enabled (%s preset)", family)
 
+    import itertools
+
     out_rows = []
-    for pixels, n in pixel_batches():
+    for pixels, n in itertools.chain(pending, batches_it):
         out = serve_fn(place(jnp.asarray(pixels, jnp.uint8)))
         lla = np.asarray(out["pred_lla"], np.float64)
         cell_idx = np.asarray(out["topk_cells"])[:, 0]
@@ -730,7 +736,7 @@ def cmd_predict(args) -> int:
             out_rows.append({"image": names[len(out_rows)],
                              "lat": lla[i, 1], "lng": lla[i, 0],
                              "geocell_idx": int(cell_idx[i]),
-                             "prob": prob[i]})
+                             "top1_prob": prob[i]})
     result = pd.DataFrame(out_rows)
     out_path = args.output or "predictions.csv"
     result.to_csv(out_path, index=False)

@@ -98,8 +98,12 @@ class TabularImageDataset:
         return self.df[["lng", "lat"]].to_numpy(dtype=np.float32)
 
     def sample_arrays(self, row) -> Dict[str, np.ndarray]:
-        """Non-image arrays for one row."""
-        out = {"labels": np.array([row["lng"], row["lat"]], np.float32)}
+        """Non-image arrays for one row. Label columns are optional so
+        unlabeled inference rows (`cli predict`) batch through the same
+        pipeline."""
+        out = {}
+        if "lng" in row.index and "lat" in row.index:
+            out["labels"] = np.array([row["lng"], row["lat"]], np.float32)
         if "geocell_idx" in row.index:
             out["labels_clf"] = np.int32(row["geocell_idx"])
         elif "geocell_idx_yfcc" in row.index:

@@ -75,18 +75,16 @@ def main() -> None:
     params = jax.jit(model.init)(jax.random.PRNGKey(0), example)["params"]
 
     if quant:
-        from pigeon_tpu.models.quant import (
-            calibrate_act_scales,
-            quantize_tower_params,
-        )
+        from pigeon_tpu.models.quant import quantize_and_calibrate
 
-        qparams = dict(params)
-        qparams["vision"] = quantize_tower_params(params["vision"])
+        # Exactly the `cli serve --quant` recipe incl. its 1.25 margin,
+        # so the measured latency is the latency actually served.
         dyn = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.bfloat16,
                           attn_impl=attn, quant=True)
         calib = jax.random.normal(jax.random.PRNGKey(3),
                                   (1, 4, size, size, 3), jnp.float32)
-        params = calibrate_act_scales(dyn, qparams, calib)
+        params = quantize_and_calibrate(dyn, params, calib,
+                                        tower_key="vision", margin=1.25)
         model = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.bfloat16,
                             attn_impl=attn, quant="static")
 

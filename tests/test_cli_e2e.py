@@ -312,11 +312,11 @@ def test_predict_directory_to_csv(tiny_world, monkeypatch):
     preds = pd.read_csv(out)
     assert len(preds) == 36
     assert set(preds.columns) >= {"image", "lat", "lng", "geocell_idx",
-                                  "prob"}
+                                  "top1_prob"}
     assert preds["lat"].between(-90, 90).all()
     assert preds["lng"].between(-180, 180).all()
     assert preds["geocell_idx"].between(0, 2).all()
-    assert preds["prob"].between(0, 1).all()
+    assert preds["top1_prob"].between(0, 1).all()
     # Tail batch (36 = 4*8 + 4) must not duplicate or drop rows.
     assert preds["image"].is_unique
 
