@@ -14,8 +14,13 @@ Protocol notes for this environment (axon-tunneled TPU; docs/PERF.md):
     SEGMENTED (`pigeon_tpu.models.segmented`): identical math, all 24
     layers execute, split across BENCH_SEGMENTS executables;
   * inputs are generated ON DEVICE (host->device ~6 MB/s);
-  * per-dispatch RPC overhead is measured with a trivial kernel and
-    subtracted (segments + 1 dispatches per iteration).
+  * an AWAITED dispatch costs ~32 ms round-trip but a CHAINED async
+    dispatch only ~1.7 ms (the send pipelines with device compute), so
+    the loop chains iterations through a data dependency (each input is
+    perturbed by the previous scalar output) and reads back ONE scalar
+    per window. The old protocol (sync every iteration, subtract probed
+    overhead) over-corrected at small batches — it "measured" int8 bs16
+    at 1667 img/s, 2.6x above int8 speed of light.
 
 Variance control: the timing loop runs BENCH_WINDOWS (default 5)
 independent windows and reports the MEDIAN rate (all windows on stderr) —
@@ -24,7 +29,7 @@ single-window numbers on this shared tunnel vary ~10%.
 Env knobs: BENCH_BATCH (64), BENCH_ITERS (8), BENCH_SEGMENTS (1),
 BENCH_WINDOWS (5), BENCH_ATTN (flash), BENCH_QUANT (0; 1 = the int8
 W8A8 serving path, `models/quant.py` — separate metric name, default
-headline stays bf16).
+headline stays bf16; int8 peaks at BENCH_BATCH=32, see docs/PERF.md).
 """
 
 from __future__ import annotations
@@ -99,38 +104,31 @@ def main() -> None:
     scalarize = jax.jit(lambda a, b: a.astype(jnp.float32).sum()
                         + b.astype(jnp.float32).sum())
 
-    # Per-dispatch RPC overhead probe.
-    triv = jax.jit(lambda x: x.sum())
-    z = jax.random.normal(jax.random.PRNGKey(9), (8, 128))
-    float(triv(z))
-    t0 = time.perf_counter()
-    for _ in range(6):
-        float(triv(z))
-    overhead = (time.perf_counter() - t0) / 6
-
     pixels = [jax.random.normal(jax.random.PRNGKey(i),
                                 (batch, size, size, 3), jnp.float32)
               for i in range(2)]
 
-    def chain(px):
-        logits, emb = run_segmented(fns, px)
-        return float(scalarize(logits, emb))
-
-    t0 = time.perf_counter()
-    chain(pixels[0])                       # compiles all segments
-    compile_s = time.perf_counter() - t0
-    chain(pixels[1])                       # steady state warmup
-
-    windows = int(os.environ.get("BENCH_WINDOWS", "5"))
-    dispatches = segments + 1              # segments + scalarize
-    rates = []
-    for _ in range(windows):
+    def window(iters):
+        """iters chained forwards (each input perturbed by the previous
+        scalar output -> device-serial), ONE readback at the end."""
+        carry = jnp.float32(0.0)
         t0 = time.perf_counter()
         for i in range(iters):
-            chain(pixels[i % 2])
-        per_iter = (time.perf_counter() - t0) / iters
-        net = max(per_iter - dispatches * overhead, 1e-9)
-        rates.append(batch / net)
+            px = pixels[i % 2] + carry * jnp.float32(1e-12)
+            logits, emb = run_segmented(fns, px)
+            carry = scalarize(logits, emb)
+        float(carry)                       # sync: the whole chain drained
+        return time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    window(1)                              # compiles all segments
+    compile_s = time.perf_counter() - t0
+    window(2)                              # steady state warmup
+
+    windows = int(os.environ.get("BENCH_WINDOWS", "5"))
+    rates = []
+    for _ in range(windows):
+        rates.append(batch * iters / window(iters))
     rates.sort()
     rate = rates[len(rates) // 2]          # median window
     print(json.dumps({
@@ -141,7 +139,6 @@ def main() -> None:
         "vs_baseline": round(rate / BASELINE_IMAGES_PER_SEC, 4),
     }))
     print(f"# windows={[round(r, 1) for r in rates]} "
-          f"overhead={overhead*1000:.1f}ms x{dispatches} "
           f"compile={compile_s:.1f}s", file=sys.stderr)
 
 

@@ -108,15 +108,20 @@ def evaluate_model(eval_step: Callable, params, batches: Iterable[Dict],
     """
     acc: Dict[str, list] = {}
 
+    # Values accumulate as DEVICE arrays and convert once at the end: a
+    # per-batch `np.asarray`/`float` awaits the dispatch round-trip and
+    # stalls the device between batches (~32 ms each through a tunneled
+    # TPU; docs/PERF.md "chained dispatch"). Host decode still overlaps
+    # via the iter_batches prefetch queue.
     def push(key, value):
         if value is not None:
-            acc.setdefault(key, []).append(np.asarray(value))
+            acc.setdefault(key, []).append(value)
 
     losses = []
     for batch in batches:
         dev_batch = batch_to_device(batch) if batch_to_device else batch
         metrics, preds = eval_step(params, dev_batch)
-        losses.append(float(metrics["loss"]))
+        losses.append(metrics["loss"])
 
         pred_lla = preds["pred_lla"]
         pred_cell = preds["pred_cell"]
@@ -138,7 +143,9 @@ def evaluate_model(eval_step: Callable, params, batches: Iterable[Dict],
         push("preds_month", preds.get("preds_month"))
         push("labels_month", batch.get("labels_month"))
 
-    cat = {k: np.concatenate(v) for k, v in acc.items()}
+    cat = {k: np.concatenate([np.asarray(x) for x in v])
+           for k, v in acc.items()}
+    losses = [float(x) for x in losses]
     metrics = compute_geoguessr_metrics(
         predictions=cat["predictions"],
         labels=cat["labels"],
@@ -170,7 +177,7 @@ def train_model(state, train_step: Callable, eval_step: Callable,
                 refine_fn: Optional[Callable] = None,
                 scaler=None,
                 batch_to_device: Optional[Callable] = None,
-                log_every: int = 1):
+                log_every: int = 10):
     """Epoch loop with per-epoch eval, best-ckpt save, early stopping.
 
     Args:
@@ -191,14 +198,25 @@ def train_model(state, train_step: Callable, eval_step: Callable,
 
     for epoch in range(num_epochs):
         t0 = time.time()
+        # Losses stay DEVICE scalars until the periodic flush: float()
+        # every step awaits the dispatch round-trip and stalls the next
+        # step's dispatch (~32 ms on a tunneled TPU). By flush time the
+        # older steps have long completed, so only the newest await
+        # costs anything.
+        pending: list = []
         for batch in train_batches_fn(epoch):
             dev_batch = batch_to_device(batch) if batch_to_device else batch
             state, metrics = train_step(state, dev_batch, rng)
             global_step += 1
             profiler.step()
+            pending.append((global_step, metrics["loss"]))
             if global_step % log_every == 0:
-                writer.scalar("train/loss", float(metrics["loss"]),
-                              global_step)
+                for s, loss in pending:
+                    writer.scalar("train/loss", float(loss), s)
+                pending.clear()
+        for s, loss in pending:
+            writer.scalar("train/loss", float(loss), s)
+        pending.clear()
 
         eval_metrics = evaluate_model(
             eval_step, state.params, eval_batches_fn(),
