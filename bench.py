@@ -16,17 +16,20 @@ Protocol notes for this environment (axon-tunneled TPU; docs/PERF.md):
   * inputs are generated ON DEVICE (host->device ~6 MB/s);
   * an AWAITED dispatch costs ~32 ms round-trip but a CHAINED async
     dispatch only ~1.7 ms (the send pipelines with device compute), so
-    the loop chains iterations through a data dependency (each input is
-    perturbed by the previous scalar output) and reads back ONE scalar
-    per window. The old protocol (sync every iteration, subtract probed
-    overhead) over-corrected at small batches — it "measured" int8 bs16
-    at 1667 img/s, 2.6x above int8 speed of light.
+    the loop dispatches every iteration async and reads back ONE scalar
+    per window (a single TPU core executes enqueued programs in order,
+    so awaiting the last drains the queue). The old protocol (sync
+    every iteration, subtract probed overhead) over-corrected at small
+    batches — it "measured" int8 bs16 at 1667 img/s, 2.6x above int8
+    speed of light.
 
 Variance control: the timing loop runs BENCH_WINDOWS (default 5)
 independent windows and reports the MEDIAN rate (all windows on stderr) —
 single-window numbers on this shared tunnel vary ~10%.
 
-Env knobs: BENCH_BATCH (64), BENCH_ITERS (8), BENCH_SEGMENTS (1),
+Env knobs: BENCH_BATCH (32 — measured optimum for BOTH bf16 (317 vs
+313 at bs64) and int8 (440 vs 403); larger batches grow the serial
+VPU share's VMEM working set), BENCH_ITERS (8), BENCH_SEGMENTS (1),
 BENCH_WINDOWS (5), BENCH_ATTN (flash), BENCH_QUANT (0; 1 = the int8
 W8A8 serving path, `models/quant.py` — separate metric name, default
 headline stays bf16; int8 peaks at BENCH_BATCH=32, see docs/PERF.md).
@@ -54,7 +57,7 @@ def main() -> None:
         run_segmented,
     )
 
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     segments = int(os.environ.get("BENCH_SEGMENTS", "1"))
     attn_impl = os.environ.get("BENCH_ATTN", "flash")
@@ -109,15 +112,19 @@ def main() -> None:
               for i in range(2)]
 
     def window(iters):
-        """iters chained forwards (each input perturbed by the previous
-        scalar output -> device-serial), ONE readback at the end."""
-        carry = jnp.float32(0.0)
+        """iters async-dispatched forwards, ONE readback at the end.
+
+        No explicit data dependency is needed: a single TPU core
+        executes enqueued programs in order, so awaiting the LAST
+        scalar drains the whole queue. (An input-perturbation chain was
+        tried first — the (B, 336, 336, 3) eager add costs ~90 ms/iter
+        because the trailing dim of 3 lane-pads 3->128 on the VPU.)"""
+        carry = None
         t0 = time.perf_counter()
         for i in range(iters):
-            px = pixels[i % 2] + carry * jnp.float32(1e-12)
-            logits, emb = run_segmented(fns, px)
+            logits, emb = run_segmented(fns, pixels[i % 2])
             carry = scalarize(logits, emb)
-        float(carry)                       # sync: the whole chain drained
+        float(carry)                       # sync: the whole queue drained
         return time.perf_counter() - t0
 
     t0 = time.perf_counter()
