@@ -143,6 +143,17 @@ def evaluate_model(eval_step: Callable, params, batches: Iterable[Dict],
         push("preds_month", preds.get("preds_month"))
         push("labels_month", batch.get("labels_month"))
 
+    # Start ALL device->host copies async before awaiting any: a serial
+    # np.asarray per accumulated array pays the ~32 ms readback
+    # round-trip each (48 arrays = 1.5 s of pure latency for an
+    # 8-batch eval, measured — scripts/bench_eval.py). Device-side
+    # jnp.concatenate was tried instead and is WORSE (one fresh remote
+    # compile per key/shape inside the eval).
+    for vals in list(acc.values()) + [losses]:
+        for x in vals:
+            if isinstance(x, jax.Array):
+                x.copy_to_host_async()
+
     cat = {k: np.concatenate([np.asarray(x) for x in v])
            for k, v in acc.items()}
     losses = [float(x) for x in losses]
