@@ -720,23 +720,47 @@ def cmd_predict(args) -> int:
 
     import itertools
 
-    out_rows = []
-    for pixels, n in itertools.chain(pending, batches_it):
+    # One-batch-deep device->host pipeline (same pattern as
+    # train/embed.py): dispatch batch N+1 before converting batch N's
+    # outputs, with async host copies started at dispatch time —
+    # otherwise every batch pays ~3 x 32 ms of readback round-trips.
+    def device_outputs(pixels):
         out = serve_fn(place(jnp.asarray(pixels, jnp.uint8)))
-        lla = np.asarray(out["pred_lla"], np.float64)
-        cell_idx = np.asarray(out["topk_cells"])[:, 0]
-        prob = np.asarray(out["topk_probs"], np.float64)[:, 0]
+        arrays = (out["pred_lla"], out["topk_cells"], out["topk_probs"])
         if refine_fn is not None:
             refined = refine_fn(
                 out["embedding"], out["pred_lla"], out["topk_cells"],
                 out["topk_probs"])
-            lla = np.asarray(refined["pred_lla"], np.float64)
-            cell_idx = np.asarray(refined["pred_cell"])
+            arrays = (refined["pred_lla"], refined["pred_cell"],
+                      out["topk_probs"])
+        for a in arrays:
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        return arrays
+
+    def emit(arrays, n):
+        lla = np.asarray(arrays[0], np.float64)
+        cells_or_topk = np.asarray(arrays[1])
+        cell_idx = (cells_or_topk if cells_or_topk.ndim == 1
+                    else cells_or_topk[:, 0])
+        prob = np.asarray(arrays[2], np.float64)[:, 0]
         for i in range(n):
             out_rows.append({"image": names[len(out_rows)],
                              "lat": lla[i, 1], "lng": lla[i, 0],
                              "geocell_idx": int(cell_idx[i]),
                              "top1_prob": prob[i]})
+
+    out_rows = []
+    prev = None
+    for pixels, n in itertools.chain(pending, batches_it):
+        arrays = device_outputs(pixels)
+        if prev is not None:
+            emit(*prev)
+        prev = (arrays, n)
+    if prev is not None:
+        emit(*prev)
     result = pd.DataFrame(out_rows)
     out_path = args.output or "predictions.csv"
     result.to_csv(out_path, index=False)

@@ -68,6 +68,12 @@ def embed_dataset(model, params, dataset: TabularImageDataset,
 
     chunks, index_chunks = [], []
     seen = sl.start
+    # One-batch-deep device->host pipeline: awaiting each batch's
+    # embeddings serially costs the ~32 ms readback round-trip per batch
+    # (docs/PERF.md); starting the async copy and converting it on the
+    # NEXT iteration overlaps the transfer with the next forward while
+    # holding at most two batches in HBM.
+    pending = None  # (device_emb, real)
     for batch in iter_batches(local_ds, batch_size, shuffle=False,
                               num_workers=num_workers):
         pixels = batch["inputs"]
@@ -78,10 +84,18 @@ def embed_dataset(model, params, dataset: TabularImageDataset,
         pixels = jnp.asarray(pixels)
         if mesh is not None and nproc == 1:
             pixels = shard_batch({"inputs": pixels}, mesh)["inputs"]
-        emb = np.asarray(step(pixels))[:real]
-        chunks.append(emb)
+        emb_dev = step(pixels)
+        try:
+            emb_dev.copy_to_host_async()
+        except AttributeError:      # sharded output on a mesh
+            pass
+        if pending is not None:
+            chunks.append(np.asarray(pending[0])[:pending[1]])
+        pending = (emb_dev, real)
         index_chunks.append(np.arange(seen, seen + real))
         seen += real
+    if pending is not None:
+        chunks.append(np.asarray(pending[0])[:pending[1]])
 
     local_emb = np.concatenate(chunks) if chunks else np.zeros((0,))
     local_idx = (np.concatenate(index_chunks) if index_chunks
