@@ -125,6 +125,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scaler", default=None,
                    help="RegressionScaler JSON for physical-unit multi-task "
                         "MAEs (reference `evaluation/metrics.py:29-54`)")
+    p.add_argument("--zeroshot", action="store_true",
+                   help="evaluate: CLIP zero-shot geocell classification "
+                        "via per-cell text prompts (the capability the "
+                        "reference's missing `evaluation/zeroshot.py` was "
+                        "imported for; `-b` loads a full HF CLIP "
+                        "checkpoint)")
     p.add_argument("--hedge", action="store_true",
                    help="serve: hedge refined guesses for competitive play "
                         "(reference `models/layers/hedge.py:8-57`)")
@@ -473,6 +479,58 @@ def _quantize_for_inference(cfg, params, calib_pixels,
     return model, params
 
 
+def _build_zeroshot_eval_step(args, cfg, cells, cells_df, num_candidates):
+    """CLIP zero-shot geocell eval step (BASELINE config #1): one text
+    prompt per geocell -> text-tower embeddings -> cosine classifier.
+    Rebuilds the capability behind the reference's MISSING
+    `evaluation/zeroshot.py` (`evaluation/__init__.py:3`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pigeon_tpu.data.tokenizer import load_tokenizer
+    from pigeon_tpu.models.clip import CLIPModel
+    from pigeon_tpu.models.zeroshot import (
+        embed_prompts,
+        geocell_prompts,
+        make_zero_shot_eval_step,
+    )
+
+    tokenizer = load_tokenizer(fallback_vocab_size=cfg.text.vocab_size)
+    eos = getattr(tokenizer, "eos_id", 49407)
+    if eos >= cfg.text.vocab_size:
+        raise SystemExit(
+            f"tokenizer eos id {eos} exceeds the text vocab "
+            f"({cfg.text.vocab_size}); use matching vocab assets")
+    model = CLIPModel(cfg.vision, cfg.text, dtype=jnp.bfloat16,
+                      eos_token_id=eos)
+    max_tokens = min(cfg.text.max_position_embeddings, 77)
+    size = cfg.vision.image_size
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)),
+        jnp.zeros((1, max_tokens), jnp.int32))["params"]
+    if args.base:
+        import torch
+
+        from pigeon_tpu.models.hf_import import (
+            import_clip_params,
+            merge_params,
+        )
+
+        state = torch.load(args.base, map_location="cpu")
+        if hasattr(state, "state_dict"):
+            state = state.state_dict()
+        params = merge_params(params, import_clip_params(
+            state, cfg.vision.num_layers, cfg.text.num_layers))
+        logger.warning("loaded full CLIP checkpoint %s", args.base)
+
+    prompts = geocell_prompts(cells_df.to_dict("records"))
+    ids = tokenizer(prompts)[:, :max_tokens]
+    text_embeds = embed_prompts(model, params, ids)
+    logger.warning("zero-shot: %d geocell prompts embedded", len(prompts))
+    return make_zero_shot_eval_step(model, params, text_embeds, cells,
+                                    num_candidates=num_candidates)
+
+
 def cmd_evaluate(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -488,20 +546,30 @@ def cmd_evaluate(args) -> int:
         refiner_preset,
     )
 
-    cells, _ = load_geocells(args)
+    cells, cells_df = load_geocells(args)
     cfg = config_with_cells(args, cells)
-    model = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
-                        attn_impl=_attn_impl())
-    views = (4,) if cfg.head.panorama else ()
-    example = jnp.zeros((1, *views, cfg.vision.image_size,
-                         cfg.vision.image_size, 3))
-    params = _init_and_restore(args, cfg, model, example)
+    if args.zeroshot and args.quant:
+        raise SystemExit("--zeroshot and --quant are exclusive (the int8 "
+                         "path quantizes the SuperGuessr tower)")
+    model = params = None
+    if not args.zeroshot:
+        model = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
+                            attn_impl=_attn_impl())
+        views = (4,) if cfg.head.panorama else ()
+        example = jnp.zeros((1, *views, cfg.vision.image_size,
+                             cfg.vision.image_size, 3))
+        params = _init_and_restore(args, cfg, model, example)
 
     # Prototype bank built ONCE; a refine function per benchmark family
     # (the per-family topk/temperature/guard presets differ —
     # `train/evaluate.py::REFINER_PRESETS`).
     make_refine = lambda _name: None  # noqa: E731
     assets = _load_refine_assets(args)
+    if assets is not None and args.zeroshot:
+        logger.warning("--zeroshot skips refinement: the prototype bank "
+                       "holds vision-tower embeddings, zero-shot images "
+                       "live in the CLIP projection space")
+        assets = None
     if assets is not None:
         proto_rows, bank_emb, bank_lla = assets
 
@@ -564,8 +632,12 @@ def cmd_evaluate(args) -> int:
                        "(calibrated on %d real %s images)",
                        int(calib.shape[0]), names[0])
 
-    eval_step = make_eval_step(model, cfg.head, cells,
-                               num_candidates=EVAL_NUM_CANDIDATES)
+    if args.zeroshot:
+        eval_step = _build_zeroshot_eval_step(args, cfg, cells, cells_df,
+                                              EVAL_NUM_CANDIDATES)
+    else:
+        eval_step = make_eval_step(model, cfg.head, cells,
+                                   num_candidates=EVAL_NUM_CANDIDATES)
 
     # Multi-chip eval: shard params by the TP rules and batches over the
     # data axis; GSPMD inserts the collectives (docs/SHARDING.md). Ragged
@@ -577,7 +649,8 @@ def cmd_evaluate(args) -> int:
         from pigeon_tpu.train.mesh import shard_params
 
         mesh = create_mesh(tp=args.tp)
-        params = shard_params(params, mesh)
+        if params is not None:       # zeroshot binds its params in-jit
+            params = shard_params(params, mesh)
         data_size = mesh.shape["data"]
 
         def to_dev(b):  # noqa: F811

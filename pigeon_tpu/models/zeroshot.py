@@ -95,3 +95,51 @@ def zero_shot_accuracy(classify: Callable, pixel_batches,
         correct += int((pred == labels).sum())
         total += len(labels)
     return correct / max(total, 1)
+
+
+def make_zero_shot_eval_step(clip_model, params, text_embeds,
+                             geocells, num_candidates: int = 5) -> Callable:
+    """Zero-shot eval step with the `make_eval_step` output contract.
+
+    Returns ``eval_step(params, batch) -> (metrics, preds)`` usable by
+    `train.loop.evaluate_model` / `evaluate_benchmark`, so the CLI's
+    zero-shot mode (``evaluate --zeroshot``, BASELINE config #1) runs
+    through the same loop, metric suite, and flags as checkpoint
+    evaluation. ``params`` here is the zero-shot bundle built below;
+    the positional params argument from the loop is ignored (the bundle
+    already rides the jit as an argument).
+    """
+    from pigeon_tpu.models.clip import CLIPVisionTower
+    from pigeon_tpu.models.geocell_head import geocell_predictions
+
+    tower = CLIPVisionTower(clip_model.vision_config, dtype=clip_model.dtype)
+    bound = {
+        "vision": params["vision"],
+        "proj": params["visual_projection"]["kernel"],
+        "logit_scale": params["logit_scale"],
+        "text_embeds": jnp.asarray(text_embeds),
+        "geocells": jnp.asarray(geocells, jnp.float32),
+    }
+
+    @jax.jit
+    def step_jit(p, batch):
+        from pigeon_tpu.data.image_ops import normalize_images
+
+        pixels = batch["inputs"]
+        if pixels.dtype == jnp.uint8:
+            pixels = normalize_images(pixels)
+        _, pooled = tower.apply({"params": p["vision"]}, pixels)
+        img = pooled @ p["proj"]
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        logits = jnp.exp(p["logit_scale"]) * img @ p["text_embeds"].T
+        preds = geocell_predictions(logits, p["geocells"], num_candidates)
+        loss = jnp.float32(0.0)
+        if "labels_clf" in batch:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            loss = -jnp.mean(jnp.take_along_axis(
+                logp, batch["labels_clf"][:, None], axis=-1))
+        preds = dict(preds, embedding=img, preds_mt=None,
+                     preds_climate=None, preds_month=None)
+        return {"loss": loss}, preds
+
+    return lambda _params, batch: step_jit(bound, batch)

@@ -356,3 +356,37 @@ def test_predict_csv_with_refinement_and_quant(tiny_world, monkeypatch):
     assert (preds["image"] == val["image"]).all()
     assert preds["lat"].between(-90, 90).all()
     assert preds["lng"].between(-180, 180).all()
+
+
+def test_evaluate_zeroshot(tiny_world, monkeypatch):
+    """`evaluate --zeroshot`: CLIP text-prompt geocell classification
+    through the standard evaluate loop + metric suite (BASELINE config
+    #1; the capability behind the reference's missing zeroshot.py)."""
+    import json
+
+    tmp = tiny_world
+    monkeypatch.chdir(tmp)
+
+    meta = pd.read_csv(tmp / "meta.csv")
+    val = meta[meta["selection"] == "val"].reset_index(drop=True)
+    val["geocell_idx"] = val["geocell_idx"].astype(int)
+    val.to_csv(tmp / "bench_meta.csv", index=False)
+    (tmp / "benchmarks.json").write_text(json.dumps(
+        {"tinybench": {"meta": str(tmp / "bench_meta.csv"),
+                       "images": str(tmp / "imgs")}}))
+    # Named cells so the prompts exercise the admin/country path.
+    cells = pd.read_csv(tmp / "cells.csv")
+    cells["admin_1"] = ["Bavaria", "Kanto", "Texas"]
+    cells["country"] = ["Germany", "Japan", "United States"]
+    cells.to_csv(tmp / "cells_named.csv", index=False)
+
+    out = tmp / "zs.json"
+    rc = main(["evaluate", "zs", "--tiny", "--zeroshot", "-l", "tinybench",
+               "--geocells", str(tmp / "cells_named.csv"),
+               "--benchmarks", str(tmp / "benchmarks.json"),
+               "--batch-size", "4", "--output", str(out)])
+    assert rc == 0
+    metrics = json.loads(out.read_text())["tinybench"]
+    assert "Median_km_error" in metrics and "Geocell_accuracy" in metrics
+    assert "Geoguessr_score" in metrics
+    assert 0.0 <= metrics["Geocell_accuracy"] <= 1.0
