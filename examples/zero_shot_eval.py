@@ -7,6 +7,10 @@ CLIP weights. Without them (this demo): tiny random CLIP + synthetic
 benchmark — exercising the identical code path.
 
     python examples/zero_shot_eval.py
+
+(The same capability is reachable from the CLI:
+ `python -m pigeon_tpu.cli.run evaluate NAME --zeroshot -l BENCH
+  --geocells cells.csv [-b hf_clip.bin]`.)
 """
 
 import os

@@ -10,7 +10,8 @@ Batches are pre-staged on device (host->device is ~6 MB/s through the
 tunnel; a real run overlaps decode via iter_batches prefetch).
 
 Env knobs: BENCH_BATCH (32), BENCH_BATCHES (8), BENCH_TOPK (40),
-BENCH_REFINE (1), BENCH_ATTN (flash).
+BENCH_REFINE (1), BENCH_ATTN (flash), BENCH_QUANT (0; 1 = int8 W8A8
+tower, the `evaluate --quant` path).
 """
 
 from __future__ import annotations
@@ -50,6 +51,19 @@ def main() -> None:
     size = vision_cfg.image_size
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((2, size, size, 3)))["params"]
+
+    quant = os.environ.get("BENCH_QUANT", "0") == "1"
+    if quant:
+        from pigeon_tpu.models.quant import quantize_and_calibrate
+
+        dyn = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.bfloat16,
+                          attn_impl=attn_impl, quant=True)
+        calib = jax.random.normal(jax.random.PRNGKey(7),
+                                  (8, size, size, 3), jnp.float32)
+        params = quantize_and_calibrate(dyn, params, calib,
+                                        tower_key="vision")
+        model = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.bfloat16,
+                            attn_impl=attn_impl, quant="static")
 
     rng = np.random.default_rng(0)
     cells = np.stack([rng.uniform(-170, 170, num_cells),
@@ -105,7 +119,8 @@ def main() -> None:
     print(json.dumps({
         "metric": "vit_l14_336_eval_pipeline_images_per_sec"
                   f"_bs{batch}_top{topk}"
-                  f"{'_refined' if refine else ''}",
+                  f"{'_refined' if refine else ''}"
+                  f"{'_int8' if quant else ''}",
         "value": round(rate, 2),
         "unit": "images/sec",
         "median_km": round(float(metrics["Median_km_error"]), 1),
