@@ -29,7 +29,8 @@ single-window numbers on this shared tunnel vary ~10%.
 
 Env knobs: BENCH_BATCH (32 — measured optimum for BOTH bf16 (317 vs
 313 at bs64) and int8 (440 vs 403); larger batches grow the serial
-VPU share's VMEM working set), BENCH_ITERS (8), BENCH_SEGMENTS (1),
+VPU share's VMEM working set), BENCH_ITERS (16 — at bs32 a window is
+~1.6 s, long enough to drown scheduling jitter), BENCH_SEGMENTS (1),
 BENCH_WINDOWS (5), BENCH_ATTN (flash), BENCH_QUANT (0; 1 = the int8
 W8A8 serving path, `models/quant.py` — separate metric name, default
 headline stays bf16; int8 peaks at BENCH_BATCH=32, see docs/PERF.md).
@@ -58,7 +59,7 @@ def main() -> None:
     )
 
     batch = int(os.environ.get("BENCH_BATCH", "32"))
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "16"))
     segments = int(os.environ.get("BENCH_SEGMENTS", "1"))
     attn_impl = os.environ.get("BENCH_ATTN", "flash")
 
