@@ -96,8 +96,20 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a batch pytree with leading-axis data parallelism."""
+    """Device-put a batch pytree with leading-axis data parallelism.
+
+    Arrays whose leading dim does not divide the data axis (ragged tail
+    batches, e.g. the last eval batch) are replicated instead — a
+    non-divisible NamedSharding is an error, and a tail shape triggers
+    a fresh compile regardless of placement."""
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sh) if getattr(x, "ndim", 0) > 0 else x,
-        batch)
+    repl = NamedSharding(mesh, P())
+    data = mesh.shape[mesh.axis_names[0]]
+
+    def put(x):
+        if getattr(x, "ndim", 0) == 0:
+            return x
+        target = sh if x.shape[0] % data == 0 else repl
+        return jax.device_put(x, target)
+
+    return jax.tree_util.tree_map(put, batch)

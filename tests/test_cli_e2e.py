@@ -390,3 +390,29 @@ def test_evaluate_zeroshot(tiny_world, monkeypatch):
     assert "Median_km_error" in metrics and "Geocell_accuracy" in metrics
     assert "Geoguessr_score" in metrics
     assert 0.0 <= metrics["Geocell_accuracy"] <= 1.0
+
+
+def test_finetune_on_pixels_with_resume(tiny_world, monkeypatch):
+    """`finetune` on raw pixels (the reference's main mode) + a real
+    --resume continuation (the reference raises NotImplementedError,
+    `run.py:166-175`)."""
+    tmp = tiny_world
+    monkeypatch.chdir(tmp)
+
+    common = ["finetune", "runpx", "--tiny",
+              "--metadata", str(tmp / "meta.csv"),
+              "--images", str(tmp / "imgs"),
+              "--geocells", str(tmp / "cells.csv"),
+              "--batch-size", "8"]
+    rc = main(common + ["--epochs", "1"])
+    assert rc == 0
+    from pigeon_tpu.train.checkpoints import latest_step
+
+    ckpt = str(tmp / "saved_models" / "runpx")
+    step1 = latest_step(ckpt)
+    assert step1 is not None and step1 > 0
+
+    rc = main(common + ["--epochs", "2", "--resume"])
+    assert rc == 0
+    step2 = latest_step(ckpt)
+    assert step2 is not None and step2 >= step1
