@@ -495,7 +495,13 @@ def _build_zeroshot_eval_step(args, cfg, cells, cells_df, num_candidates):
         make_zero_shot_eval_step,
     )
 
-    tokenizer = load_tokenizer(fallback_vocab_size=cfg.text.vocab_size)
+    max_tokens = min(cfg.text.max_position_embeddings, 77)
+    # context_len = max_tokens so the tokenizer itself truncates and
+    # re-appends EOS — slicing a 77-wide row at max_tokens can drop the
+    # EOS, and first-EOS pooling (models/clip.py) would silently pool
+    # position 0 for that prompt.
+    tokenizer = load_tokenizer(context_len=max_tokens,
+                               fallback_vocab_size=cfg.text.vocab_size)
     eos = getattr(tokenizer, "eos_id", 49407)
     if eos >= cfg.text.vocab_size:
         raise SystemExit(
@@ -503,7 +509,6 @@ def _build_zeroshot_eval_step(args, cfg, cells, cells_df, num_candidates):
             f"({cfg.text.vocab_size}); use matching vocab assets")
     model = CLIPModel(cfg.vision, cfg.text, dtype=jnp.bfloat16,
                       eos_token_id=eos)
-    max_tokens = min(cfg.text.max_position_embeddings, 77)
     size = cfg.vision.image_size
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)),
@@ -524,11 +529,12 @@ def _build_zeroshot_eval_step(args, cfg, cells, cells_df, num_candidates):
         logger.warning("loaded full CLIP checkpoint %s", args.base)
 
     prompts = geocell_prompts(cells_df.to_dict("records"))
-    ids = tokenizer(prompts)[:, :max_tokens]
+    ids = tokenizer(prompts)
     text_embeds = embed_prompts(model, params, ids)
     logger.warning("zero-shot: %d geocell prompts embedded", len(prompts))
     return make_zero_shot_eval_step(model, params, text_embeds, cells,
-                                    num_candidates=num_candidates)
+                                    num_candidates=num_candidates,
+                                    attn_impl=_attn_impl())
 
 
 def cmd_evaluate(args) -> int:
@@ -640,9 +646,8 @@ def cmd_evaluate(args) -> int:
                                    num_candidates=EVAL_NUM_CANDIDATES)
 
     # Multi-chip eval: shard params by the TP rules and batches over the
-    # data axis; GSPMD inserts the collectives (docs/SHARDING.md). Ragged
-    # tail batches stay on the default device (their leading dim may not
-    # divide the data axis).
+    # data axis; GSPMD inserts the collectives (docs/SHARDING.md).
+    # `shard_batch` itself replicates ragged tail batches.
     to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
     if jax.device_count() > 1 or args.tp > 1:
         from pigeon_tpu.train import create_mesh, shard_batch
@@ -651,13 +656,10 @@ def cmd_evaluate(args) -> int:
         mesh = create_mesh(tp=args.tp)
         if params is not None:       # zeroshot binds its params in-jit
             params = shard_params(params, mesh)
-        data_size = mesh.shape["data"]
 
         def to_dev(b):  # noqa: F811
-            b = {k: jnp.asarray(v) for k, v in b.items()}
-            if b["inputs"].shape[0] % data_size == 0:
-                return shard_batch(b, mesh)
-            return b
+            return shard_batch(
+                {k: jnp.asarray(v) for k, v in b.items()}, mesh)
         logger.warning("evaluating on %d devices (mesh %s)",
                        jax.device_count(), dict(mesh.shape))
 
@@ -703,6 +705,7 @@ def cmd_predict(args) -> int:
     from pigeon_tpu.data import TabularImageDataset, iter_batches
     from pigeon_tpu.models.super_guessr import SuperGuessr
     from pigeon_tpu.serve.server import make_serving_fn
+    from pigeon_tpu.train.transfer import start_host_copies
 
     cells, _ = load_geocells(args)
     cfg = config_with_cells(args, cells)
@@ -806,11 +809,7 @@ def cmd_predict(args) -> int:
                 out["topk_probs"])
             arrays = (refined["pred_lla"], refined["pred_cell"],
                       out["topk_probs"])
-        for a in arrays:
-            try:
-                a.copy_to_host_async()
-            except AttributeError:
-                pass
+        start_host_copies(arrays)
         return arrays
 
     def emit(arrays, n):

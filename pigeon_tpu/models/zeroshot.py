@@ -39,19 +39,25 @@ def geocell_prompts(records: Sequence[dict],
 
 
 def embed_prompts(clip_model, params, token_ids: np.ndarray) -> jnp.ndarray:
-    """Tokenized prompts -> L2-normalized text embeddings ``(C, proj)``."""
-    text_tower_params = params["text"]
-    proj = params["text_projection"]["kernel"]
+    """Tokenized prompts -> L2-normalized text embeddings ``(C, proj)``.
 
+    One jitted program with params as ARGUMENTS — an eager apply would
+    execute the text tower op-by-op (one remote compile + dispatch per
+    primitive through a tunneled TPU; docs/PERF.md)."""
     from pigeon_tpu.models.clip import CLIPTextTower
 
     tower = CLIPTextTower(clip_model.text_config,
                           dtype=clip_model.dtype,
                           eos_token_id=clip_model.eos_token_id)
-    _, pooled = tower.apply({"params": text_tower_params},
-                            jnp.asarray(token_ids))
-    emb = pooled @ proj
-    return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+    @jax.jit
+    def embed_jit(text_params, proj, ids):
+        _, pooled = tower.apply({"params": text_params}, ids)
+        emb = pooled @ proj
+        return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+    return embed_jit(params["text"], params["text_projection"]["kernel"],
+                     jnp.asarray(token_ids))
 
 
 def make_zero_shot_classifier(clip_model, params,
@@ -98,7 +104,8 @@ def zero_shot_accuracy(classify: Callable, pixel_batches,
 
 
 def make_zero_shot_eval_step(clip_model, params, text_embeds,
-                             geocells, num_candidates: int = 5) -> Callable:
+                             geocells, num_candidates: int = 5,
+                             attn_impl: str = "xla") -> Callable:
     """Zero-shot eval step with the `make_eval_step` output contract.
 
     Returns ``eval_step(params, batch) -> (metrics, preds)`` usable by
@@ -112,7 +119,8 @@ def make_zero_shot_eval_step(clip_model, params, text_embeds,
     from pigeon_tpu.models.clip import CLIPVisionTower
     from pigeon_tpu.models.geocell_head import geocell_predictions
 
-    tower = CLIPVisionTower(clip_model.vision_config, dtype=clip_model.dtype)
+    tower = CLIPVisionTower(clip_model.vision_config, dtype=clip_model.dtype,
+                            attn_impl=attn_impl)
     bound = {
         "vision": params["vision"],
         "proj": params["visual_projection"]["kernel"],

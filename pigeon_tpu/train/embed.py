@@ -53,6 +53,7 @@ def embed_dataset(model, params, dataset: TabularImageDataset,
     from pigeon_tpu.data.pipeline import TabularImageDataset
     from pigeon_tpu.train.mesh import shard_batch
     from pigeon_tpu.train.multihost import allgather_hosts, host_slice
+    from pigeon_tpu.train.transfer import start_host_copies
 
     step = make_embed_step(model, params)
 
@@ -85,10 +86,7 @@ def embed_dataset(model, params, dataset: TabularImageDataset,
         if mesh is not None and nproc == 1:
             pixels = shard_batch({"inputs": pixels}, mesh)["inputs"]
         emb_dev = step(pixels)
-        try:
-            emb_dev.copy_to_host_async()
-        except AttributeError:      # sharded output on a mesh
-            pass
+        start_host_copies(emb_dev)
         if pending is not None:
             chunks.append(np.asarray(pending[0])[:pending[1]])
         pending = (emb_dev, real)

@@ -149,10 +149,9 @@ def evaluate_model(eval_step: Callable, params, batches: Iterable[Dict],
     # 8-batch eval, measured — scripts/bench_eval.py). Device-side
     # jnp.concatenate was tried instead and is WORSE (one fresh remote
     # compile per key/shape inside the eval).
-    for vals in list(acc.values()) + [losses]:
-        for x in vals:
-            if isinstance(x, jax.Array):
-                x.copy_to_host_async()
+    from pigeon_tpu.train.transfer import start_host_copies
+
+    start_host_copies((acc, losses))
 
     cat = {k: np.concatenate([np.asarray(x) for x in v])
            for k, v in acc.items()}
