@@ -155,6 +155,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1,
                    help="model (tensor-parallel) mesh axis size; must "
                         "divide the device count (docs/SHARDING.md)")
+    p.add_argument("--model", default=None,
+                   choices=["vit-l14-336", "vit-b32"],
+                   help="CLIP tower size (default: the preset's "
+                        "ViT-L/14-336; vit-b32 matches BASELINE config "
+                        "#1's zero-shot model)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (smoke tests)")
     return p
@@ -173,6 +178,14 @@ def make_config(args):
     if args.panorama != head.panorama:
         head = dataclasses.replace(head, panorama=args.panorama)
     cfg = cfg.replace(head=head)
+    if getattr(args, "model", None) == "vit-b32":
+        from pigeon_tpu.config import vit_b32_text, vit_b32_vision
+
+        vision = vit_b32_vision()
+        cfg = cfg.replace(
+            vision=vision, text=vit_b32_text(),
+            head=dataclasses.replace(cfg.head,
+                                     embed_dim=vision.hidden_size))
     if args.tiny:
         from pigeon_tpu.config import VisionConfig, TextConfig
 

@@ -416,3 +416,18 @@ def test_finetune_on_pixels_with_resume(tiny_world, monkeypatch):
     assert rc == 0
     step2 = latest_step(ckpt)
     assert step2 is not None and step2 >= step1
+
+
+def test_model_flag_selects_vit_b32():
+    """--model vit-b32 swaps in the ViT-B/32 towers (BASELINE config #1's
+    zero-shot model) and resizes the head's embed dim to match."""
+    from pigeon_tpu.cli.run import build_parser, make_config
+
+    args = build_parser().parse_args(
+        ["evaluate", "m", "--zeroshot", "--model", "vit-b32"])
+    cfg = make_config(args)
+    assert cfg.vision.image_size == 224
+    assert cfg.vision.patch_size == 32
+    assert cfg.vision.hidden_size == 768
+    assert cfg.head.embed_dim == 768
+    assert cfg.text.hidden_size == 512
