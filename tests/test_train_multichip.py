@@ -200,3 +200,36 @@ class TestHierarchicalTraining:
         assert float(m2["loss"]) == float(m3["loss"])
         _, m4 = step(state, batch, jax.random.PRNGKey(3))
         assert float(m4["loss"]) != float(m2["loss"])
+
+
+class TestShardBatchRaggedTails:
+    """shard_batch owns the ragged policy: divisible leading dims shard
+    over `data`, ragged tails replicate (a non-divisible NamedSharding
+    is an error; regression for the eval-tail crash fixed late round 2)."""
+
+    def test_divisible_shards_over_data(self, mesh):
+        batch = shard_batch({"inputs": jnp.zeros((8, 4))}, mesh)
+        sh = batch["inputs"].sharding
+        assert sh.spec == P("data")
+
+    def test_ragged_tail_replicates(self, mesh):
+        batch = shard_batch({"inputs": jnp.zeros((3, 4)),
+                             "labels": jnp.zeros((3, 2))}, mesh)
+        for v in batch.values():
+            assert v.sharding.is_fully_replicated
+
+    def test_scalar_leaves_pass_through(self, mesh):
+        batch = shard_batch({"step": jnp.float32(1.0)}, mesh)
+        assert batch["step"].shape == ()
+
+
+class TestStartHostCopies:
+    def test_tolerates_mixed_trees(self, mesh):
+        from pigeon_tpu.train.transfer import start_host_copies
+
+        tree = {"dev": jnp.arange(8.0),
+                "sharded": shard_batch({"x": jnp.zeros((8, 4))},
+                                       mesh)["x"],
+                "np": np.arange(3), "scalar": 1.5, "none": None}
+        start_host_copies(tree)  # must not raise
+        assert float(tree["dev"].sum()) == 28.0
