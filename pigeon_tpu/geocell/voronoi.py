@@ -3,10 +3,23 @@
 `scipy.spatial.Voronoi` leaves boundary regions infinite; geocell splitting
 needs closed polygons to carve cluster territories
 (reference `dataset_creation/geocell/voronoi.py:5-85`, itself a public-gist
-adaptation). This is an independent implementation of the same
-reconstruction: every infinite ridge is extended `radius` away from the
-point-cloud center, then each region's vertices are sorted CCW around the
-region's point.
+adaptation that reconstructs infinite regions by extending ridges). That
+reconstruction heuristic provably loses area when sites are
+near-coincident (circumcenters fly far from the cloud and the angular
+re-sort mis-orders the ring), so this module instead builds each cell
+EXACTLY as an intersection of half-planes:
+
+    cell(i) = box  ∩  { x : (x - m_ij) · (p_j - p_i) <= 0  for all j != i }
+
+with m_ij the bisector midpoint. This tiles the plane for ANY set of
+distinct sites — including near-coincident ones — because every boundary
+is a true bisector, not an extended ridge. The arithmetic is
+sign-symmetric between the two sides of each bisector, so shared edge
+vertices come out bit-identical and downstream edge-cancellation dissolve
+(`geometry.dissolve`) still fuses them exactly.
+
+O(N^2 * ring-length) — geocell splits carve at most a few dozen cluster
+centroids at a time, so this is never hot.
 """
 
 from __future__ import annotations
@@ -14,87 +27,93 @@ from __future__ import annotations
 from typing import List, Tuple
 
 import numpy as np
-from scipy.spatial import Voronoi
 
 
-def voronoi_finite_polygons(vor: Voronoi, radius: float = None
+def _clip_halfplane(ring: np.ndarray, mid: np.ndarray,
+                    d: np.ndarray) -> np.ndarray:
+    """Keep the part of `ring` with (x - mid) . d <= 0.
+
+    Sutherland-Hodgman against a single line. The signed values `s`
+    negate EXACTLY when (mid, d) -> (mid, -d), so the two cells sharing a
+    bisector compute bit-identical intersection vertices.
+    """
+    if len(ring) == 0:
+        return ring
+    s = (ring[:, 0] - mid[0]) * d[0] + (ring[:, 1] - mid[1]) * d[1]
+    inside = s <= 0.0
+    if inside.all():
+        return ring
+    if not inside.any():
+        return np.empty((0, 2), np.float64)
+    out = []
+    n = len(ring)
+    for j in range(n):
+        k = (j + 1) % n
+        if inside[j]:
+            out.append(ring[j])
+        if inside[j] != inside[k]:
+            t = s[j] / (s[j] - s[k])
+            out.append(ring[j] + t * (ring[k] - ring[j]))
+    return np.asarray(out, np.float64).reshape(-1, 2)
+
+
+def _cells_from_sites(sites: np.ndarray, radius: float = None
+                      ) -> List[np.ndarray]:
+    """Exact Voronoi cells of distinct `sites`, clipped to a large box."""
+    sites = np.asarray(sites, np.float64)
+    center = sites.mean(axis=0)
+    span = float(np.ptp(sites, axis=0).max()) if len(sites) > 1 else 0.0
+    if radius is None:
+        # Big enough to dwarf any parent polygon the caller clips against
+        # (geographic coords are bounded by ~360), small enough that
+        # double precision at box scale stays far below area tolerances.
+        radius = (span + 1.0) * 1e3
+    box = center + radius * np.array(
+        [[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]])
+    cells = []
+    for i, p in enumerate(sites):
+        ring = box
+        for j, q in enumerate(sites):
+            if j == i or len(ring) == 0:
+                continue
+            ring = _clip_halfplane(ring, (p + q) / 2.0, q - p)
+        cells.append(ring)
+    return cells
+
+
+def voronoi_finite_polygons(vor, radius: float = None
                             ) -> Tuple[List[List[int]], np.ndarray]:
-    """Close the infinite regions of a 2-D Voronoi diagram.
+    """Closed (finite) regions for a scipy ``Voronoi`` object.
 
-    Args:
-        vor: scipy Voronoi of >= 3 points (2-D).
-        radius: how far to extend infinite ridges (default: 100x the
-            point-cloud span — "effectively infinity" for geocell shapes
-            that get clipped to a parent polygon right after).
-
-    Returns:
-        (regions, vertices): per-input-point lists of vertex indices into
-        `vertices` (CCW), all finite.
+    Compatibility wrapper over the half-plane construction: takes a
+    ``scipy.spatial.Voronoi`` (for its ``points``) and returns
+    ``(regions, vertices)`` — per-input-point lists of vertex indices into
+    ``vertices``, every region a closed convex ring.
     """
     if vor.points.shape[1] != 2:
         raise ValueError("2-D input required")
-
-    center = vor.points.mean(axis=0)
-    span = np.ptp(vor.points, axis=0).max()
-    if radius is None:
-        # Must dwarf both the site span AND the farthest Voronoi vertex:
-        # near-coincident sites push circumcenters arbitrarily far out, and
-        # extensions anchored there must still reach back across the cloud.
-        vertex_reach = (np.abs(vor.vertices - center).max()
-                        if len(vor.vertices) else 0.0)
-        radius = max(span, vertex_reach, 1e-3) * 100
-
-    vertices = list(vor.vertices)
-
-    # All ridges incident to each point.
-    ridges: dict[int, list] = {}
-    for (p1, p2), (v1, v2) in zip(vor.ridge_points, vor.ridge_vertices):
-        ridges.setdefault(p1, []).append((p2, v1, v2))
-        ridges.setdefault(p2, []).append((p1, v1, v2))
-
+    cells = _cells_from_sites(vor.points, radius)
+    vertices: List[np.ndarray] = []
     regions: List[List[int]] = []
-    for p1, region_idx in enumerate(vor.point_region):
-        region = vor.regions[region_idx]
-        if all(v >= 0 for v in region):
-            regions.append(list(region))
-            continue
-
-        new_region = [v for v in region if v >= 0]
-        for p2, v1, v2 in ridges.get(p1, []):
-            if v2 < 0:
-                v1, v2 = v2, v1
-            if v1 >= 0:
-                continue  # finite ridge
-
-            # Direction: perpendicular to the p1-p2 line, pointing away
-            # from the cloud center.
-            t = vor.points[p2] - vor.points[p1]
-            t = t / np.linalg.norm(t)
-            normal = np.array([-t[1], t[0]])
-            midpoint = (vor.points[p1] + vor.points[p2]) / 2.0
-            direction = np.sign(np.dot(midpoint - center, normal)) * normal
-            far = vor.vertices[v2] + direction * radius
-            new_region.append(len(vertices))
-            vertices.append(far)
-
-        # Sort region vertices CCW around their mean.
-        vs = np.asarray([vertices[v] for v in new_region])
-        c = vs.mean(axis=0)
-        order = np.argsort(np.arctan2(vs[:, 1] - c[1], vs[:, 0] - c[0]))
-        regions.append([new_region[i] for i in order])
-
-    return regions, np.asarray(vertices)
+    for ring in cells:
+        idx = []
+        for v in ring:
+            idx.append(len(vertices))
+            vertices.append(v)
+        regions.append(idx)
+    return regions, (np.asarray(vertices, np.float64).reshape(-1, 2))
 
 
 def voronoi_regions_for_points(coords: np.ndarray,
                                radius: float = None) -> List[np.ndarray]:
-    """Convenience: coords ``(N>=3, 2)`` -> list of N closed convex rings,
-    ordered like the input points."""
+    """Convenience: coords ``(N>=2, 2)`` -> list of N closed convex rings,
+    ordered like the input points (duplicates share a ring). Together the
+    rings tile the bounding box exactly — no area is lost even for
+    near-coincident sites (reference `cell.py:233-273` relies on the
+    territories covering the parent cell)."""
     coords = np.asarray(coords, np.float64)
     uniq, inverse = np.unique(coords, axis=0, return_inverse=True)
-    if len(uniq) < 3:
-        raise ValueError("need >= 3 distinct points for Voronoi")
-    vor = Voronoi(uniq)
-    regions, vertices = voronoi_finite_polygons(vor, radius)
-    rings = [vertices[r] for r in regions]
+    if len(uniq) < 2:
+        raise ValueError("need >= 2 distinct points for Voronoi")
+    rings = _cells_from_sites(uniq, radius)
     return [rings[i] for i in inverse]

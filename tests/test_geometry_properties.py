@@ -132,10 +132,27 @@ class TestDissolveProperties:
         from pigeon_tpu.geocell.voronoi import voronoi_regions_for_points
 
         rng = np.random.default_rng(seed)
-        parent = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
         sites = rng.uniform(1, 9, (k, 2))
-        if len(np.unique(np.round(sites, 6), axis=0)) < k or k < 3:
-            return  # degenerate/too-few sites for scipy Voronoi
+        self._check_partition(sites)
+
+    @given(seed=st.integers(0, 2**31 - 1), k=st.integers(2, 6),
+           scale=st.sampled_from([1.0, 1e-2, 1e-5, 1e-8]))
+    def test_voronoi_partition_near_coincident_sites(self, seed, k, scale):
+        """Same invariant with sites clustered arbitrarily tightly — the
+        configuration that broke the ridge-extension reconstruction
+        (hypothesis seed 9027, k=3 lost 3% of the parent's area)."""
+        rng = np.random.default_rng(seed)
+        anchor = rng.uniform(2, 8, (1, 2))
+        sites = anchor + rng.uniform(-scale, scale, (k, 2))
+        self._check_partition(sites)
+
+    def _check_partition(self, sites):
+        from pigeon_tpu.geocell.voronoi import voronoi_regions_for_points
+
+        parent = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+        k = len(sites)
+        if len(np.unique(sites, axis=0)) < k:
+            return  # exact duplicates share a region; partition not 1:1
         regions = voronoi_regions_for_points(sites)
         pieces = []
         for region in regions:
