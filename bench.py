@@ -33,7 +33,8 @@ VPU share's VMEM working set), BENCH_ITERS (16 — at bs32 a window is
 ~1.6 s, long enough to drown scheduling jitter), BENCH_SEGMENTS (1),
 BENCH_WINDOWS (5), BENCH_ATTN (flash), BENCH_QUANT (0; 1 = the int8
 W8A8 serving path, `models/quant.py` — separate metric name, default
-headline stays bf16; int8 peaks at BENCH_BATCH=32, see docs/PERF.md).
+headline stays bf16; the int8 optimum is bs24 (450 img/s, 440 at bs32)
+— 32 is the shared bf16/int8 default, see docs/PERF.md).
 """
 
 from __future__ import annotations

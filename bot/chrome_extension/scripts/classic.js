@@ -37,10 +37,28 @@
     await reportGameResult(gameToken, result.round || roundNumber, result);
     roundNumber += 1;
     // Round transition: the guess button goes away with the result
-    // screen, then reappears for the next round.
-    await waitTillDisappears(".guess-map__guess-button");
+    // screen, then reappears for the next round. An API-submitted guess
+    // may not update the SPA's UI state, so the wait is bounded: if the
+    // button is still there after 15 s, reload — the server already has
+    // the guess, and a fresh page lands on the next round's view.
+    const gone = await waitTillDisappearsOrTimeout(
+      ".guess-map__guess-button", 15000);
+    if (!gone) {
+      console.log("UI did not advance after API guess; reloading");
+      location.reload();
+      return; // content script re-injects on reload
+    }
   }
 })();
+
+async function waitTillDisappearsOrTimeout(selector, timeoutMs) {
+  const deadline = Date.now() + timeoutMs;
+  while (document.querySelector(selector)) {
+    if (Date.now() > deadline) return false;
+    await wait(100);
+  }
+  return true;
+}
 
 async function submitClassicGuess(token, lat, lng) {
   try {

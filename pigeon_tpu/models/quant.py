@@ -64,12 +64,13 @@ def quantize_channelwise(w: jnp.ndarray, axis: int = -1):
 
 
 def _dynamic_quant_tokens(x: jnp.ndarray):
-    """Per-token (last-dim row) symmetric int8: (x_q, scale (..., 1))."""
+    """Per-token (last-dim row) symmetric int8:
+    (x_q, scale (..., 1), amax (..., 1))."""
     x = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     scale = jnp.where(amax == 0, 1.0, amax / 127.0)
     x_q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
-    return x_q, scale
+    return x_q, scale, amax
 
 
 class QuantDense(nn.Module):
@@ -112,9 +113,13 @@ class QuantDense(nn.Module):
                            -127, 127).astype(jnp.int8)
             a_scale = act_scale
         else:
-            x_q, a_scale = _dynamic_quant_tokens(x)
+            # Sow the TRUE row max, not a_scale*127: the zero-guard maps
+            # all-zero rows to scale 1.0, and reconstructing amax from it
+            # would let one degenerate row inflate the frozen per-tensor
+            # act_scale to >= 127 (ADVICE r2).
+            x_q, a_scale, amax = _dynamic_quant_tokens(x)
             self.sow("intermediates", "act_amax",
-                     jnp.max(a_scale) * 127.0,
+                     jnp.max(amax),
                      reduce_fn=lambda a, b: jnp.maximum(a, b),
                      init_fn=lambda: jnp.zeros((), jnp.float32))
         y = jax.lax.dot_general(
@@ -159,9 +164,13 @@ class QuantPatchEmbed(nn.Module):
                            -127, 127).astype(jnp.int8)
             a_scale = act_scale
         else:
-            x_q, a_scale = _dynamic_quant_tokens(x)
+            # Sow the TRUE row max, not a_scale*127: the zero-guard maps
+            # all-zero rows to scale 1.0, and reconstructing amax from it
+            # would let one degenerate row inflate the frozen per-tensor
+            # act_scale to >= 127 (ADVICE r2).
+            x_q, a_scale, amax = _dynamic_quant_tokens(x)
             self.sow("intermediates", "act_amax",
-                     jnp.max(a_scale) * 127.0,
+                     jnp.max(amax),
                      reduce_fn=lambda a, b: jnp.maximum(a, b),
                      init_fn=lambda: jnp.zeros((), jnp.float32))
         y = jax.lax.dot_general(
