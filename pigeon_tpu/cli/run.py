@@ -54,20 +54,48 @@ def _load_refine_assets(args):
     """
     if not (args.prototypes and args.embeddings and args.metadata):
         return None
+    import json
+
     import numpy as np
     import pandas as pd
 
     from pigeon_tpu.geocell.prototypes import load_prototypes_csv
     from pigeon_tpu.train.embed import load_embeddings
 
-    meta = pd.read_csv(args.metadata)
-    if "selection" in meta.columns:
-        meta = meta[meta["selection"] == "train"]
-    bank_lla = meta[["lng", "lat"]].to_numpy(np.float32)
-    bank_emb = load_embeddings(args.embeddings, "train")
-    if bank_emb.ndim == 3:
-        bank_emb = bank_emb.mean(1)
-    return load_prototypes_csv(args.prototypes), bank_emb, bank_lla
+    # --landmarks: each flag may be a comma-separated YFCC,landmarks pair;
+    # the banks concatenate and the later datasets' prototype member
+    # indices shift by the bank rows before them (the reference's
+    # dual-dataset refiner, `models/proto_refiner.py:53-64`).
+    metas = args.metadata.split(",")
+    embdirs = args.embeddings.split(",")
+    protos = args.prototypes.split(",")
+    if not (len(metas) == len(embdirs) == len(protos)):
+        raise SystemExit("--metadata/--embeddings/--prototypes must list "
+                         "the same number of comma-separated datasets")
+
+    rows, embs, llas, offset = [], [], [], 0
+    for meta_path, emb_dir, proto_path in zip(metas, embdirs, protos):
+        meta = pd.read_csv(meta_path)
+        if "selection" in meta.columns:
+            meta = meta[meta["selection"] == "train"]
+        lla = meta[["lng", "lat"]].to_numpy(np.float32)
+        emb = load_embeddings(emb_dir, "train")
+        if emb.ndim == 3:
+            emb = emb.mean(1)
+        for row in load_prototypes_csv(proto_path):
+            idx = row["indices"]
+            if isinstance(idx, str):
+                try:
+                    idx = json.loads(idx)
+                except (json.JSONDecodeError, TypeError):
+                    idx = []
+            if idx is None or (isinstance(idx, float) and np.isnan(idx)):
+                idx = []
+            rows.append(dict(row, indices=[int(i) + offset for i in idx]))
+        embs.append(emb)
+        llas.append(lla)
+        offset += len(emb)
+    return rows, np.concatenate(embs), np.concatenate(llas)
 
 
 def _attn_impl() -> str:
@@ -99,10 +127,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use auxiliary captions for pretraining")
     p.add_argument("-t", "--test", action="store_true",
                    help="evaluate on the test split")
-    p.add_argument("-c", "--classification", action="store_true",
-                   default=True,
-                   help="classification setup (always on; accepted for "
-                        "reference CLI compatibility)")
+    p.add_argument("-c", "--classification",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="geocell classification setup (the only "
+                        "implemented mode — the reference's released code "
+                        "likewise only logs the mode string, `run.py:99`; "
+                        "--no-classification fails loudly instead of "
+                        "silently training the wrong thing)")
     p.add_argument("-m", "--multitask", action="store_true",
                    help="enable multi-task heads")
     p.add_argument("--heading", action="store_true",
@@ -111,6 +142,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from the latest checkpoint")
     p.add_argument("--yfcc", action="store_true",
                    help="PIGEOTTO (planet-scale single image) preset")
+    p.add_argument("--landmarks", action="store_true",
+                   help="PIGEOTTO + Google Landmarks training mix "
+                        "(reference `run.py:84-85`): implies the YFCC "
+                        "model config with landmark data paths; refine "
+                        "assets (--metadata/--embeddings/--prototypes) "
+                        "accept comma-separated YFCC,landmarks pairs whose "
+                        "banks are concatenated "
+                        "(`models/proto_refiner.py:53-64`)")
     p.add_argument("--panorama", action="store_true",
                    help="4-view StreetView panorama input")
     p.add_argument("--metadata", default=None, help="metadata CSV path")
@@ -169,7 +208,15 @@ def make_config(args):
     from pigeon_tpu import pigeon_config, pigeotto_config
     import dataclasses
 
-    cfg = pigeotto_config() if args.yfcc else pigeon_config()
+    if getattr(args, "landmarks", False):
+        # Landmarks implies the PIGEOTTO model config with landmark data
+        # paths (reference `run.py:115-138` swaps metadata/dataset paths
+        # under the same YFCC model).
+        from pigeon_tpu.config import landmarks_config
+
+        cfg = landmarks_config()
+    else:
+        cfg = pigeotto_config() if args.yfcc else pigeon_config()
     head = cfg.head
     if args.multitask != head.multi_task:
         head = dataclasses.replace(head, multi_task=args.multitask)
@@ -243,7 +290,8 @@ def cmd_geocells(args) -> int:
     # OPTICS escalation ladder per variant (reference
     # cell_collection.py:12-13): StreetView for PIGEON, planet for
     # PIGEOTTO.
-    ladder = OPTICS_PARAMS_PLANET if args.yfcc else OPTICS_PARAMS_STREETVIEW
+    ladder = (OPTICS_PARAMS_PLANET if (args.yfcc or args.landmarks)
+              else OPTICS_PARAMS_STREETVIEW)
     cells = creator.generate(cfg.geocell.min_cell_size,
                              cfg.geocell.max_cell_size,
                              optics_params=ladder, output_csv=out)
@@ -887,7 +935,8 @@ def cmd_pretrain(args) -> int:
 
     df = pd.read_csv(args.metadata)
     ds = PretrainDataset(df, args.images,
-                         variant="yfcc" if args.yfcc else "streetview",
+                         variant=("yfcc" if (args.yfcc or args.landmarks)
+                                  else "streetview"),
                          auxiliary=args.auxiliary,
                          image_size=cfg.vision.image_size)
 
@@ -1041,6 +1090,11 @@ COMMANDS = {
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
+    if not args.classification:
+        raise SystemExit(
+            "regression mode is not implemented (the reference's released "
+            "code only logs the mode string, `run.py:99`); drop "
+            "--no-classification")
     return COMMANDS[args.function](args)
 
 

@@ -418,6 +418,72 @@ def test_finetune_on_pixels_with_resume(tiny_world, monkeypatch):
     assert step2 is not None and step2 >= step1
 
 
+def test_evaluate_landmarks_dual_dataset(tiny_world, monkeypatch):
+    """--landmarks end-to-end (reference `run.py:84-85`): the YFCC and
+    landmark datasets are passed as comma-separated
+    --metadata/--embeddings/--prototypes pairs; their refiner banks
+    concatenate with dataset-B member indices shifted
+    (`models/proto_refiner.py:53-64`)."""
+    import json
+
+    tmp = tiny_world
+    monkeypatch.chdir(tmp)
+
+    meta = pd.read_csv(tmp / "meta.csv")
+    meta.iloc[:18].to_csv(tmp / "meta_a.csv", index=False)
+    meta.iloc[18:].reset_index(drop=True).to_csv(tmp / "meta_b.csv",
+                                                 index=False)
+    from pigeon_tpu.geocell import build_prototypes
+
+    for tag in ("a", "b"):
+        rc = main(["embed", f"lm_{tag}", "--tiny",
+                   "--metadata", str(tmp / f"meta_{tag}.csv"),
+                   "--images", str(tmp / "imgs"),
+                   "--output", str(tmp / f"emb_{tag}"),
+                   "--batch-size", "8"])
+        assert rc == 0
+        sub = pd.read_csv(tmp / f"meta_{tag}.csv")
+        train = sub[sub["selection"] == "train"].reset_index(drop=True)
+        build_prototypes(train, cluster_args=(4, 0.05), num_workers=0,
+                         output_csv=str(tmp / f"protos_{tag}.csv"))
+
+    val = meta[meta["selection"] == "val"].reset_index(drop=True)
+    val.to_csv(tmp / "bench_meta.csv", index=False)
+    (tmp / "benchmarks.json").write_text(json.dumps(
+        {"tinybench": {"meta": str(tmp / "bench_meta.csv"),
+                       "images": str(tmp / "imgs")}}))
+    import pigeon_tpu.cli.run as cli
+
+    orig = cli.make_config
+
+    def patched(args):
+        import dataclasses
+
+        cfg = orig(args)
+        assert cfg.name == "pigeotto-landmarks"  # --landmarks preset
+        return cfg.replace(paths=dataclasses.replace(
+            cfg.paths, benchmark_registry=str(tmp / "benchmarks.json")))
+
+    monkeypatch.setattr(cli, "make_config", patched)
+    out = tmp / "results_lm.json"
+    rc = main(["evaluate", "lm", "--tiny", "--landmarks", "-l", "tinybench",
+               "--metadata", f"{tmp}/meta_a.csv,{tmp}/meta_b.csv",
+               "--geocells", str(tmp / "cells.csv"),
+               "--prototypes", f"{tmp}/protos_a.csv,{tmp}/protos_b.csv",
+               "--embeddings", f"{tmp}/emb_a,{tmp}/emb_b",
+               "--batch-size", "4", "--output", str(out)])
+    assert rc == 0
+    metrics = json.loads(out.read_text())["tinybench"]
+    assert "Median_km_error" in metrics and "Geoguessr_score" in metrics
+
+
+def test_no_classification_fails_loudly():
+    """--no-classification must abort: regression mode is unimplemented
+    (the reference only logs the mode string, `run.py:99`)."""
+    with pytest.raises(SystemExit):
+        main(["finetune", "m", "--tiny", "--no-classification"])
+
+
 def test_model_flag_selects_vit_b32():
     """--model vit-b32 swaps in the ViT-B/32 towers (BASELINE config #1's
     zero-shot model) and resizes the head's embed dim to match."""
