@@ -120,6 +120,13 @@ def make_train_step(model, optimizer, head_cfg: HeadConfig, geocells,
                 lambda g, m: g * m, grads, grad_mask)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params)
+        if grad_mask is not None:
+            # Mask the UPDATES too: adamw's decoupled weight decay would
+            # otherwise still shrink frozen params (the reference freezes
+            # via requires_grad=False, so frozen params never move —
+            # torch skips None-grad params entirely).
+            updates = jax.tree_util.tree_map(
+                lambda u, m: u * m, updates, grad_mask)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state)

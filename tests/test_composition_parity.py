@@ -1,0 +1,270 @@
+"""Composition-level quality parity: pigeon_tpu vs reference semantics.
+
+The per-function golden tests pin each stage in isolation; this harness
+runs the FULL lifecycle on one shared synthetic world through BOTH stacks
+and compares the final metric tables:
+
+    pigeon_tpu:  CLIP tower -> smoothed-CE finetune (frozen tower) ->
+                 embed -> prototypes -> ProtoRefiner -> metric suite
+                 (all through the real library entry points)
+    twin:        independent torch/numpy re-derivation of the reference
+                 (`tests/reference_twin.py`, cites reference lines)
+
+Both sides share bit-identical tower weights (HF torch CLIP imported via
+`models/hf_import`), identical head init, the same batch order and
+optimizer hyperparameters — so any metric divergence is a SEMANTIC
+difference in the composition, not noise. This is the achievable
+substitute for the blocked real-weights BASELINE bound (no network here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+import reference_twin as twin
+from pigeon_tpu import config as cfg_lib
+from pigeon_tpu.config import HeadConfig, RefinerConfig
+from pigeon_tpu.models.hf_import import import_vision_tower_params
+from pigeon_tpu.models.refiner import build_proto_bank, make_refine_fn
+from pigeon_tpu.models.super_guessr import SuperGuessr
+from pigeon_tpu.train import create_train_state, make_eval_step, \
+    make_train_step
+from pigeon_tpu.train.metrics import compute_geoguessr_metrics
+from pigeon_tpu.train.train_loop import adamw
+
+transformers = pytest.importorskip("transformers")
+
+# Shared world + hyperparameters (identical on both sides).
+CELLS = np.array([[-100.0, 40.0], [10.0, 50.0], [120.0, 30.0],
+                  [-60.0, -20.0], [30.0, -25.0]], np.float64)
+N_TRAIN, N_VAL = 192, 48
+TAU_KM = 75.0
+LR, EPOCHS, BATCH = 3e-3, 6, 16
+TOPK, TEMPERATURE, MAX_REFINE_KM = 3, 1.6, 1000.0
+CLUSTER_ARGS = (4, 0.05)
+NUM_CANDIDATES = 5
+
+TINY_VISION_HF = dict(image_size=32, patch_size=8, hidden_size=32,
+                      intermediate_size=64, num_hidden_layers=2,
+                      num_attention_heads=4, projection_dim=16)
+
+
+def _location_images(lla: np.ndarray, rng: np.ndarray) -> np.ndarray:
+    """Deterministic smooth location->image map (NHWC float32): pixel
+    patterns vary continuously with (lng, lat) so a frozen tower's
+    embeddings carry a learnable AND refinable location signal."""
+    g = np.random.default_rng(77)
+    phase = g.uniform(0, 2 * np.pi, (3, 32, 32))
+    freq = g.uniform(0.5, 2.0, (3, 2))
+    lng = np.radians(lla[:, 0])[:, None, None, None]
+    lat = np.radians(lla[:, 1])[:, None, None, None]
+    ph = phase.transpose(1, 2, 0)[None]          # (1, 32, 32, 3)
+    f = freq.T[None, None, None]                 # (1, 1, 1, 2, 3) -> split
+    img = np.sin(f[..., 0, :] * 3 * lng + ph) * \
+        np.cos(f[..., 1, :] * 3 * lat + 2 * ph)
+    return (img + 0.35 * rng).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(2203)
+    n = N_TRAIN + N_VAL
+    cell_of = rng.integers(0, len(CELLS), n)
+    lla = CELLS[cell_of] + rng.normal(0, 3.0, (n, 2))
+    # Geocell index = nearest centroid (points can straddle cells).
+    cell_idx = twin.haversine_matrix_np(lla, CELLS).argmin(axis=1)
+    images = _location_images(lla, rng.normal(0, 1, (n, 32, 32, 3)))
+    selection = np.where(np.arange(n) % 5 == 4, "val", "train")
+    df = pd.DataFrame({"lng": lla[:, 0], "lat": lla[:, 1],
+                       "geocell_idx": cell_idx, "selection": selection})
+
+    torch.manual_seed(3)
+    hf_tower = transformers.CLIPVisionModel(
+        transformers.CLIPVisionConfig(**TINY_VISION_HF)).eval()
+    g = np.random.default_rng(11)
+    head_w = (g.normal(0, 0.02, (32, len(CELLS)))).astype(np.float32)
+    head_b = np.zeros(len(CELLS), np.float32)
+    return df, images, hf_tower, head_w, head_b
+
+
+def _batches(idx: np.ndarray):
+    """Deterministic batch order shared by both sides."""
+    for start in range(0, len(idx), BATCH):
+        yield idx[start:start + BATCH]
+
+
+def run_pigeon_tpu(df, images, hf_tower, head_w, head_b):
+    """The real library composition, end to end."""
+    vision_cfg = cfg_lib.VisionConfig(
+        image_size=32, patch_size=8, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, projection_dim=16)
+    head_cfg = HeadConfig(num_cells=len(CELLS), embed_dim=32,
+                          panorama=False, multi_task=False, heading=False,
+                          smooth_labels=True, label_smoothing_km=TAU_KM,
+                          num_candidates=NUM_CANDIDATES)
+    model = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.float32)
+    opt = adamw(LR, weight_decay=0.0)
+    state = create_train_state(jax.random.PRNGKey(0), model, opt,
+                               (jnp.zeros((1, 32, 32, 3)),))
+
+    # Bit-identical tower + head init with the twin.
+    params = dict(state.params)
+    params["vision"] = import_vision_tower_params(
+        hf_tower.state_dict(), num_layers=2)
+    head = dict(params["head"])
+    head["cell_layer"] = {"kernel": jnp.asarray(head_w),
+                          "bias": jnp.asarray(head_b)}
+    params["head"] = head
+    state = state.replace(params=params)
+
+    # Frozen tower (reference freeze_base), head trains.
+    mask = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    mask["head"] = jax.tree_util.tree_map(jnp.ones_like, mask["head"])
+
+    train_rows = np.where(df["selection"] == "train")[0]
+    val_rows = np.where(df["selection"] == "val")[0]
+    lla = df[["lng", "lat"]].to_numpy(np.float32)
+
+    step = make_train_step(model, opt, head_cfg, CELLS.astype(np.float32),
+                           grad_mask=mask, donate=False)
+    for _ in range(EPOCHS):
+        for batch_rows in _batches(train_rows):
+            state, _ = step(state, {
+                "inputs": jnp.asarray(images[batch_rows]),
+                "labels": jnp.asarray(lla[batch_rows]),
+            }, jax.random.PRNGKey(4))
+
+    # Embed + eval through the library eval step.
+    eval_step = make_eval_step(model, head_cfg, CELLS.astype(np.float32),
+                               num_candidates=NUM_CANDIDATES)
+    _, train_preds = eval_step(state.params,
+                               {"inputs": jnp.asarray(images[train_rows]),
+                                "labels": jnp.asarray(lla[train_rows])})
+    _, val_preds = eval_step(state.params,
+                             {"inputs": jnp.asarray(images[val_rows]),
+                              "labels": jnp.asarray(lla[val_rows])})
+
+    # Prototypes (library OPTICS path) + refiner (jit scan, reference
+    # within-cluster semantics).
+    from pigeon_tpu.geocell import build_prototypes
+
+    train_df = df[df["selection"] == "train"].reset_index(drop=True)
+    proto_df = build_prototypes(train_df, cluster_args=CLUSTER_ARGS,
+                                num_workers=0)
+    bank = build_proto_bank(proto_df.to_dict("records"),
+                            np.asarray(train_preds["embedding"]),
+                            lla[train_rows], num_cells=len(CELLS))
+    refine = make_refine_fn(
+        bank, RefinerConfig(topk=TOPK, temperature=TEMPERATURE,
+                            max_refinement_km=MAX_REFINE_KM),
+        within_cluster="reference")
+    refined = refine(val_preds["embedding"], val_preds["pred_lla"],
+                     val_preds["topk_cells"], val_preds["topk_probs"])
+
+    metrics = compute_geoguessr_metrics(
+        predictions=np.asarray(refined["pred_lla"]),
+        labels=lla[val_rows],
+        cell_preds=np.asarray(val_preds["pred_cell"]),
+        cell_labels=df["geocell_idx"].to_numpy()[val_rows],
+        topk_cells=np.asarray(val_preds["topk_cells"]),
+    )
+    debug = {"val_embedding": np.asarray(val_preds["embedding"]),
+             "val_probs": np.asarray(val_preds["probs"])}
+    return metrics, debug
+
+
+def run_twin(df, images, hf_tower, head_w, head_b):
+    """The reference re-derivation, end to end."""
+    train_rows = np.where(df["selection"] == "train")[0]
+    val_rows = np.where(df["selection"] == "val")[0]
+    lla = df[["lng", "lat"]].to_numpy(np.float64)
+
+    with torch.no_grad():  # frozen tower; token-mean embedding
+        emb = hf_tower(pixel_values=torch.from_numpy(
+            images.transpose(0, 3, 1, 2))).last_hidden_state \
+            .mean(dim=1).numpy()
+
+    head = torch.nn.Linear(32, len(CELLS))
+    with torch.no_grad():
+        head.weight.copy_(torch.from_numpy(head_w.T))
+        head.bias.copy_(torch.from_numpy(head_b))
+
+    # Same batch order as the pigeon_tpu side.
+    order = np.concatenate(list(_batches(train_rows)))
+    twin.train_head_torch(head, emb[order], lla[order], CELLS,
+                          tau_km=TAU_KM, lr=LR, epochs=EPOCHS,
+                          batch_size=BATCH)
+
+    val_out = twin.head_predictions(head, emb[val_rows], CELLS,
+                                    NUM_CANDIDATES)
+    proto_rows = twin.build_prototypes_sklearn(
+        lla[train_rows], df["geocell_idx"].to_numpy()[train_rows],
+        *CLUSTER_ARGS)
+    pred_lla, _, _ = twin.refine_reference(
+        proto_rows, emb[train_rows], lla[train_rows],
+        emb[val_rows], val_out["pred_lla"], val_out["topk_cells"],
+        val_out["topk_probs"], topk=TOPK, temperature=TEMPERATURE,
+        max_refinement_km=MAX_REFINE_KM)
+
+    metrics = twin.compute_metrics_np(
+        pred_lla, lla[val_rows], val_out["pred_cell"],
+        df["geocell_idx"].to_numpy()[val_rows], val_out["topk_cells"])
+    debug = {"val_embedding": emb[val_rows], "val_probs": val_out["probs"]}
+    return metrics, debug
+
+
+class TestCompositionParity:
+    @pytest.fixture(scope="class")
+    def both(self, world):
+        ours, ours_dbg = run_pigeon_tpu(*world)
+        ref, ref_dbg = run_twin(*world)
+        return ours, ref, ours_dbg, ref_dbg
+
+    def test_embedding_stage_parity(self, both):
+        """Tower embed stage: bit-identical weights -> near-identical
+        embeddings (flax vs torch float drift only)."""
+        _, _, ours_dbg, ref_dbg = both
+        np.testing.assert_allclose(ours_dbg["val_embedding"],
+                                   ref_dbg["val_embedding"],
+                                   atol=5e-5, rtol=1e-3)
+
+    def test_trained_probabilities_parity(self, both):
+        """After identical training runs, geocell probabilities agree —
+        the smoothed-CE + AdamW semantics composed identically."""
+        _, _, ours_dbg, ref_dbg = both
+        np.testing.assert_allclose(ours_dbg["val_probs"],
+                                   ref_dbg["val_probs"], atol=2e-3)
+
+    def test_metric_table_parity(self, both):
+        """The headline BASELINE metrics agree between the stacks."""
+        ours, ref, _, _ = both
+        n_val = N_VAL
+        assert abs(ours["Geocell_accuracy"] - ref["Geocell_accuracy"]) \
+            <= 1.0 / n_val
+        assert abs(ours["Geocell_top5_accuracy"]
+                   - ref["Geocell_top5_accuracy"]) <= 1.0 / n_val
+        med_o, med_r = ours["Median_km_error"], ref["Median_km_error"]
+        assert abs(med_o - med_r) <= max(0.05 * med_r, 5.0), (med_o, med_r)
+        mean_o, mean_r = ours["Mean_km_error"], ref["Mean_km_error"]
+        assert abs(mean_o - mean_r) <= max(0.05 * mean_r, 10.0), \
+            (mean_o, mean_r)
+        assert abs(ours["Geoguessr_score"] - ref["Geoguessr_score"]) \
+            <= 0.02 * 5000
+        for r in (25, 100, 750, 2500):
+            assert abs(ours[f"Under_{r}_km"] - ref[f"Under_{r}_km"]) \
+                <= 2.0 / n_val, r
+
+    def test_pipeline_actually_learned(self, both):
+        """Guard against vacuous parity: the task must be non-trivially
+        solved (else both tables would just be comparing noise)."""
+        ours, ref, _, _ = both
+        assert 0.6 <= ours["Geocell_accuracy"] < 1.0, \
+            "task saturated; top-1 parity would be vacuous"
+        assert ref["Geocell_accuracy"] >= 0.6
+        assert ours["Median_km_error"] <= 1500.0

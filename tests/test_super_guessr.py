@@ -83,6 +83,46 @@ def test_partial_freeze_mask():
     assert float(jnp.abs(masked["vision"]["pos_embed"]).min()) == 1.0
 
 
+def test_frozen_params_immune_to_weight_decay():
+    """A grad-masked (frozen) param must not move AT ALL — adamw's
+    decoupled weight decay would otherwise still shrink it (the reference
+    freezes via requires_grad=False; torch skips None-grad params)."""
+    from pigeon_tpu.train import create_train_state, make_train_step
+    from pigeon_tpu.train.train_loop import adamw
+
+    cfg = HeadConfig(num_cells=5, embed_dim=32, panorama=False,
+                     smooth_labels=True)
+    model = SuperGuessr(TINY, cfg)
+    opt = adamw(1e-2, weight_decay=0.1)
+    state = create_train_state(jax.random.PRNGKey(0), model, opt,
+                               (jnp.zeros((1, 32, 32, 3)),))
+    frozen_vision = jax.tree_util.tree_map(
+        lambda p: np.asarray(p), state.params["vision"])
+
+    # Freeze the ENTIRE vision tower.
+    mask = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    mask["head"] = jax.tree_util.tree_map(jnp.ones_like, mask["head"])
+    cells = np.stack([np.linspace(-150, 150, 5),
+                      np.linspace(-50, 60, 5)], -1).astype(np.float32)
+    step = make_train_step(model, opt, cfg, cells, grad_mask=mask,
+                           donate=False)
+    batch = {
+        "inputs": jnp.asarray(
+            RNG.normal(size=(4, 32, 32, 3)).astype(np.float32)),
+        "labels": jnp.asarray(np.stack(
+            [RNG.uniform(-180, 180, 4), RNG.uniform(-60, 70, 4)],
+            -1).astype(np.float32)),
+    }
+    for _ in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+        frozen_vision, state.params["vision"])
+    # And the head DID train.
+    assert float(jnp.abs(
+        state.params["head"]["cell_layer"]["kernel"]).max()) > 0
+
+
 def test_param_summary():
     from pigeon_tpu.models.summary import describe, param_count, param_summary
 
