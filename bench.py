@@ -46,6 +46,14 @@ import time
 
 BASELINE_IMAGES_PER_SEC = 5000.0
 
+#: Single-chip v5e speed of light for this model (docs/PERF.md §SOL):
+#: ~382 GFLOP/image at 336px over ~197 TFLOP/s bf16 peak. The int8 path
+#: quantizes ~91% of forward FLOPs onto the ~1.8x-rate int8 MXU
+#: (measured 286 TOPS vs 160 TFLOPS), so its SOL is
+#: 515 / (0.91/1.8 + 0.09) ≈ 865 img/s.
+SOL_IMAGES_PER_SEC_BF16 = 515.0
+SOL_IMAGES_PER_SEC_INT8 = 865.0
+
 
 def main() -> None:
     import jax
@@ -140,12 +148,17 @@ def main() -> None:
         rates.append(batch * iters / window(iters))
     rates.sort()
     rate = rates[len(rates) // 2]          # median window
+    sol = SOL_IMAGES_PER_SEC_INT8 if quant else SOL_IMAGES_PER_SEC_BF16
     print(json.dumps({
         "metric": "vit_l14_336_embed_classify_images_per_sec_per_chip"
                   f"_bs{batch}_{attn_impl}{'_int8' if quant else ''}",
         "value": round(rate, 2),
         "unit": "images/sec",
         "vs_baseline": round(rate / BASELINE_IMAGES_PER_SEC, 4),
+        # BASELINE.json's 5,000 img/s north star is ~10x past single-chip
+        # speed of light at 336px (docs/PERF.md §SOL); mfu = fraction of
+        # the SOL actually achieved — the self-interpreting number.
+        "mfu": round(rate / sol, 4),
     }))
     print(f"# windows={[round(r, 1) for r in rates]} "
           f"compile={compile_s:.1f}s", file=sys.stderr)
