@@ -59,6 +59,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from pigeon_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()   # cold remote compiles cost 60-380 s once
     from pigeon_tpu.config import HeadConfig, vit_l14_336_vision
     from pigeon_tpu.models.clip import CLIPVisionTower
     from pigeon_tpu.models.geocell_head import GeocellHead

@@ -1090,6 +1090,12 @@ COMMANDS = {
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
+    # Persistent XLA compile cache: the remote compile service's cold
+    # compiles cost 60-380 s; a warm workspace re-loads in milliseconds
+    # (core/compile_cache.py).
+    from pigeon_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     if not args.classification:
         raise SystemExit(
             "regression mode is not implemented (the reference's released "

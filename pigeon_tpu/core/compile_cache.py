@@ -1,0 +1,45 @@
+"""Persistent XLA compilation cache.
+
+The remote compile service behind the axon TPU tunnel has unpredictable
+latency for cold compiles: the SAME flagship bench program compiled in
+4.8 s (round 1, warm server cache), 64.4 s, and 381.8 s (round 2's
+driver-captured run) across sessions. JAX's persistent compilation cache
+works through this backend (verified: cross-process rerun of a 0.7 s
+compile loads in 0.05 s), so every entry point that compiles the big
+programs enables it — the first run in a workspace pays the server's
+price once and every later process (including the driver's bench run)
+deserializes from local disk in milliseconds.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_persistent_cache(path: str | None = None) -> str:
+    """Point JAX's compilation cache at a local directory.
+
+    Must run before the first compilation (anytime before is fine; the
+    backend need not be uninitialized). Safe to call repeatedly.
+
+    Args:
+        path: cache directory. Default: ``$PIGEON_TPU_COMPILE_CACHE``,
+            else ``.jax_cache`` next to the repo root (so the driver's
+            ``python bench.py`` run shares the cache this session wrote).
+    """
+    import jax
+
+    if path is None:
+        path = os.environ.get("PIGEON_TPU_COMPILE_CACHE")
+    if path is None:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        path = os.path.join(repo, ".jax_cache")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # Cache everything that took the remote service >1 s — the default
+    # floor (1 MiB / 1 s) already covers the big programs, but small
+    # Pallas-kernel programs benefit too.
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path

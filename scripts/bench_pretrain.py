@@ -21,6 +21,10 @@ import time
 
 def main() -> None:
     import jax
+
+    from pigeon_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from pigeon_tpu.config import pigeon_config

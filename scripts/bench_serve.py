@@ -41,6 +41,10 @@ def _screenshot_b64(rng, px: int) -> str:
 
 def main() -> None:
     import jax
+
+    from pigeon_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
     import numpy as np
 

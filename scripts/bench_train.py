@@ -19,6 +19,10 @@ import time
 
 def main() -> None:
     import jax
+
+    from pigeon_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from pigeon_tpu.config import HeadConfig, vit_l14_336_vision
