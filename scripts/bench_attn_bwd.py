@@ -166,12 +166,61 @@ def main() -> None:
             return dq, dk, dv
         return run
 
+    # Diagnostics: MXU floor (dots only, softmax chain replaced by a
+    # cast) and VPU floor (softmax chain only, output dots removed).
+    def dots_only(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                  *, pack: int):
+        for i in range(pack):
+            q, k, v = q_ref[i], k_ref[i], v_ref[i]
+            g = g_ref[i]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            u_lo = logits.astype(v.dtype)
+            dv_ref[i] = jax.lax.dot_general(
+                u_lo, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+            dp = jax.lax.dot_general(
+                g, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dl = (logits * dp).astype(q.dtype)
+            dq_ref[i] = jax.lax.dot_general(
+                dl, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+            dk_ref[i] = jax.lax.dot_general(
+                dl, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+    def vpu_only(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                 *, pack: int):
+        for i in range(pack):
+            q, k, v = q_ref[i], k_ref[i], v_ref[i]
+            g = g_ref[i].astype(jnp.float32)
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * np.float32(scale)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            u = jnp.exp(logits - m)
+            den = jnp.sum(u, axis=1, keepdims=True)
+            dp = logits  # stand-in, no second dot
+            r = jnp.sum(dp * u, axis=1, keepdims=True) / den
+            dl = u * (dp - r) * (np.float32(scale) / den)
+            dq_ref[i] = (q + dl[:, :64].astype(q.dtype)).astype(
+                dq_ref.dtype)
+            dk_ref[i] = k.astype(dk_ref.dtype)
+            dv_ref[i] = (g / den).astype(dv_ref.dtype)
+
     variants = {
         "base_pack2": lambda q, k, v, g: fa._flash_backward(q, k, v, g),
+        "base_pack4": make_bwd(
+            lambda *a, pack: fa._attn_bwd_kernel(*a, scale=scale,
+                                                 pack=pack), 4),
         "r_from_o_pack2": make_bwd(bwd_r_from_o, 2),
         "r_from_o_pack4": make_bwd(bwd_r_from_o, 4),
         "r_from_o_pack1": make_bwd(bwd_r_from_o, 1),
         "split4": make_split(4),
+        "diag_dots_only_p2": make_bwd(dots_only, 2),
+        "diag_vpu_only_p2": make_bwd(vpu_only, 2),
     }
 
     key = jax.random.PRNGKey(0)
@@ -195,9 +244,12 @@ def main() -> None:
         jitted = jax.jit(fn)
         try:
             out = jitted(qv, kv, vv, gv)
-            err = max(float(jnp.abs(o[sl].astype(jnp.float32)
-                                    - r.astype(jnp.float32)).max())
-                      for o, r in zip(out, ref))
+            if name.startswith("diag"):
+                err = -1.0  # diagnostics are intentionally wrong math
+            else:
+                err = max(float(jnp.abs(o[sl].astype(jnp.float32)
+                                        - r.astype(jnp.float32)).max())
+                          for o, r in zip(out, ref))
             float(scalarize(*out))
         except Exception as e:  # noqa: BLE001 — report compile failures
             print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:160]}",

@@ -112,6 +112,81 @@ def head_predictions(head: torch.nn.Linear, embeddings: np.ndarray,
     }
 
 
+class FullHeadTorch(torch.nn.Module):
+    """Panorama + multi-task SuperGuessr head over 4-view embeddings
+    (`super_guessr.py:90-131,416-483`): mean aggregation over views
+    (heading features do not survive mean aggregation, :273-274), linear
+    cell layer, and the three auxiliary heads with the 8/2/1 loss
+    scalings (:16-23)."""
+
+    def __init__(self, dim: int, num_cells: int):
+        super().__init__()
+        self.cell_layer = torch.nn.Linear(dim, num_cells)
+        self.multi_task_head = torch.nn.Linear(dim, 6)
+        self.climate_layer = torch.nn.Linear(dim, 28)
+        self.month_layer = torch.nn.Linear(dim, 12)
+
+    def forward(self, emb4):                   # (B, 4, D)
+        agg = emb4.mean(dim=1)
+        return (self.cell_layer(agg), self.multi_task_head(agg),
+                self.climate_layer(agg), self.month_layer(agg))
+
+
+def train_full_torch(head: FullHeadTorch, emb4: np.ndarray,
+                     labels_lla: np.ndarray, labels_mt: np.ndarray,
+                     labels_climate: np.ndarray, labels_month: np.ndarray,
+                     geocells: np.ndarray, tau_km: float, lr: float,
+                     epochs: int, batch_size: int) -> FullHeadTorch:
+    """Reference multi-task training semantics (`super_guessr.py:316-348,
+    469-477`): loss = CE(smoothed) + 8*MSE + 2*CE_climate + 1*CE_month."""
+    opt = torch.optim.AdamW(head.parameters(), lr=lr, betas=(0.9, 0.999),
+                            eps=1e-8, weight_decay=0.0)
+    ce = torch.nn.CrossEntropyLoss()
+    mse = torch.nn.MSELoss(reduction="mean")
+    emb = torch.from_numpy(np.asarray(emb4, np.float32))
+    targets = torch.from_numpy(smooth_labels_np(
+        haversine_matrix_np(labels_lla, geocells), tau_km).astype(
+            np.float32))
+    t_mt = torch.from_numpy(np.asarray(labels_mt, np.float32))
+    t_cl = torch.from_numpy(np.asarray(labels_climate, np.int64))
+    t_mo = torch.from_numpy(np.asarray(labels_month, np.int64))
+    n = emb.shape[0]
+    head.train()
+    for _ in range(epochs):
+        for start in range(0, n, batch_size):
+            sl = slice(start, start + batch_size)
+            opt.zero_grad()
+            logits, p_mt, p_cl, p_mo = head(emb[sl])
+            loss = ce(logits, targets[sl]) \
+                + 8.0 * mse(p_mt, t_mt[sl]) \
+                + 2.0 * ce(p_cl, t_cl[sl]) \
+                + 1.0 * ce(p_mo, t_mo[sl])
+            loss.backward()
+            opt.step()
+    head.eval()
+    return head
+
+
+def full_head_predictions(head: FullHeadTorch, emb4: np.ndarray,
+                          geocells: np.ndarray, num_candidates: int):
+    with torch.no_grad():
+        logits, p_mt, p_cl, p_mo = head(
+            torch.from_numpy(np.asarray(emb4, np.float32)))
+        probs = torch.softmax(logits, dim=-1)
+    pred_cell = probs.argmax(dim=-1).numpy()
+    topk = torch.topk(probs, num_candidates, dim=-1)
+    return {
+        "probs": probs.numpy(),
+        "pred_cell": pred_cell,
+        "pred_lla": np.asarray(geocells)[pred_cell],
+        "topk_cells": topk.indices.numpy(),
+        "topk_probs": topk.values.numpy(),
+        "preds_mt": p_mt.numpy(),
+        "preds_climate": p_cl.numpy(),
+        "preds_month": p_mo.numpy(),
+    }
+
+
 # ------------------------------------------------------------- prototypes
 
 def build_prototypes_sklearn(train_lla: np.ndarray, cell_idx: np.ndarray,

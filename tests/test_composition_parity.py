@@ -338,3 +338,182 @@ class TestInt8OnTrainedCheckpoint:
         assert abs(med_q - med_f) <= max(0.10 * med_f, 25.0), (med_f, med_q)
         assert abs(int8_m["Geoguessr_score"]
                    - f32_m["Geoguessr_score"]) <= 0.03 * 5000
+
+
+# ---------------------------------------------------------------------------
+# Scenario 2: full PIGEON configuration — 4-view panorama, multi-task heads,
+# month prediction, the 8/2/1 loss-scaling composition.
+# ---------------------------------------------------------------------------
+
+EPOCHS2 = 4
+
+
+def _panorama_images(lla: np.ndarray, noise: np.ndarray) -> np.ndarray:
+    """(N, 4, 32, 32, 3): each view is the location image rotated 90° in
+    longitude phase (the StreetView capture pattern, distinct per view)."""
+    views = [
+        _location_images(lla + np.array([90.0 * v, 0.0]), noise[:, v])
+        for v in range(4)
+    ]
+    return np.stack(views, axis=1)
+
+
+@pytest.fixture(scope="module")
+def world_full(world):
+    df, _, hf_tower, head_w, head_b = world
+    rng = np.random.default_rng(404)
+    lla = df[["lng", "lat"]].to_numpy(np.float64)
+    n = len(lla)
+    images4 = _panorama_images(lla, rng.normal(0, 1, (n, 4, 32, 32, 3)))
+    labels_mt = np.stack([
+        np.sin(np.radians(lla[:, 0]) * (i + 1))
+        + np.cos(np.radians(lla[:, 1]) * (i + 2))
+        for i in range(6)], -1).astype(np.float32)
+    labels_climate = (df["geocell_idx"].to_numpy() * 5
+                      + (lla[:, 1] > 35)).astype(np.int64) % 28
+    labels_month = (np.abs(lla[:, 0]).astype(np.int64)) % 12
+    g = np.random.default_rng(21)
+    aux_w = {
+        "multi_task_head": g.normal(0, 0.02, (32, 6)).astype(np.float32),
+        "climate_layer": g.normal(0, 0.02, (32, 28)).astype(np.float32),
+        "month_layer": g.normal(0, 0.02, (32, 12)).astype(np.float32),
+    }
+    return (df, images4, hf_tower, head_w, head_b, labels_mt,
+            labels_climate, labels_month, aux_w)
+
+
+def run_pigeon_tpu_full(df, images4, hf_tower, head_w, head_b, labels_mt,
+                        labels_climate, labels_month, aux_w):
+    vision_cfg = cfg_lib.VisionConfig(
+        image_size=32, patch_size=8, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, projection_dim=16)
+    head_cfg = HeadConfig(num_cells=len(CELLS), embed_dim=32,
+                          panorama=True, multi_task=True,
+                          predict_month=True, heading=False,
+                          smooth_labels=True, label_smoothing_km=TAU_KM,
+                          num_candidates=NUM_CANDIDATES)
+    model = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.float32)
+    opt = adamw(LR, weight_decay=0.0)
+    state = create_train_state(jax.random.PRNGKey(0), model, opt,
+                               (jnp.zeros((1, 4, 32, 32, 3)),))
+    params = dict(state.params)
+    params["vision"] = import_vision_tower_params(
+        hf_tower.state_dict(), num_layers=2)
+    head = dict(params["head"])
+    head["cell_layer"] = {"kernel": jnp.asarray(head_w),
+                          "bias": jnp.asarray(head_b)}
+    for name, w in aux_w.items():
+        head[name] = {"kernel": jnp.asarray(w),
+                      "bias": jnp.zeros((w.shape[1],), jnp.float32)}
+    params["head"] = head
+    state = state.replace(params=params)
+
+    mask = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    mask["head"] = jax.tree_util.tree_map(jnp.ones_like, mask["head"])
+
+    train_rows = np.where(df["selection"] == "train")[0]
+    val_rows = np.where(df["selection"] == "val")[0]
+    lla = df[["lng", "lat"]].to_numpy(np.float32)
+
+    step = make_train_step(model, opt, head_cfg, CELLS.astype(np.float32),
+                           grad_mask=mask, donate=False)
+    for _ in range(EPOCHS2):
+        for rows in _batches(train_rows):
+            state, _ = step(state, {
+                "inputs": jnp.asarray(images4[rows]),
+                "labels": jnp.asarray(lla[rows]),
+                "labels_multi_task": jnp.asarray(labels_mt[rows]),
+                "labels_climate": jnp.asarray(labels_climate[rows]),
+                "labels_month": jnp.asarray(labels_month[rows]),
+            }, jax.random.PRNGKey(4))
+
+    eval_step = make_eval_step(model, head_cfg, CELLS.astype(np.float32),
+                               num_candidates=NUM_CANDIDATES)
+    _, val_preds = eval_step(state.params, {
+        "inputs": jnp.asarray(images4[val_rows]),
+        "labels": jnp.asarray(lla[val_rows]),
+        "labels_multi_task": jnp.asarray(labels_mt[val_rows]),
+        "labels_climate": jnp.asarray(labels_climate[val_rows]),
+        "labels_month": jnp.asarray(labels_month[val_rows]),
+    })
+    metrics = compute_geoguessr_metrics(
+        predictions=np.asarray(val_preds["pred_lla"]),
+        labels=lla[val_rows],
+        cell_preds=np.asarray(val_preds["pred_cell"]),
+        cell_labels=df["geocell_idx"].to_numpy()[val_rows],
+        topk_cells=np.asarray(val_preds["topk_cells"]),
+        preds_climate=np.asarray(val_preds["preds_climate"]),
+        labels_climate=labels_climate[val_rows],
+        preds_month=np.asarray(val_preds["preds_month"]),
+        labels_month=labels_month[val_rows],
+    )
+    debug = {"val_probs": np.asarray(val_preds["probs"]),
+             "val_preds_mt": np.asarray(val_preds["preds_mt"])}
+    return metrics, debug
+
+
+def run_twin_full(df, images4, hf_tower, head_w, head_b, labels_mt,
+                  labels_climate, labels_month, aux_w):
+    train_rows = np.where(df["selection"] == "train")[0]
+    val_rows = np.where(df["selection"] == "val")[0]
+    lla = df[["lng", "lat"]].to_numpy(np.float64)
+    n = len(lla)
+
+    with torch.no_grad():  # fold views into the batch, token-mean embed
+        flat = images4.reshape(n * 4, 32, 32, 3).transpose(0, 3, 1, 2)
+        emb4 = hf_tower(pixel_values=torch.from_numpy(flat)) \
+            .last_hidden_state.mean(dim=1).numpy().reshape(n, 4, -1)
+
+    head = twin.FullHeadTorch(32, len(CELLS))
+    with torch.no_grad():
+        head.cell_layer.weight.copy_(torch.from_numpy(head_w.T))
+        head.cell_layer.bias.copy_(torch.from_numpy(head_b))
+        for name, w in aux_w.items():
+            layer = getattr(head, name)
+            layer.weight.copy_(torch.from_numpy(w.T))
+            layer.bias.zero_()
+
+    order = np.concatenate(list(_batches(train_rows)))
+    twin.train_full_torch(head, emb4[order], lla[order], labels_mt[order],
+                          labels_climate[order], labels_month[order],
+                          CELLS, tau_km=TAU_KM, lr=LR, epochs=EPOCHS2,
+                          batch_size=BATCH)
+    out = twin.full_head_predictions(head, emb4[val_rows], CELLS,
+                                     NUM_CANDIDATES)
+    metrics = twin.compute_metrics_np(
+        out["pred_lla"], lla[val_rows], out["pred_cell"],
+        df["geocell_idx"].to_numpy()[val_rows], out["topk_cells"])
+    metrics["Climate_accuracy"] = float(
+        (out["preds_climate"].argmax(-1)
+         == labels_climate[val_rows]).mean())
+    metrics["Month_accuracy"] = float(
+        (out["preds_month"].argmax(-1) == labels_month[val_rows]).mean())
+    debug = {"val_probs": out["probs"], "val_preds_mt": out["preds_mt"]}
+    return metrics, debug
+
+
+class TestCompositionParityFullPigeon:
+    """Scenario 2: the full PIGEON head configuration — 4-view panorama
+    mean aggregation + multi-task heads + month, with the 8/2/1 loss
+    scalings composing into ONE trained objective on both stacks."""
+
+    @pytest.fixture(scope="class")
+    def both(self, world_full):
+        ours, ours_dbg = run_pigeon_tpu_full(*world_full)
+        ref, ref_dbg = run_twin_full(*world_full)
+        return ours, ref, ours_dbg, ref_dbg
+
+    def test_trained_probabilities_and_mt_parity(self, both):
+        _, _, ours_dbg, ref_dbg = both
+        np.testing.assert_allclose(ours_dbg["val_probs"],
+                                   ref_dbg["val_probs"], atol=2e-3)
+        np.testing.assert_allclose(ours_dbg["val_preds_mt"],
+                                   ref_dbg["val_preds_mt"], atol=5e-3)
+
+    def test_metric_table_parity(self, both):
+        ours, ref, _, _ = both
+        for key in ("Geocell_accuracy", "Geocell_top5_accuracy",
+                    "Climate_accuracy", "Month_accuracy"):
+            assert abs(ours[key] - ref[key]) <= 1.0 / N_VAL, key
+        med_o, med_r = ours["Median_km_error"], ref["Median_km_error"]
+        assert abs(med_o - med_r) <= max(0.05 * med_r, 5.0), (med_o, med_r)
