@@ -20,6 +20,9 @@ cells with long-tail sizes (the admin-2 seeding shape,
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import numpy as np
 import pandas as pd
 
