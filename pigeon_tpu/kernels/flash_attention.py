@@ -74,23 +74,75 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, pack: int):
         o_ref[i] = (o / denom).astype(o_ref.dtype)
 
 
+#: Online-softmax forward variant: chunk size over K. The (S, S) block is
+#: never materialized — per-chunk running max/denominator with correction
+#: factors (exact math). The ~4x smaller VMEM footprint admits pack=8
+#: (the monolithic kernel fails server-side compile at pack=8), which
+#: measured AT the kernel's floor (r3 diagnostics, docs/PERF.md).
+ONLINE_CHUNK = 128
+ONLINE_PACK = 8
+
+
+def _attn_kernel_online(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                        pack: int, chunk: int = ONLINE_CHUNK):
+    """Exact attention with online softmax, per (batch*head) slice."""
+    s = q_ref.shape[1]
+    dh = q_ref.shape[2]
+    for i in range(pack):
+        q = q_ref[i]
+        k = k_ref[i]
+        v = v_ref[i]
+        m = jnp.full((s, 1), -jnp.inf, jnp.float32)
+        den = jnp.zeros((s, 1), jnp.float32)
+        acc = jnp.zeros((s, dh), jnp.float32)
+        for c0 in range(0, s, chunk):
+            c1 = min(c0 + chunk, s)
+            lc = jax.lax.dot_general(
+                q, k[c0:c1], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * np.float32(scale)
+            m_new = jnp.maximum(m, jnp.max(lc, axis=1, keepdims=True))
+            p = jnp.exp(lc - m_new)
+            corr = jnp.exp(m - m_new)
+            den = den * corr + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * corr + jax.lax.dot_general(
+                p.astype(v.dtype), v[c0:c1], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = m_new
+        o_ref[i] = (acc / den).astype(o_ref.dtype)
+
+
 def _flash_forward(q, k, v, block_q: int = DEFAULT_BLOCK_Q):
     """q/k/v: (BH, S, Dh) -> (BH, S, Dh).
 
     No explicit padding: Mosaic handles non-128-aligned S internally,
     and explicit jnp.pad copies measured ~46 ms/iter on the ViT-L tower
     (the difference between losing to and matching XLA attention).
+
+    Kernel body selection (``PIGEON_FLASH_FWD``): ``monolithic``
+    (default; single-pass (S, S) softmax in VMEM) or ``online``
+    (online-softmax chunks at pack=8 — measured at the kernel floor in
+    standalone calls; kept opt-in until it beats monolithic
+    END-TO-END, docs/PERF.md r3 diagnostics).
     """
+    import os
+
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     del block_q  # whole (S, Dh) tiles per (batch, head): K/V DMA'd once
     bh, s, dh = q.shape
     scale = dh ** -0.5
-    pack = next((p for p in (FWD_PACK, 2, 1) if bh % p == 0), 1)
+
+    if os.environ.get("PIGEON_FLASH_FWD", "monolithic") == "online":
+        pack = next((p for p in (ONLINE_PACK, 4, 2, 1) if bh % p == 0), 1)
+        body = functools.partial(_attn_kernel_online, scale=scale,
+                                 pack=pack)
+    else:
+        pack = next((p for p in (FWD_PACK, 2, 1) if bh % p == 0), 1)
+        body = functools.partial(_attn_kernel, scale=scale, pack=pack)
 
     return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, pack=pack),
+        body,
         out_shape=jax.ShapeDtypeStruct((bh, s, dh), q.dtype),
         grid=(bh // pack,),
         in_specs=[

@@ -89,11 +89,58 @@ def main() -> None:
             )(q, k, v)
         return run
 
+    def qk_chunked(q_ref, k_ref, v_ref, o_ref, *, pack: int,
+                   chunk: int = 128):
+        """Same QK FLOPs, but only (S, chunk) logits live at a time —
+        isolates whether the (S, S) f32 materialization is the cost."""
+        for i in range(pack):
+            q, k, v = q_ref[i], k_ref[i], v_ref[i]
+            acc = jnp.zeros((q.shape[0], 1), jnp.float32)
+            for c0 in range(0, S, chunk):
+                c1 = min(c0 + chunk, S)
+                lc = jax.lax.dot_general(
+                    q, k[c0:c1], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = acc + jnp.sum(lc, axis=1, keepdims=True)
+            o_ref[i] = (acc[:, :1] + v[:, :1] * 0 + v).astype(o_ref.dtype)
+
+    def online_softmax(q_ref, k_ref, v_ref, o_ref, *, pack: int,
+                       chunk: int = 128):
+        """EXACT attention via online softmax: the (S, S) block is never
+        materialized — per K-chunk running max/denominator with
+        correction factors, PV accumulated in f32. PV contraction dim is
+        the chunk (128) — full MXU width, unlike the monolithic PV."""
+        for i in range(pack):
+            q, k, v = q_ref[i], k_ref[i], v_ref[i]
+            n = q.shape[0]
+            m = jnp.full((n, 1), -jnp.inf, jnp.float32)
+            den = jnp.zeros((n, 1), jnp.float32)
+            acc = jnp.zeros((n, DH), jnp.float32)
+            for c0 in range(0, S, chunk):
+                c1 = min(c0 + chunk, S)
+                lc = jax.lax.dot_general(
+                    q, k[c0:c1], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * np.float32(scale)
+                m_new = jnp.maximum(m, jnp.max(lc, axis=1, keepdims=True))
+                p = jnp.exp(lc - m_new)
+                corr = jnp.exp(m - m_new)
+                den = den * corr + jnp.sum(p, axis=1, keepdims=True)
+                acc = acc * corr + jax.lax.dot_general(
+                    p.astype(v.dtype), v[c0:c1], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                m = m_new
+            o_ref[i] = (acc / den).astype(o_ref.dtype)
+
     variants = {
         "base_fwd_pack4": lambda q, k, v: fa._flash_forward(q, k, v),
         "diag_dots_only_p4": make(dots_only, 4),
         "diag_softmax_only_p4": make(softmax_only, 4),
         "diag_qk_only_p4": make(qk_only, 4),
+        "diag_qk_chunked_p4": make(qk_chunked, 4),
+        "online_softmax_p4_c128": make(online_softmax, 4),
+        "online_softmax_p8_c128": make(online_softmax, 8),
+        "online_softmax_p4_c256": make(
+            functools.partial(online_softmax, chunk=256), 4),
     }
 
     key = jax.random.PRNGKey(0)
@@ -101,11 +148,20 @@ def main() -> None:
                                     (BH, S, DH), jnp.bfloat16)
                   for i in range(3))
     scalarize = jax.jit(lambda a: a.astype(jnp.float32).sum())
+    base_out = None
 
     for name, fn in variants.items():
         jitted = jax.jit(fn)
         try:
-            float(scalarize(jitted(qv, kv, vv)))
+            out = jitted(qv, kv, vv)
+            float(scalarize(out))
+            err = None
+            if name.startswith("base"):
+                base_out = np.asarray(out[:8], np.float32)
+            elif not name.startswith("diag") and base_out is not None:
+                err = float(np.abs(np.asarray(out[:8], np.float32)
+                                   - base_out).max())
+                assert err < 3e-2, f"{name} parity {err}"
         except Exception as e:  # noqa: BLE001
             print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:160]}",
                   file=sys.stderr)
@@ -121,9 +177,11 @@ def main() -> None:
 
         window(2)
         rates = sorted(window(iters) / iters for _ in range(windows))
-        print(json.dumps({"variant": name,
-                          "ms_per_call": round(
-                              rates[len(rates) // 2] * 1000, 3)}))
+        rec = {"variant": name,
+               "ms_per_call": round(rates[len(rates) // 2] * 1000, 3)}
+        if err is not None:
+            rec["max_err_vs_base"] = round(err, 5)
+        print(json.dumps(rec))
         sys.stdout.flush()
 
 

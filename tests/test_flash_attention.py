@@ -49,6 +49,31 @@ class TestForward:
         np.testing.assert_allclose(got, want, atol=3e-2)
 
 
+class TestOnlineForward:
+    """PIGEON_FLASH_FWD=online selects the online-softmax body (exact
+    math, chunked over K, no (S, S) materialization)."""
+
+    @pytest.mark.parametrize("s", [64, 100, 577])
+    def test_matches_xla(self, s, monkeypatch):
+        from pigeon_tpu.kernels.flash_attention import mha
+
+        monkeypatch.setenv("PIGEON_FLASH_FWD", "online")
+        q, k, v = rand_qkv(2, s, 2, 32)
+        got = np.asarray(mha(q, k, v))
+        want = np.asarray(xla_mha(q, k, v))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_pack_fallback_small_bh(self, monkeypatch):
+        # BH=2 not divisible by 8 -> falls back to pack 2.
+        from pigeon_tpu.kernels.flash_attention import mha
+
+        monkeypatch.setenv("PIGEON_FLASH_FWD", "online")
+        q, k, v = rand_qkv(1, 96, 2, 32)
+        np.testing.assert_allclose(np.asarray(mha(q, k, v)),
+                                   np.asarray(xla_mha(q, k, v)),
+                                   atol=2e-5)
+
+
 class TestBackward:
     def test_grads_match_xla(self):
         from pigeon_tpu.kernels.flash_attention import mha
