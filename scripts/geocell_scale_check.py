@@ -17,6 +17,7 @@ cells with long-tail sizes (the admin-2 seeding shape,
 `multipoly_intersect_batch` adjacency kernel.
 """
 
+import os
 import sys
 import time
 
