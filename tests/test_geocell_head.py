@@ -205,3 +205,68 @@ class TestMonthSmoothing:
         from pigeon_tpu.models.geocell_head import soft_cross_entropy
         want = float(soft_cross_entropy(out.preds_month, targets))
         assert float(soft["loss_month"]) == pytest.approx(want, rel=1e-6)
+
+
+class TestHierarchicalTorchParity:
+    """Golden parity: the hierarchical panorama aggregation (heading
+    concat + zero pad + sinusoidal positions + one multi-head
+    self-attention + CLS pool, reference `super_guessr.py:94-103,
+    416-433`) vs torch.nn.MultiheadAttention with identical weights.
+
+    NOTE the reference's PositionalEncoder indexes its table by BATCH
+    position (a defect this framework deliberately does not reproduce,
+    `geocell_head.py::sinusoidal_positions`); the torch twin here uses
+    the corrected per-view table on both sides, pinning the attention
+    math rather than the documented bug."""
+
+    def test_matches_torch_mha(self):
+        from pigeon_tpu.models.geocell_head import sinusoidal_positions
+
+        heads, b = 4, 3
+        cfg = HeadConfig(num_cells=NUM_CELLS, embed_dim=DIM, panorama=True,
+                         hierarchical=True, heading=True,
+                         num_attention_heads=heads, attn_dropout=0.0)
+        head = GeocellHead(cfg)
+        emb = jnp.asarray(RNG.normal(size=(b, 4, DIM)).astype(np.float32))
+        heading = jnp.asarray(
+            np.tile(DEFAULT_HEADING_MULTI, (b, 1, 1)).astype(np.float32))
+        params = head.init(jax.random.PRNGKey(3), emb, heading)["params"]
+        out = head.apply({"params": params}, emb, heading,
+                         deterministic=True)
+
+        dim = DIM + heads  # heading (2) + zero pad (heads - 2)
+        dh = dim // heads
+
+        # --- torch twin with the SAME weights -------------------------
+        attn = params["view_attention"]
+        mha = torch.nn.MultiheadAttention(dim, heads, batch_first=True)
+        with torch.no_grad():
+            in_proj = np.concatenate([
+                np.asarray(attn[k]["kernel"]).reshape(dim, dim).T
+                for k in ("query", "key", "value")])
+            mha.in_proj_weight.copy_(torch.from_numpy(in_proj))
+            mha.in_proj_bias.copy_(torch.from_numpy(np.concatenate([
+                np.asarray(attn[k]["bias"]).reshape(dim)
+                for k in ("query", "key", "value")])))
+            mha.out_proj.weight.copy_(torch.from_numpy(
+                np.asarray(attn["out"]["kernel"]).reshape(dim, dim).T))
+            mha.out_proj.bias.copy_(torch.from_numpy(
+                np.asarray(attn["out"]["bias"])))
+        mha.eval()
+
+        x = np.concatenate([
+            np.asarray(emb),
+            np.asarray(heading),
+            np.zeros((b, 4, heads - 2), np.float32)], axis=-1)
+        x = torch.from_numpy(
+            x + sinusoidal_positions(4, dim)[None])
+        with torch.no_grad():
+            agg = mha(x, x, x, need_weights=False)[0][:, 0]
+            logits = torch.nn.functional.linear(
+                agg,
+                torch.from_numpy(
+                    np.asarray(params["cell_layer"]["kernel"]).T),
+                torch.from_numpy(np.asarray(params["cell_layer"]["bias"])))
+
+        np.testing.assert_allclose(np.asarray(out.logits), logits.numpy(),
+                                   atol=2e-5, rtol=1e-4)
