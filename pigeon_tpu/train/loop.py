@@ -187,13 +187,23 @@ def train_model(state, train_step: Callable, eval_step: Callable,
                 refine_fn: Optional[Callable] = None,
                 scaler=None,
                 batch_to_device: Optional[Callable] = None,
-                log_every: int = 10):
+                log_every: int = 10,
+                divergence_guard: bool = True,
+                max_recoveries: int = 3):
     """Epoch loop with per-epoch eval, best-ckpt save, early stopping.
 
     Args:
         train_batches_fn: epoch index -> iterable of train batches (fresh
             shuffle per epoch).
         eval_batches_fn: () -> iterable of eval batches.
+        divergence_guard: failure detection — the periodic loss flush
+            (which reads the device scalars anyway, so this costs
+            nothing at steady state) checks finiteness; on NaN/inf the
+            loop restores the last saved checkpoint and resumes from the
+            next epoch, up to ``max_recoveries`` times. With no
+            checkpoint yet (or recoveries exhausted) it raises instead
+            of silently training on poisoned weights. The reference has
+            no failure detection at all (SURVEY §5).
 
     Returns ``(state, history)`` where history is the list of per-epoch
     eval metric dicts. Selection metric: ``Geocell_accuracy`` (maximized),
@@ -204,7 +214,45 @@ def train_model(state, train_step: Callable, eval_step: Callable,
     best_acc = -np.inf
     stale = 0
     history = []
+    recoveries = 0
     global_step = int(jax.device_get(state.step))
+
+    def flush(pending):
+        """Write pending losses; return False if a non-finite one hit."""
+        ok = True
+        for s, loss in pending:
+            value = float(loss)
+            writer.scalar("train/loss", value, s)
+            if divergence_guard and not np.isfinite(value):
+                logger.error("non-finite train loss %s at step %d",
+                             value, s)
+                ok = False
+        pending.clear()
+        return ok
+
+    def recover(state):
+        nonlocal recoveries, global_step
+        recoveries += 1
+        if recoveries > max_recoveries:
+            raise RuntimeError(
+                f"training diverged {recoveries} times; giving up")
+        if checkpoint_dir is None:
+            raise RuntimeError(
+                "training diverged with no checkpoint to roll back to")
+        from pigeon_tpu.train.checkpoints import (
+            latest_step,
+            restore_checkpoint,
+        )
+
+        step = latest_step(checkpoint_dir)
+        if step is None:
+            raise RuntimeError(
+                "training diverged before the first checkpoint")
+        state = restore_checkpoint(checkpoint_dir, state)
+        global_step = int(jax.device_get(state.step))
+        logger.warning("rolled back to checkpoint step %d (recovery %d)",
+                       global_step, recoveries)
+        return state
 
     for epoch in range(num_epochs):
         t0 = time.time()
@@ -214,19 +262,21 @@ def train_model(state, train_step: Callable, eval_step: Callable,
         # older steps have long completed, so only the newest await
         # costs anything.
         pending: list = []
+        diverged = False
         for batch in train_batches_fn(epoch):
             dev_batch = batch_to_device(batch) if batch_to_device else batch
             state, metrics = train_step(state, dev_batch, rng)
             global_step += 1
             profiler.step()
             pending.append((global_step, metrics["loss"]))
-            if global_step % log_every == 0:
-                for s, loss in pending:
-                    writer.scalar("train/loss", float(loss), s)
-                pending.clear()
-        for s, loss in pending:
-            writer.scalar("train/loss", float(loss), s)
-        pending.clear()
+            if global_step % log_every == 0 and not flush(pending):
+                diverged = True
+                break
+        if not diverged and not flush(pending):
+            diverged = True
+        if diverged:
+            state = recover(state)
+            continue
 
         eval_metrics = evaluate_model(
             eval_step, state.params, eval_batches_fn(),

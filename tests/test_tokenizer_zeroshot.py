@@ -252,6 +252,100 @@ class TestTrainOrchestration:
         assert len(history) < 30
 
 
+class TestDivergenceGuard:
+    """Failure detection (SURVEY §5 row the reference leaves empty):
+    a NaN loss mid-training rolls back to the last checkpoint and
+    resumes; divergence before any checkpoint raises."""
+
+    def _world(self):
+        from pigeon_tpu.models import GeocellHead
+        from pigeon_tpu.train import create_train_state, make_eval_step, \
+            make_train_step
+        from pigeon_tpu.train.train_loop import adamw
+
+        cfg = HeadConfig(num_cells=5, embed_dim=16, smooth_labels=True)
+        cells = np.stack([np.linspace(-100, 100, 5),
+                          np.linspace(-40, 40, 5)], -1).astype(np.float32)
+        model = GeocellHead(cfg)
+        opt = adamw(3e-2)
+        state = create_train_state(jax.random.PRNGKey(0), model, opt,
+                                   (jnp.zeros((2, 16)),))
+        step = make_train_step(model, opt, cfg, cells, donate=False)
+        eval_step = make_eval_step(model, cfg, cells, num_candidates=3)
+        emb = np.eye(16, dtype=np.float32)[np.arange(20) % 5]
+        labels_clf = np.arange(20) % 5
+        labels = cells[labels_clf].astype(np.float32)
+        return state, step, eval_step, emb, labels, labels_clf
+
+    def test_nan_rolls_back_to_checkpoint(self, tmp_path):
+        from pigeon_tpu.train.loop import train_model
+
+        state, step, eval_step, emb, labels, labels_clf = self._world()
+        poisoned_epochs = {2, 3}
+
+        def batches(epoch=None):
+            e = emb.copy()
+            if epoch in poisoned_epochs:
+                e[0, 0] = np.nan        # poisons the loss for this epoch
+            return [{"inputs": jnp.asarray(e),
+                     "labels": jnp.asarray(labels),
+                     "labels_clf": jnp.asarray(labels_clf)}]
+
+        state, history = train_model(
+            state, step, eval_step, batches, lambda: batches(0),
+            num_epochs=6, rng=jax.random.PRNGKey(1),
+            checkpoint_dir=str(tmp_path / "ckpt"), log_every=1,
+            early_stopping_patience=50)
+        # Both poisoned epochs were detected + recovered; training went
+        # on and the final params are finite and functional.
+        assert len(history) == 4            # 6 epochs - 2 recovered
+        leaves = jax.tree_util.tree_leaves(state.params)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        # The guard's contract is recovery, not convergence speed: the
+        # run kept improving after both rollbacks.
+        assert history[-1]["Geocell_accuracy"] >= \
+            history[0]["Geocell_accuracy"]
+
+    def test_divergence_before_first_checkpoint_raises(self, tmp_path):
+        from pigeon_tpu.train.loop import train_model
+
+        state, step, eval_step, emb, labels, labels_clf = self._world()
+        bad = emb.copy()
+        bad[0, 0] = np.nan
+
+        def batches(epoch=None):
+            return [{"inputs": jnp.asarray(bad),
+                     "labels": jnp.asarray(labels),
+                     "labels_clf": jnp.asarray(labels_clf)}]
+
+        with pytest.raises(RuntimeError, match="diverged"):
+            train_model(state, step, eval_step, batches,
+                        lambda: batches(), num_epochs=2,
+                        rng=jax.random.PRNGKey(1),
+                        checkpoint_dir=str(tmp_path / "ckpt"),
+                        log_every=1)
+
+    def test_recoveries_exhausted_raises(self, tmp_path):
+        from pigeon_tpu.train.loop import train_model
+
+        state, step, eval_step, emb, labels, labels_clf = self._world()
+
+        def batches(epoch=None):
+            e = emb.copy()
+            if epoch is not None and epoch >= 1:
+                e[0, 0] = np.nan        # diverge every epoch after the 1st
+            return [{"inputs": jnp.asarray(e),
+                     "labels": jnp.asarray(labels),
+                     "labels_clf": jnp.asarray(labels_clf)}]
+
+        with pytest.raises(RuntimeError, match="giving up"):
+            train_model(state, step, eval_step, batches,
+                        lambda: batches(0), num_epochs=20,
+                        rng=jax.random.PRNGKey(1),
+                        checkpoint_dir=str(tmp_path / "ckpt"),
+                        log_every=1, max_recoveries=2)
+
+
 class TestProfiling:
     def test_capture_and_summarize(self, tmp_path):
         import jax
