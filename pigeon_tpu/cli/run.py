@@ -457,7 +457,19 @@ def cmd_embed(args) -> int:
     from pigeon_tpu.train.embed import embed_splits_to_disk
 
     cfg = make_config(args)
-    model = ClipEmbedder(cfg.vision, dtype=jnp.bfloat16)
+    # The reference routes 'vit' model names to its (undefined)
+    # VITEmbedding and everything else to the CLIP embedder
+    # (`run.py:127-132`); here both paths are real.
+    use_vit = "vit" in (args.name or "").lower() \
+        and getattr(args, "model", None) is None
+    if use_vit:
+        from pigeon_tpu.models.vit_embedder import ViTEmbedder
+
+        model = ViTEmbedder(cfg.vision, dtype=jnp.bfloat16,
+                            attn_impl=_attn_impl())
+        logger.warning("using the generic ViT embedder for %r", args.name)
+    else:
+        model = ClipEmbedder(cfg.vision, dtype=jnp.bfloat16)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3))
@@ -465,11 +477,18 @@ def cmd_embed(args) -> int:
     if args.base:
         import torch
 
-        from pigeon_tpu.models.hf_import import import_vision_tower_params
-
         state = torch.load(args.base, map_location="cpu")
-        params = {"vision": import_vision_tower_params(
-            state, cfg.vision.num_layers)}
+        if use_vit:
+            from pigeon_tpu.models.vit_embedder import import_vit_params
+
+            params = import_vit_params(state, cfg.vision.num_layers)
+        else:
+            from pigeon_tpu.models.hf_import import (
+                import_vision_tower_params,
+            )
+
+            params = {"vision": import_vision_tower_params(
+                state, cfg.vision.num_layers)}
         logger.warning("loaded vision tower from %s", args.base)
 
     splits = {}

@@ -497,3 +497,19 @@ def test_model_flag_selects_vit_b32():
     assert cfg.vision.hidden_size == 768
     assert cfg.head.embed_dim == 768
     assert cfg.text.hidden_size == 512
+
+
+def test_embed_routes_vit_named_models(tiny_world, monkeypatch):
+    """'vit' in the model name selects the generic ViT embedder
+    (reference `run.py:127-132` — its VITEmbedding import is undefined;
+    here the path is real)."""
+    tmp = tiny_world
+    monkeypatch.chdir(tmp)
+    rc = main(["embed", "vit_run", "--tiny",
+               "--metadata", str(tmp / "meta.csv"),
+               "--images", str(tmp / "imgs"),
+               "--output", str(tmp / "emb_vit"),
+               "--batch-size", "8"])
+    assert rc == 0
+    emb = np.load(tmp / "emb_vit" / "train.npy")
+    assert emb.shape[0] == 27 and emb.shape[1] == 64
