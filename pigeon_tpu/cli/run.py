@@ -98,6 +98,18 @@ def _load_refine_assets(args):
     return rows, np.concatenate(embs), np.concatenate(llas)
 
 
+def _sample_dataset(ds, n: int):
+    """Seeded RANDOM subsample of a dataset's rows (reference
+    `finetune_dataset.py:132-133` uses df.sample, not head; seed 330 is
+    the reference's global training seed, `config.py:100`). The
+    reference samples the pre-split frame; here each split is sampled
+    independently — same training-set-cap semantics."""
+    if n and n < len(ds.df):
+        ds.df = ds.df.sample(int(n), random_state=330) \
+            .reset_index(drop=True)
+    return ds
+
+
 def _attn_impl() -> str:
     """Fused Pallas attention on real TPU backends, XLA elsewhere
     (measured: +10% inference, +16% training on v5e; docs/PERF.md)."""
@@ -429,7 +441,7 @@ def _finetune_on_pixels(args) -> int:
         image_size=cfg.vision.image_size, panorama=cfg.head.panorama,
         normalize=False)
     if args.sample:
-        train.df = train.df.head(args.sample)
+        train = _sample_dataset(train, args.sample)
 
     to_dev = lambda b: shard_batch(  # noqa: E731
         {k: jnp.asarray(v) for k, v in b.items()}, mesh)
@@ -497,6 +509,8 @@ def cmd_embed(args) -> int:
             args.metadata, split, args.images,
             image_size=cfg.vision.image_size, panorama=cfg.head.panorama,
             normalize=False)
+        if args.sample:
+            ds = _sample_dataset(ds, args.sample)
         if len(ds):
             splits[split] = ds
     out = args.output or args.embeddings or "data/embeddings"
