@@ -432,14 +432,28 @@ def _finetune_on_pixels(args) -> int:
 
     # uint8 host pipeline: decode+resize on workers, normalize on device
     # (4x less host->device transfer; the steps dtype-dispatch on uint8).
-    train = TabularImageDataset.from_csv(
-        args.metadata, "train", args.images,
-        image_size=cfg.vision.image_size, panorama=cfg.head.panorama,
-        normalize=False)
-    val = TabularImageDataset.from_csv(
-        args.metadata, "val", args.images,
-        image_size=cfg.vision.image_size, panorama=cfg.head.panorama,
-        normalize=False)
+    # --metadata accepts a comma-separated list: train splits concatenate
+    # and val comes from the FIRST dataset — the reference's multi-
+    # dataset training mix (`run.py:143-156`, used for the landmarks
+    # variant).
+    import pandas as pd
+
+    meta_paths = args.metadata.split(",")
+    kw = dict(image_dir=args.images, image_size=cfg.vision.image_size,
+              panorama=cfg.head.panorama, normalize=False)
+    train_frames = []
+    for path in meta_paths:
+        df = pd.read_csv(path)
+        if "selection" in df.columns:
+            df = df[df["selection"] == "train"]
+        train_frames.append(df)
+    train = TabularImageDataset(
+        pd.concat(train_frames, ignore_index=True), **kw)
+    if len(meta_paths) > 1:
+        logger.warning("training on %d concatenated datasets "
+                       "(%d rows); val from %s", len(meta_paths),
+                       len(train), meta_paths[0])
+    val = TabularImageDataset.from_csv(meta_paths[0], "val", **kw)
     if args.sample:
         train = _sample_dataset(train, args.sample)
 

@@ -513,3 +513,23 @@ def test_embed_routes_vit_named_models(tiny_world, monkeypatch):
     assert rc == 0
     emb = np.load(tmp / "emb_vit" / "train.npy")
     assert emb.shape[0] == 27 and emb.shape[1] == 64
+
+
+def test_finetune_multi_dataset_concat(tiny_world, monkeypatch):
+    """--metadata a.csv,b.csv: train splits concatenate, val from the
+    first (reference `run.py:143-156` multi-dataset training mix)."""
+    tmp = tiny_world
+    monkeypatch.chdir(tmp)
+    meta = pd.read_csv(tmp / "meta.csv")
+    meta.iloc[:18].to_csv(tmp / "m_a.csv", index=False)
+    meta.iloc[18:].to_csv(tmp / "m_b.csv", index=False)
+
+    rc = main(["finetune", "concat_run", "--tiny",
+               "--metadata", f"{tmp}/m_a.csv,{tmp}/m_b.csv",
+               "--images", str(tmp / "imgs"),
+               "--geocells", str(tmp / "cells.csv"),
+               "--batch-size", "8", "--epochs", "1"])
+    assert rc == 0
+    from pigeon_tpu.train.checkpoints import latest_step
+
+    assert latest_step(str(tmp / "saved_models" / "concat_run")) is not None
