@@ -193,6 +193,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--port", type=int, default=5000)
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--calib-images", default=None,
+                   help="serve --quant: directory of real images for "
+                        "activation-scale calibration (up to 32; "
+                        "synthetic batch with extra margin otherwise)")
     p.add_argument("--serve-batch", type=int, default=0,
                    help="serve: micro-batch up to N concurrent requests "
                         "into one device dispatch (0 = serialized bs1)")
@@ -1034,6 +1038,43 @@ def cmd_pretrain(args) -> int:
     return 0
 
 
+def _serve_calibration_batch(args, cfg, example):
+    """Real-image activation-calibration batch for `serve --quant`.
+
+    Loads up to 32 images from ``--calib-images`` (a directory of
+    images), CLIP-preprocessed at the model size; panorama models tile
+    each image across the 4 views (calibration only needs realistic
+    activation statistics, not true panoramas). Returns None when the
+    flag is absent.
+    """
+    import glob
+
+    import numpy as np
+
+    path = getattr(args, "calib_images", None)
+    if not path:
+        return None
+    from PIL import Image
+
+    from pigeon_tpu.data.image_ops import clip_preprocess_pil
+
+    files = sorted(
+        f for f in glob.glob(os.path.join(path, "*"))
+        if f.lower().endswith((".jpg", ".jpeg", ".png", ".webp")))[:32]
+    if not files:
+        raise SystemExit(f"--calib-images {path}: no images found")
+    pixels = []
+    for f in files:
+        with Image.open(f) as im:
+            pixels.append(clip_preprocess_pil(im, cfg.vision.image_size))
+    batch = np.stack(pixels)
+    if cfg.head.panorama:
+        batch = np.repeat(batch[:, None], 4, axis=1)
+    import jax.numpy as jnp
+
+    return jnp.asarray(batch, jnp.float32)
+
+
 def cmd_serve(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -1052,18 +1093,27 @@ def cmd_serve(args) -> int:
     params = _init_and_restore(args, cfg, model, example)
 
     if getattr(args, "quant", False):
-        # Synthetic N(0,1) calibration batch (matches CLIP-normalized
-        # input stats but not real activation tails) — leave 25% headroom
-        # above the observed amax so out-of-distribution activations
-        # don't hard-clip at every matmul.
-        calib = jax.random.normal(
-            jax.random.PRNGKey(3), (2, *example.shape[1:]), jnp.float32)
-        model, params = _quantize_for_inference(cfg, params, calib,
-                                                margin=1.25)
-        logger.warning(
-            "int8 W8A8 tower enabled (activation scales calibrated on a "
-            "synthetic batch, margin 1.25 — run `evaluate --quant` on "
-            "real data to bound the quality delta before production)")
+        calib = _serve_calibration_batch(args, cfg, example)
+        if calib is None:
+            # Synthetic N(0,1) calibration batch (matches CLIP-normalized
+            # input stats but not real activation tails) — leave 25%
+            # headroom above the observed amax so out-of-distribution
+            # activations don't hard-clip at every matmul.
+            calib = jax.random.normal(
+                jax.random.PRNGKey(3), (2, *example.shape[1:]),
+                jnp.float32)
+            model, params = _quantize_for_inference(cfg, params, calib,
+                                                    margin=1.25)
+            logger.warning(
+                "int8 W8A8 tower enabled (activation scales calibrated "
+                "on a synthetic batch, margin 1.25 — pass --calib-images "
+                "DIR for real-data calibration)")
+        else:
+            model, params = _quantize_for_inference(cfg, params, calib,
+                                                    margin=1.1)
+            logger.warning(
+                "int8 W8A8 tower enabled (activation scales calibrated "
+                "on %d real images, margin 1.1)", int(calib.shape[0]))
 
     serve_fn = make_serving_fn(model, params, cfg.head, cells)
 

@@ -217,6 +217,57 @@ class TestServeCommand:
         lat, lng = body["results"]["lat"], body["results"]["lng"]
         assert np.isclose(cells, [lng, lat], atol=1e-3).all(-1).any()
 
+    def test_cmd_serve_quant_real_calibration(self, tmp_path,
+                                              monkeypatch):
+        """`serve --quant --calib-images DIR` calibrates activation
+        scales on real images instead of the synthetic batch."""
+        import pandas as pd
+        from PIL import Image
+
+        import pigeon_tpu.cli.run as cli
+        import pigeon_tpu.serve as serve_pkg
+
+        cells = np.stack([np.linspace(-150, 150, 5),
+                          np.linspace(-50, 60, 5)], -1).astype(np.float32)
+        pd.DataFrame({"name": list("abcde"), "lng": cells[:, 0],
+                      "lat": cells[:, 1]}).to_csv(
+            tmp_path / "cells.csv", index=False)
+        calib_dir = tmp_path / "calib"
+        calib_dir.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            Image.fromarray(rng.integers(0, 255, (64, 64, 3),
+                                         dtype=np.uint8)).save(
+                calib_dir / f"{i}.jpg")
+
+        captured = {}
+        real_serve = serve_pkg.serve
+
+        def fake_serve(service, host="127.0.0.1", port=5000, block=True):
+            captured["httpd"] = real_serve(service, host=host, port=0,
+                                           block=False)
+            return captured["httpd"]
+
+        monkeypatch.setattr(cli, "serve", fake_serve, raising=False)
+        monkeypatch.setattr("pigeon_tpu.serve.serve", fake_serve)
+        monkeypatch.chdir(tmp_path)
+
+        from pigeon_tpu.cli.run import main
+
+        rc = main(["serve", "srvqc", "--tiny", "--quant",
+                   "--calib-images", str(calib_dir),
+                   "--geocells", str(tmp_path / "cells.csv")])
+        assert rc == 0
+        httpd = captured["httpd"]
+        port = httpd.server_address[1]
+        status, body = post(f"http://127.0.0.1:{port}/api/v1/predict",
+                            {"gameID": "g", "roundID": 1,
+                             "image": b64_image()})
+        httpd.shutdown()
+        assert status == 200
+        lat, lng = body["results"]["lat"], body["results"]["lng"]
+        assert np.isclose(cells, [lng, lat], atol=1e-3).all(-1).any()
+
     def test_cmd_serve_with_refinement_and_hedge(self, tmp_path,
                                                  monkeypatch):
         """cmd_serve --prototypes/--embeddings/--metadata --hedge must run
