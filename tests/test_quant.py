@@ -67,6 +67,31 @@ class TestQuantDense:
         assert out.shape == (4, 32)
 
 
+class TestCalibrationZeroRow:
+    def test_all_zero_token_row_does_not_inflate_act_scale(self):
+        """ADVICE r2: the dynamic path's zero-guard maps all-zero rows to
+        scale 1.0; reconstructing amax from scales would sow >= 127 and
+        coarsen quantization for every real activation. The sown value
+        must be the TRUE row max."""
+        import flax.linen as nn
+
+        d_in, d_out = 64, 32
+        x = RNG.normal(size=(8, d_in)).astype(np.float32) * 0.5
+        x[3] = 0.0                       # degenerate all-zero token row
+        x = jnp.asarray(x)
+        model = QuantDense(d_out, dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        _, state = model.apply({"params": params}, x,
+                               mutable=["intermediates"])
+        sown = state["intermediates"]["act_amax"]
+        if isinstance(sown, tuple):
+            sown = sown[0]
+        amax = float(sown)
+        true_max = float(jnp.abs(x).max())
+        assert amax == pytest.approx(true_max, rel=1e-6)
+        assert amax < 127.0              # the old bug sowed >= 127
+
+
 class TestQuantTower:
     CFG = VisionConfig(image_size=32, patch_size=8, hidden_size=64,
                        intermediate_size=128, num_layers=3, num_heads=4,
