@@ -9,8 +9,11 @@
 
 (async () => {
   // All 5 rounds share the same /game/<token> URL — track rounds by
-  // counting guess-button cycles, not by token.
-  let roundNumber = 1;
+  // counting guess-button cycles, not by token. The counter is
+  // persisted per game token so the reload fallback below does not
+  // reset it to 1 mid-game.
+  const roundKey = `pigeonRound:${gameIdFromUrl()}`;
+  let roundNumber = parseInt(sessionStorage.getItem(roundKey) || "1", 10);
 
   while (true) {
     await waitTillAppears(".guess-map__guess-button");
@@ -36,6 +39,7 @@
     );
     await reportGameResult(gameToken, result.round || roundNumber, result);
     roundNumber += 1;
+    sessionStorage.setItem(roundKey, String(roundNumber));
     // Round transition: the guess button goes away with the result
     // screen, then reappears for the next round. An API-submitted guess
     // may not update the SPA's UI state, so the wait is bounded: if the

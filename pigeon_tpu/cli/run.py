@@ -54,12 +54,11 @@ def _load_refine_assets(args):
     """
     if not (args.prototypes and args.embeddings and args.metadata):
         return None
-    import json
-
     import numpy as np
     import pandas as pd
 
     from pigeon_tpu.geocell.prototypes import load_prototypes_csv
+    from pigeon_tpu.models.refiner import parse_indices
     from pigeon_tpu.train.embed import load_embeddings
 
     # --landmarks: each flag may be a comma-separated YFCC,landmarks pair;
@@ -82,16 +81,19 @@ def _load_refine_assets(args):
         emb = load_embeddings(emb_dir, "train")
         if emb.ndim == 3:
             emb = emb.mean(1)
+        if len(emb) != len(lla):
+            # Prototype member indices address bank_emb AND bank_lla by
+            # the same row number — a length mismatch would silently
+            # corrupt the second dataset's lookups after the offset.
+            raise SystemExit(
+                f"{emb_dir}: {len(emb)} embeddings vs {len(lla)} "
+                f"metadata train rows in {meta_path} — re-embed with "
+                "the SAME metadata (did you embed with --sample? use "
+                "the sampled metadata CSV written next to the "
+                "embeddings)")
         for row in load_prototypes_csv(proto_path):
-            idx = row["indices"]
-            if isinstance(idx, str):
-                try:
-                    idx = json.loads(idx)
-                except (json.JSONDecodeError, TypeError):
-                    idx = []
-            if idx is None or (isinstance(idx, float) and np.isnan(idx)):
-                idx = []
-            rows.append(dict(row, indices=[int(i) + offset for i in idx]))
+            idx = parse_indices(row["indices"])
+            rows.append(dict(row, indices=[i + offset for i in idx]))
         embs.append(emb)
         llas.append(lla)
         offset += len(emb)
@@ -103,10 +105,12 @@ def _sample_dataset(ds, n: int):
     `finetune_dataset.py:132-133` uses df.sample, not head; seed 330 is
     the reference's global training seed, `config.py:100`). The
     reference samples the pre-split frame; here each split is sampled
-    independently — same training-set-cap semantics."""
+    independently — same training-set-cap semantics. Original row ORDER
+    is preserved (sort_index before reset) so downstream positional
+    contracts stay stable."""
     if n and n < len(ds.df):
         ds.df = ds.df.sample(int(n), random_state=330) \
-            .reset_index(drop=True)
+            .sort_index().reset_index(drop=True)
     return ds
 
 
@@ -193,6 +197,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--port", type=int, default=5000)
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--embedder", default="auto",
+                   choices=["auto", "clip", "vit"],
+                   help="embed: which tower embeds. auto = the "
+                        "reference's name routing ('vit' in the run "
+                        "name selects the generic ViT embedder, "
+                        "`run.py:127-132`) — pass clip/vit explicitly "
+                        "when the run name would mis-route")
     p.add_argument("--calib-images", default=None,
                    help="serve --quant: directory of real images for "
                         "activation-scale calibration (up to 32; "
@@ -490,8 +501,11 @@ def cmd_embed(args) -> int:
     # The reference routes 'vit' model names to its (undefined)
     # VITEmbedding and everything else to the CLIP embedder
     # (`run.py:127-132`); here both paths are real.
-    use_vit = "vit" in (args.name or "").lower() \
-        and getattr(args, "model", None) is None
+    if args.embedder != "auto":
+        use_vit = args.embedder == "vit"
+    else:
+        use_vit = "vit" in (args.name or "").lower() \
+            and getattr(args, "model", None) is None
     if use_vit:
         from pigeon_tpu.models.vit_embedder import ViTEmbedder
 
@@ -531,6 +545,24 @@ def cmd_embed(args) -> int:
             ds = _sample_dataset(ds, args.sample)
         if len(ds):
             splits[split] = ds
+    if args.sample:
+        # Embedding row i corresponds to SAMPLED metadata row i — write
+        # the sampled metadata next to the bank so prototypes/evaluate
+        # are built against the matching frame (the full CSV's row
+        # numbering no longer applies; _load_refine_assets validates
+        # the lengths).
+        import pandas as pd
+
+        sampled = pd.concat([d.df for d in splits.values()],
+                            ignore_index=True)
+        out_dir = args.output or args.embeddings or "data/embeddings"
+        os.makedirs(out_dir, exist_ok=True)
+        sampled_csv = os.path.join(out_dir, "metadata_sampled.csv")
+        sampled.to_csv(sampled_csv, index=False)
+        logger.warning(
+            "--sample: wrote the sampled metadata to %s — use it as "
+            "--metadata for prototypes/finetune/evaluate against these "
+            "embeddings", sampled_csv)
     out = args.output or args.embeddings or "data/embeddings"
     embed_splits_to_disk(
         model, params, splits, out,

@@ -71,6 +71,22 @@ class ProtoBank:
         return self.proto_emb.shape[0]
 
 
+def parse_indices(idx) -> list:
+    """Normalize a prototype row's ``indices`` field (list, JSON string,
+    None, or NaN — the CSV round-trip formats,
+    `dataset_creation/prototype/prototype.py:110-119`) to a list of ints.
+    Single implementation shared by `build_proto_bank` and the CLI's
+    dual-dataset bank concat."""
+    if isinstance(idx, str):
+        try:
+            idx = json.loads(idx)
+        except (json.JSONDecodeError, TypeError):
+            idx = []
+    if idx is None or (isinstance(idx, float) and np.isnan(idx)):
+        idx = []
+    return [int(i) for i in idx]
+
+
 def build_proto_bank(proto_rows, bank_emb: np.ndarray, bank_lla: np.ndarray,
                      num_cells: int, max_protos: int = 64,
                      max_members: int = 256) -> ProtoBank:
@@ -99,15 +115,7 @@ def build_proto_bank(proto_rows, bank_emb: np.ndarray, bank_lla: np.ndarray,
 
     per_cell: dict[int, list] = {}
     for row in proto_rows:
-        idx = row["indices"]
-        if isinstance(idx, str):
-            try:
-                idx = json.loads(idx)
-            except (json.JSONDecodeError, TypeError):
-                idx = []
-        if idx is None or (isinstance(idx, float) and np.isnan(idx)):
-            idx = []
-        idx = [int(i) for i in idx]
+        idx = parse_indices(row["indices"])
         if not idx:
             continue
         per_cell.setdefault(int(row["geocell_idx"]), []).append(

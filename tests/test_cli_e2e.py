@@ -533,3 +533,26 @@ def test_finetune_multi_dataset_concat(tiny_world, monkeypatch):
     from pigeon_tpu.train.checkpoints import latest_step
 
     assert latest_step(str(tmp / "saved_models" / "concat_run")) is not None
+
+
+def test_embed_sample_writes_aligned_metadata(tiny_world, monkeypatch):
+    """embed --sample writes the sampled metadata next to the bank so
+    positional contracts (prototypes/evaluate) stay aligned; the
+    sampled rows keep original ORDER."""
+    tmp = tiny_world
+    monkeypatch.chdir(tmp)
+    rc = main(["embed", "runS", "--tiny", "--sample", "10",
+               "--metadata", str(tmp / "meta.csv"),
+               "--images", str(tmp / "imgs"),
+               "--output", str(tmp / "emb_s"), "--batch-size", "8"])
+    assert rc == 0
+    emb = np.load(tmp / "emb_s" / "train.npy")
+    assert emb.shape[0] == 10
+    sampled = pd.read_csv(tmp / "emb_s" / "metadata_sampled.csv")
+    train_rows = sampled[sampled["selection"] == "train"]
+    assert len(train_rows) == 10
+    # Order preserved: image names strictly increasing by original row.
+    orig = pd.read_csv(tmp / "meta.csv")
+    pos = [orig.index[orig["image"] == im][0]
+           for im in train_rows["image"]]
+    assert pos == sorted(pos)
