@@ -13,6 +13,12 @@ Env knobs:
                      (2203 cells x 64 protos x 1024-d, 100k members).
   SERVE_N      (20) — timed requests (median reported).
   SERVE_PX     (512) — screenshot resolution posted by the fake bot.
+  SERVE_CONCURRENCY (1) — >1: that many client threads fire requests
+                     simultaneously; reports aggregate requests/sec +
+                     per-request latency. Combine with SERVE_BATCH.
+  SERVE_BATCH  (0) — >0: micro-batch concurrent requests into one
+                     device dispatch (`serve/batching.py`), the CLI's
+                     --serve-batch path.
 
 Prints ONE JSON line {metric, value(ms), unit, ...}.
 """
@@ -136,8 +142,22 @@ def main() -> None:
         refine_fn(out["embedding"], out["pred_lla"], out["topk_cells"],
                   out["topk_probs"])
 
+    serve_batch = int(os.environ.get("SERVE_BATCH", "0"))
+    batcher = None
+    if serve_batch > 0:
+        from pigeon_tpu.serve.batching import MicroBatcher
+
+        batcher = MicroBatcher(serve_fn, refine_fn=refine_fn,
+                               max_batch=serve_batch)
+        # Warm the BATCHED executable (requests pad to max_batch; the
+        # first coalesced dispatch would otherwise compile live).
+        bout = serve_fn(jnp.zeros((serve_batch, *example.shape[1:]),
+                                  jnp.uint8))
+        if refine_fn is not None:
+            refine_fn(bout["embedding"], bout["pred_lla"],
+                      bout["topk_cells"], bout["topk_probs"])
     service = PredictionService(serve_fn, image_size=size, panorama=True,
-                                refine_fn=refine_fn)
+                                refine_fn=refine_fn, batcher=batcher)
     httpd = serve(service, host="127.0.0.1", port=0, block=False)
     port = httpd.server_address[1]
     url = f"http://127.0.0.1:{port}/api/v1/predict"
@@ -160,6 +180,49 @@ def main() -> None:
     print(f"# first request {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
     post()
+
+    concurrency = int(os.environ.get("SERVE_CONCURRENCY", "1"))
+    suffix = ("_int8" if quant else "") + ("_refined" if refine else "") \
+        + (f"_b{serve_batch}" if serve_batch else "")
+    if concurrency > 1:
+        # Throughput mode: each thread fires n requests; transport and
+        # device dispatch overlap across clients (and coalesce into one
+        # dispatch when SERVE_BATCH is on).
+        import threading
+
+        times = []
+        times_lock = threading.Lock()
+
+        def client():
+            for _ in range(n):
+                t0 = time.perf_counter()
+                post(timeout=120)
+                dt = (time.perf_counter() - t0) * 1000.0
+                with times_lock:
+                    times.append(dt)
+
+        threads = [threading.Thread(target=client)
+                   for _ in range(concurrency)]
+        t_all = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t_all
+        httpd.shutdown()
+        times.sort()
+        print(json.dumps({
+            "metric": "serving_panorama_requests_per_sec"
+                      f"{suffix}_c{concurrency}",
+            "value": round(len(times) / wall, 2),
+            "unit": "requests/sec",
+            "median_ms": round(times[len(times) // 2], 1),
+            "p90_ms": round(times[(len(times) * 9) // 10], 1),
+        }))
+        print(f"# clients={concurrency} total={len(times)} "
+              f"wall={wall:.1f}s", file=sys.stderr)
+        return
+
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
@@ -169,7 +232,6 @@ def main() -> None:
     times.sort()
     median = times[len(times) // 2]
 
-    suffix = ("_int8" if quant else "") + ("_refined" if refine else "")
     print(json.dumps({
         "metric": f"serving_panorama_roundtrip_ms{suffix}",
         "value": round(median, 1),
