@@ -1177,8 +1177,13 @@ def cmd_serve(args) -> int:
     logger.warning("warming up serving executable ...")
     out = serve_fn(jnp.zeros_like(example, dtype=jnp.uint8))
     if refine_fn is not None:
-        refine_fn(out["embedding"], out["pred_lla"], out["topk_cells"],
-                  out["topk_probs"])
+        out_r = refine_fn(out["embedding"], out["pred_lla"],
+                          out["topk_cells"], out["topk_probs"])
+        float(jnp.sum(out_r["pred_lla"]))   # force execution (the
+        # dispatch is async and block_until_ready is a no-op through
+        # tunneled backends — without a readback the first real request
+        # still waits behind the server-side compile)
+    float(jnp.sum(out["pred_lla"]))
 
     batcher = None
     if args.serve_batch > 1:
@@ -1186,12 +1191,17 @@ def cmd_serve(args) -> int:
 
         batcher = MicroBatcher(serve_fn, refine_fn=refine_fn,
                                max_batch=args.serve_batch)
-        # Compile the batched executable too.
+        # Compile the batched executable too — and force it to RUN
+        # (scalar readback): the MicroBatcher's per-request future has a
+        # bounded timeout, and an unexecuted warmup would leave the
+        # first coalesced batch waiting behind the compile.
         warm = jnp.zeros((args.serve_batch, *example.shape[1:]), jnp.uint8)
         bout = serve_fn(warm)
         if refine_fn is not None:
-            refine_fn(bout["embedding"], bout["pred_lla"],
-                      bout["topk_cells"], bout["topk_probs"])
+            bout_r = refine_fn(bout["embedding"], bout["pred_lla"],
+                               bout["topk_cells"], bout["topk_probs"])
+            float(jnp.sum(bout_r["pred_lla"]))
+        float(jnp.sum(bout["pred_lla"]))
         logger.warning("micro-batching up to %d requests/dispatch",
                        args.serve_batch)
     logger.warning("warmup done")

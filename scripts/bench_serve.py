@@ -136,11 +136,14 @@ def main() -> None:
         refine_fn = build_refiner(rows, bank_emb, bank_lla,
                                   num_cells=head_cfg.num_cells, cfg=preset)
 
-    # Warm the uint8 executable (the wire format) + the refiner.
+    # Warm the uint8 executable (the wire format) + the refiner, with a
+    # scalar readback to force execution through the tunnel.
     out = serve_fn(jnp.zeros_like(example, dtype=jnp.uint8))
     if refine_fn is not None:
-        refine_fn(out["embedding"], out["pred_lla"], out["topk_cells"],
-                  out["topk_probs"])
+        out_r = refine_fn(out["embedding"], out["pred_lla"],
+                          out["topk_cells"], out["topk_probs"])
+        float(jnp.sum(out_r["pred_lla"]))
+    float(jnp.sum(out["pred_lla"]))
 
     serve_batch = int(os.environ.get("SERVE_BATCH", "0"))
     batcher = None
@@ -154,8 +157,10 @@ def main() -> None:
         bout = serve_fn(jnp.zeros((serve_batch, *example.shape[1:]),
                                   jnp.uint8))
         if refine_fn is not None:
-            refine_fn(bout["embedding"], bout["pred_lla"],
-                      bout["topk_cells"], bout["topk_probs"])
+            bout_r = refine_fn(bout["embedding"], bout["pred_lla"],
+                               bout["topk_cells"], bout["topk_probs"])
+            float(jnp.sum(bout_r["pred_lla"]))
+        float(jnp.sum(bout["pred_lla"]))   # force execution (readback)
     service = PredictionService(serve_fn, image_size=size, panorama=True,
                                 refine_fn=refine_fn, batcher=batcher)
     httpd = serve(service, host="127.0.0.1", port=0, block=False)
