@@ -31,17 +31,32 @@ class MicroBatcher:
         serve_fn: batched ``pixels (B, ...) -> dict of (B, ...) arrays``
             (the jitted serving forward, `server.py::make_serving_fn`).
         refine_fn: optional batched refiner applied to the whole batch.
-        max_batch: compiled batch size (requests pad up to this).
+        max_batch: largest compiled batch size.
         max_wait_ms: how long the collector waits for co-riders after the
             first request of a batch arrives.
+        buckets: compiled batch sizes; a fill of n dispatches at the
+            smallest bucket >= n. Default: powers of two up to
+            max_batch. Measured (r3, docs/PERF.md): padding every
+            partial fill to one fixed max_batch burned enough device
+            compute on zero rows that batching LOST to serialized bs1
+            under 8-way concurrency — bucketing removes that waste at
+            the cost of one warm executable per bucket.
     """
 
     def __init__(self, serve_fn: Callable,
                  refine_fn: Optional[Callable] = None,
-                 max_batch: int = 8, max_wait_ms: float = 5.0):
+                 max_batch: int = 8, max_wait_ms: float = 5.0,
+                 buckets: Optional[tuple] = None):
         self.serve_fn = serve_fn
         self.refine_fn = refine_fn
         self.max_batch = int(max_batch)
+        if buckets is None:
+            buckets, b = [], 1
+            while b < self.max_batch:
+                buckets.append(b)
+                b *= 2
+            buckets.append(self.max_batch)
+        self.buckets = tuple(sorted(set(int(b) for b in buckets)))
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
@@ -98,16 +113,16 @@ class MicroBatcher:
                 continue
             pixels = np.stack([p for p, _ in items])
             n = len(items)
-            if n < self.max_batch:
-                # Pad to the compiled shape ON DEVICE: transfer exactly n
-                # rows (host->device bandwidth is the serving bottleneck
-                # on slow links), then a cheap device-side concat brings
-                # the batch to the static executable shape.
+            bucket = next(b for b in self.buckets if b >= n)
+            if n < bucket:
+                # Pad to the bucket's compiled shape ON DEVICE: transfer
+                # exactly n rows (host->device bandwidth is the serving
+                # bottleneck on slow links), then a cheap device-side
+                # concat brings the batch to the static executable shape.
                 import jax.numpy as jnp
 
                 dev = jnp.asarray(pixels)
-                pad = jnp.zeros((self.max_batch - n, *dev.shape[1:]),
-                                dev.dtype)
+                pad = jnp.zeros((bucket - n, *dev.shape[1:]), dev.dtype)
                 pixels = jnp.concatenate([dev, pad])
             try:
                 out = self.serve_fn(pixels)

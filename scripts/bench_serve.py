@@ -152,15 +152,16 @@ def main() -> None:
 
         batcher = MicroBatcher(serve_fn, refine_fn=refine_fn,
                                max_batch=serve_batch)
-        # Warm the BATCHED executable (requests pad to max_batch; the
-        # first coalesced dispatch would otherwise compile live).
-        bout = serve_fn(jnp.zeros((serve_batch, *example.shape[1:]),
-                                  jnp.uint8))
-        if refine_fn is not None:
-            bout_r = refine_fn(bout["embedding"], bout["pred_lla"],
-                               bout["topk_cells"], bout["topk_probs"])
-            float(jnp.sum(bout_r["pred_lla"]))
-        float(jnp.sum(bout["pred_lla"]))   # force execution (readback)
+        # Warm EVERY bucket executable with a readback (the first
+        # coalesced dispatch would otherwise compile live).
+        for bucket in batcher.buckets:
+            bout = serve_fn(jnp.zeros((bucket, *example.shape[1:]),
+                                      jnp.uint8))
+            if refine_fn is not None:
+                bout_r = refine_fn(bout["embedding"], bout["pred_lla"],
+                                   bout["topk_cells"], bout["topk_probs"])
+                float(jnp.sum(bout_r["pred_lla"]))
+            float(jnp.sum(bout["pred_lla"]))
     service = PredictionService(serve_fn, image_size=size, panorama=True,
                                 refine_fn=refine_fn, batcher=batcher)
     httpd = serve(service, host="127.0.0.1", port=0, block=False)
