@@ -517,3 +517,53 @@ class TestCompositionParityFullPigeon:
             assert abs(ours[key] - ref[key]) <= 1.0 / N_VAL, key
         med_o, med_r = ours["Median_km_error"], ref["Median_km_error"]
         assert abs(med_o - med_r) <= max(0.05 * med_r, 5.0), (med_o, med_r)
+
+
+class TestRefinerTwinCrossCheck:
+    """The jitted batched refiner vs the twin's independent per-sample
+    re-derivation of ProtoRefiner.forward on random banks — every
+    branch: no-proto cells, count==1 clusters, the farthest-member
+    quirk, the max-refinement cancel gate."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_reference_twin(self, seed):
+        rng = np.random.default_rng(seed)
+        n_bank, d, n_cells = 60, 16, 6
+        bank_emb = rng.normal(size=(n_bank, d)).astype(np.float32)
+        bank_lla = np.stack([rng.uniform(-170, 170, n_bank),
+                             rng.uniform(-60, 60, n_bank)],
+                            -1).astype(np.float32)
+        rows = []
+        for c in range(n_cells - 1):        # last cell has NO prototypes
+            for k in range(rng.integers(1, 4)):
+                size = int(rng.integers(1, 6))   # count==1 happens
+                idx = rng.choice(n_bank, size, replace=False).tolist()
+                rows.append({"geocell_idx": c,
+                             "lng": float(bank_lla[idx, 0].mean()),
+                             "lat": float(bank_lla[idx, 1].mean()),
+                             "count": size, "indices": idx})
+        b = 12
+        emb = rng.normal(size=(b, d)).astype(np.float32)
+        cand = np.stack([rng.permutation(n_cells)[:TOPK]
+                         for _ in range(b)]).astype(np.int32)
+        probs = rng.uniform(0.1, 1, (b, TOPK)).astype(np.float32)
+        initial = np.stack([rng.uniform(-170, 170, b),
+                            rng.uniform(-60, 60, b)], -1).astype(np.float32)
+
+        for max_km in (200.0, 1e9):          # cancel gate on and off
+            bank = build_proto_bank(rows, bank_emb, bank_lla,
+                                    num_cells=n_cells)
+            refine = make_refine_fn(
+                bank, RefinerConfig(topk=TOPK, temperature=TEMPERATURE,
+                                    max_refinement_km=max_km),
+                within_cluster="reference")
+            ours = refine(jnp.asarray(emb), jnp.asarray(initial),
+                          jnp.asarray(cand), jnp.asarray(probs))
+            twin_lla, twin_cell, _ = twin.refine_reference(
+                rows, bank_emb, bank_lla, emb, initial, cand, probs,
+                topk=TOPK, temperature=TEMPERATURE,
+                max_refinement_km=max_km)
+            np.testing.assert_allclose(np.asarray(ours["pred_lla"]),
+                                       twin_lla, atol=1e-4)
+            np.testing.assert_array_equal(np.asarray(ours["pred_cell"]),
+                                          twin_cell)
