@@ -567,3 +567,32 @@ class TestRefinerTwinCrossCheck:
                                        twin_lla, atol=1e-4)
             np.testing.assert_array_equal(np.asarray(ours["pred_cell"]),
                                           twin_cell)
+
+
+class TestMetricsTwinCrossCheck:
+    """Metric suite vs the twin's independent numpy derivation on random
+    predictions — pins haversine radius, radius-bucket boundaries, the
+    GeoGuessr score rounding, and top-k membership."""
+
+    @pytest.mark.parametrize("seed", [3, 7])
+    def test_matches(self, seed):
+        rng = np.random.default_rng(seed)
+        n, n_cells, k = 100, 9, 5
+        preds = np.stack([rng.uniform(-180, 180, n),
+                          rng.uniform(-85, 85, n)], -1)
+        # Mix of scales: exact hits, near (few km), far (continental).
+        labels = preds.copy()
+        labels[20:60] += rng.normal(0, 0.05, (40, 2))
+        labels[60:] = np.stack([rng.uniform(-180, 180, 40),
+                                rng.uniform(-85, 85, 40)], -1)
+        cell_preds = rng.integers(0, n_cells, n)
+        cell_labels = rng.integers(0, n_cells, n)
+        topk = np.stack([rng.permutation(n_cells)[:k] for _ in range(n)])
+
+        ours = compute_geoguessr_metrics(
+            predictions=preds, labels=labels, cell_preds=cell_preds,
+            cell_labels=cell_labels, topk_cells=topk)
+        ref = twin.compute_metrics_np(preds, labels, cell_preds,
+                                      cell_labels, topk)
+        for key, value in ref.items():
+            assert ours[key] == pytest.approx(value, rel=1e-9), key
