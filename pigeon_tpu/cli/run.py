@@ -1191,18 +1191,9 @@ def cmd_serve(args) -> int:
 
         batcher = MicroBatcher(serve_fn, refine_fn=refine_fn,
                                max_batch=args.serve_batch)
-        # Compile EVERY bucket executable — and force each to RUN
-        # (scalar readback): the MicroBatcher's per-request future has a
-        # bounded timeout, and an unexecuted warmup would leave the
-        # first coalesced batch waiting behind the compile.
-        for bucket in batcher.buckets:
-            warm = jnp.zeros((bucket, *example.shape[1:]), jnp.uint8)
-            bout = serve_fn(warm)
-            if refine_fn is not None:
-                bout_r = refine_fn(bout["embedding"], bout["pred_lla"],
-                                   bout["topk_cells"], bout["topk_probs"])
-                float(jnp.sum(bout_r["pred_lla"]))
-            float(jnp.sum(bout["pred_lla"]))
+        # Compile + EXECUTE every bucket executable before traffic
+        # (single shared implementation: MicroBatcher.warm).
+        batcher.warm(example.shape[1:], jnp.uint8)
         logger.warning("micro-batching up to %d requests/dispatch",
                        args.serve_batch)
     logger.warning("warmup done")

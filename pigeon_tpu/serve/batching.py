@@ -57,6 +57,12 @@ class MicroBatcher:
                 b *= 2
             buckets.append(self.max_batch)
         self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+        if not self.buckets:
+            raise ValueError("buckets must be non-empty")
+        # A fill can never exceed the largest compiled bucket — clamp so
+        # bucket selection is total (a custom buckets tuple smaller than
+        # max_batch would otherwise strand the collector thread).
+        self.max_batch = min(self.max_batch, self.buckets[-1])
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
@@ -74,6 +80,25 @@ class MicroBatcher:
 
     def predict_one(self, pixels: np.ndarray, timeout: float = 120.0):
         return self.submit(pixels).result(timeout=timeout)
+
+    def warm(self, sample_shape, dtype) -> None:
+        """Compile AND execute every bucket executable before traffic.
+
+        The scalar readback forces execution — through tunneled backends
+        an async warm-up dispatch returns immediately and the first real
+        coalesced batch would still wait behind the server-side compile,
+        tripping `predict_one`'s future timeout (docs/PERF.md).
+        """
+        import jax.numpy as jnp
+
+        for bucket in self.buckets:
+            out = self.serve_fn(jnp.zeros((bucket, *sample_shape), dtype))
+            if self.refine_fn is not None:
+                refined = self.refine_fn(
+                    out["embedding"], out["pred_lla"],
+                    out["topk_cells"], out["topk_probs"])
+                float(jnp.sum(refined["pred_lla"]))
+            float(jnp.sum(out["pred_lla"]))
 
     def close(self) -> None:
         self._stop.set()
@@ -111,20 +136,22 @@ class MicroBatcher:
             items = self._collect()
             if not items:
                 continue
-            pixels = np.stack([p for p, _ in items])
             n = len(items)
-            bucket = next(b for b in self.buckets if b >= n)
-            if n < bucket:
-                # Pad to the bucket's compiled shape ON DEVICE: transfer
-                # exactly n rows (host->device bandwidth is the serving
-                # bottleneck on slow links), then a cheap device-side
-                # concat brings the batch to the static executable shape.
-                import jax.numpy as jnp
-
-                dev = jnp.asarray(pixels)
-                pad = jnp.zeros((bucket - n, *dev.shape[1:]), dev.dtype)
-                pixels = jnp.concatenate([dev, pad])
             try:
+                pixels = np.stack([p for p, _ in items])
+                bucket = next(b for b in self.buckets if b >= n)
+                if n < bucket:
+                    # Pad to the bucket's compiled shape ON DEVICE:
+                    # transfer exactly n rows (host->device bandwidth is
+                    # the serving bottleneck on slow links), then a cheap
+                    # device-side concat brings the batch to the static
+                    # executable shape.
+                    import jax.numpy as jnp
+
+                    dev = jnp.asarray(pixels)
+                    pad = jnp.zeros((bucket - n, *dev.shape[1:]),
+                                    dev.dtype)
+                    pixels = jnp.concatenate([dev, pad])
                 out = self.serve_fn(pixels)
                 if self.refine_fn is not None:
                     refined = self.refine_fn(

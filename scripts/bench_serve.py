@@ -11,7 +11,8 @@ Env knobs:
   SERVE_QUANT  (0) — 1: int8 W8A8 tower (static act scales).
   SERVE_REFINE (0) — 1: production-scale refiner+hedge bank
                      (2203 cells x 64 protos x 1024-d, 100k members).
-  SERVE_N      (20) — timed requests (median reported).
+  SERVE_N      (20) — timed requests (median reported); PER CLIENT
+                 THREAD when SERVE_CONCURRENCY>1 (total = N x C).
   SERVE_PX     (512) — screenshot resolution posted by the fake bot.
   SERVE_CONCURRENCY (1) — >1: that many client threads fire requests
                      simultaneously; reports aggregate requests/sec +
@@ -152,16 +153,9 @@ def main() -> None:
 
         batcher = MicroBatcher(serve_fn, refine_fn=refine_fn,
                                max_batch=serve_batch)
-        # Warm EVERY bucket executable with a readback (the first
-        # coalesced dispatch would otherwise compile live).
-        for bucket in batcher.buckets:
-            bout = serve_fn(jnp.zeros((bucket, *example.shape[1:]),
-                                      jnp.uint8))
-            if refine_fn is not None:
-                bout_r = refine_fn(bout["embedding"], bout["pred_lla"],
-                                   bout["topk_cells"], bout["topk_probs"])
-                float(jnp.sum(bout_r["pred_lla"]))
-            float(jnp.sum(bout["pred_lla"]))
+        # Warm every bucket executable (shared implementation with
+        # `cli serve`; scalar readbacks force execution).
+        batcher.warm(example.shape[1:], jnp.uint8)
     service = PredictionService(serve_fn, image_size=size, panorama=True,
                                 refine_fn=refine_fn, batcher=batcher)
     httpd = serve(service, host="127.0.0.1", port=0, block=False)
@@ -199,10 +193,19 @@ def main() -> None:
         times = []
         times_lock = threading.Lock()
 
+        failures = [0]
+
         def client():
             for _ in range(n):
                 t0 = time.perf_counter()
-                post(timeout=120)
+                try:
+                    post(timeout=120)
+                except Exception as e:  # noqa: BLE001 — count, don't die
+                    with times_lock:
+                        failures[0] += 1
+                    print(f"# request failed: {type(e).__name__}: "
+                          f"{str(e)[:120]}", file=sys.stderr)
+                    continue
                 dt = (time.perf_counter() - t0) * 1000.0
                 with times_lock:
                     times.append(dt)
@@ -217,6 +220,8 @@ def main() -> None:
         wall = time.perf_counter() - t_all
         httpd.shutdown()
         times.sort()
+        if not times:
+            raise SystemExit(f"all {failures[0]} requests failed")
         print(json.dumps({
             "metric": "serving_panorama_requests_per_sec"
                       f"{suffix}_c{concurrency}",
@@ -224,9 +229,10 @@ def main() -> None:
             "unit": "requests/sec",
             "median_ms": round(times[len(times) // 2], 1),
             "p90_ms": round(times[(len(times) * 9) // 10], 1),
+            "failed": failures[0],
         }))
         print(f"# clients={concurrency} total={len(times)} "
-              f"wall={wall:.1f}s", file=sys.stderr)
+              f"failed={failures[0]} wall={wall:.1f}s", file=sys.stderr)
         return
 
     times = []

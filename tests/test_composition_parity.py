@@ -550,9 +550,9 @@ class TestRefinerTwinCrossCheck:
         initial = np.stack([rng.uniform(-170, 170, b),
                             rng.uniform(-60, 60, b)], -1).astype(np.float32)
 
+        bank = build_proto_bank(rows, bank_emb, bank_lla,
+                                num_cells=n_cells)
         for max_km in (200.0, 1e9):          # cancel gate on and off
-            bank = build_proto_bank(rows, bank_emb, bank_lla,
-                                    num_cells=n_cells)
             refine = make_refine_fn(
                 bank, RefinerConfig(topk=TOPK, temperature=TEMPERATURE,
                                     max_refinement_km=max_km),

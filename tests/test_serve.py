@@ -406,6 +406,48 @@ class TestServeCommand:
                                                            abs=1e-4)
         batcher.close()
 
+    def test_micro_batcher_bucketed_padding(self):
+        """A fill of n dispatches at the smallest warm bucket >= n (the
+        measured-slower always-max_batch padding must not come back),
+        including non-power-of-two max_batch; undersized custom buckets
+        clamp max_batch instead of stranding the collector."""
+        import time
+
+        from pigeon_tpu.serve import MicroBatcher
+
+        shapes = []
+
+        def recording_serve(pixels):
+            shapes.append(int(pixels.shape[0]))
+            n = pixels.shape[0]
+            return {"pred_lla": np.zeros((n, 2), np.float32),
+                    "pred_cell": np.zeros((n,), np.int32),
+                    "topk_cells": np.zeros((n, 3), np.int32),
+                    "topk_probs": np.zeros((n, 3), np.float32),
+                    "embedding": np.zeros((n, 8), np.float32)}
+
+        batcher = MicroBatcher(recording_serve, max_batch=6,
+                               max_wait_ms=200.0)
+        assert batcher.buckets == (1, 2, 4, 6)
+        px = np.zeros((4, 8, 8, 3), np.uint8)
+        # 3 near-simultaneous submits -> one bucket-4 dispatch.
+        futs = [batcher.submit(px[0]) for _ in range(3)]
+        for f in futs:
+            f.result(timeout=10)
+        time.sleep(0.05)
+        assert shapes[-1] == 4, shapes
+        # A lone request -> bucket 1, not max_batch.
+        batcher.submit(px[0]).result(timeout=10)
+        assert shapes[-1] == 1, shapes
+        batcher.close()
+
+        # Undersized custom buckets: max_batch clamps to max(buckets).
+        b2 = MicroBatcher(recording_serve, max_batch=8, buckets=(2, 4))
+        assert b2.max_batch == 4 and b2.buckets == (2, 4)
+        b2.close()
+        with pytest.raises(ValueError):
+            MicroBatcher(recording_serve, max_batch=8, buckets=())
+
     def test_micro_batcher_propagates_errors(self):
         from pigeon_tpu.serve import MicroBatcher
 
