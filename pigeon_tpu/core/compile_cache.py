@@ -17,10 +17,17 @@ import os
 
 
 def enable_persistent_cache(path: str | None = None) -> str:
-    """Point JAX's compilation cache at a local directory.
+    """Point JAX's compilation cache at a local directory — TPU only.
 
     Must run before the first compilation (anytime before is fine; the
     backend need not be uninitialized). Safe to call repeatedly.
+
+    NO-OP on non-TPU backends: the cache exists to absorb the remote
+    compile service's client-side share, and on CPU it is actively
+    harmful — deserialized SPMD CPU executables abort the process
+    (observed: a full-suite run writes entries via the CLI tests, the
+    NEXT run deserializes one in `dryrun_multichip` and dies with
+    "Fatal Python error: Aborted" at the first readback).
 
     Args:
         path: cache directory. Default: ``$PIGEON_TPU_COMPILE_CACHE``,
@@ -29,6 +36,8 @@ def enable_persistent_cache(path: str | None = None) -> str:
     """
     import jax
 
+    if jax.default_backend() != "tpu":
+        return ""
     if path is None:
         path = os.environ.get("PIGEON_TPU_COMPILE_CACHE")
     if path is None:

@@ -37,12 +37,20 @@ MultiPolygon = List[np.ndarray]
 
 
 def as_ring(poly) -> np.ndarray:
-    """Coerce to an unclosed (N, 2) float64 ring."""
+    """Coerce to an unclosed (N, 2) float64 ring.
+
+    Closure detection scales with the ring's EXTENT, not its coordinate
+    magnitude: np.allclose's value-relative rtol treated sliver rings far
+    from the origin as closed (at y≈25, rtol 1e-5 swallows a 2.5e-4
+    vertex gap — hypothesis-found: scaling a thin triangle collapsed it
+    to 2 points and area 0)."""
     ring = np.asarray(poly, np.float64)
     if ring.ndim != 2 or ring.shape[1] != 2:
         raise ValueError(f"ring must be (N, 2), got {ring.shape}")
-    if len(ring) > 1 and np.allclose(ring[0], ring[-1]):
-        ring = ring[:-1]
+    if len(ring) > 1:
+        extent = float(max(np.ptp(ring[:, 0]), np.ptp(ring[:, 1]), 1e-12))
+        if np.abs(ring[0] - ring[-1]).max() <= 1e-9 * extent:
+            ring = ring[:-1]
     return ring
 
 
