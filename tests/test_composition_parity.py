@@ -596,3 +596,168 @@ class TestMetricsTwinCrossCheck:
                                       cell_labels, topk)
         for key, value in ref.items():
             assert ours[key] == pytest.approx(value, rel=1e-9), key
+
+
+# ---------------------------------------------------------------------------
+# Scenario 3: the `embed` lifecycle (reference call stack SURVEY §3.2,
+# `run.py:120-141` embed -> `train_modes.py:110-133` finetune_on_embeddings)
+# — embedding sweep through the production path (threaded batching,
+# final-batch padding, async device->host copies, `.npy` save +
+# index-ordered reload) -> headless GeocellHead training on the reloaded
+# shards -> prototypes -> refine -> metrics, vs the same independent twin.
+# Scenario 1 covers the on-tower (pixels) composition; this pins the
+# headless composition AND the sweep round-trip that feeds it.
+# ---------------------------------------------------------------------------
+
+
+class _ArrayDataset:
+    """In-memory image source through the real `iter_batches` machinery.
+
+    Duck-types `TabularImageDataset` (`data/pipeline.py:39`):
+    ``load_pixels`` serves the shared float world directly — no JPEG/PNG
+    quantization, so the twin sees bit-identical pixels — while batching,
+    padding, and the embed sweep's save/reload all run the production code.
+    """
+
+    def __init__(self, df: pd.DataFrame, images: np.ndarray):
+        self.df = df.reset_index(drop=True)
+        self.image_dir = ""
+        self.image_size = images.shape[1]
+        self.panorama = False
+        self.normalize = True
+        self._images = images
+
+    def __len__(self) -> int:
+        return len(self.df.index)
+
+    def load_pixels(self, row) -> np.ndarray:
+        return self._images[int(row["image"])]
+
+    def sample_arrays(self, row):
+        from pigeon_tpu.data.pipeline import TabularImageDataset
+
+        return TabularImageDataset.sample_arrays(self, row)
+
+
+def run_pigeon_tpu_embed_mode(df, images, hf_tower, head_w, head_b,
+                              out_dir):
+    """The real embed-mode composition: sweep to disk, then headless."""
+    from pigeon_tpu.geocell import build_prototypes
+    from pigeon_tpu.models.embedder import ClipEmbedder
+    from pigeon_tpu.models.geocell_head import GeocellHead
+    from pigeon_tpu.train.embed import embed_splits_to_disk, \
+        load_embeddings
+
+    vision_cfg = cfg_lib.VisionConfig(
+        image_size=32, patch_size=8, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, projection_dim=16)
+    embedder = ClipEmbedder(vision_cfg, dtype=jnp.float32)
+    eparams = {"vision": import_vision_tower_params(
+        hf_tower.state_dict(), num_layers=2)}
+
+    ddf = df.copy()
+    ddf["image"] = np.arange(len(ddf))
+    datasets = {
+        split: _ArrayDataset(ddf[ddf["selection"] == split], images)
+        for split in ("train", "val")
+    }
+    # batch_size=20 does not divide 192/48 -> exercises the pad-and-drop
+    # final batch on both splits.
+    embed_splits_to_disk(embedder, eparams, datasets, str(out_dir),
+                         batch_size=20)
+    emb_tr = load_embeddings(str(out_dir), "train").astype(np.float32)
+    emb_val = load_embeddings(str(out_dir), "val").astype(np.float32)
+
+    train_rows = np.where(df["selection"] == "train")[0]
+    val_rows = np.where(df["selection"] == "val")[0]
+    lla = df[["lng", "lat"]].to_numpy(np.float32)
+
+    head_cfg = HeadConfig(num_cells=len(CELLS), embed_dim=32,
+                          panorama=False, multi_task=False, heading=False,
+                          smooth_labels=True, label_smoothing_km=TAU_KM,
+                          num_candidates=NUM_CANDIDATES)
+    model = GeocellHead(head_cfg, dtype=jnp.float32)
+    opt = adamw(LR, weight_decay=0.0)
+    state = create_train_state(jax.random.PRNGKey(0), model, opt,
+                               (jnp.zeros((1, 32)),))
+    params = dict(state.params)
+    params["cell_layer"] = {"kernel": jnp.asarray(head_w),
+                            "bias": jnp.asarray(head_b)}
+    state = state.replace(params=params)
+
+    # Same batch ORDER as the twin: split-local natural order (emb_tr is
+    # index-ordered by load_embeddings, i.e. metadata row order).
+    step = make_train_step(model, opt, head_cfg, CELLS.astype(np.float32),
+                           donate=False)
+    lla_tr = lla[train_rows]
+    for _ in range(EPOCHS):
+        for rows in _batches(np.arange(len(emb_tr))):
+            state, _ = step(state, {
+                "inputs": jnp.asarray(emb_tr[rows]),
+                "labels": jnp.asarray(lla_tr[rows]),
+            }, jax.random.PRNGKey(4))
+
+    eval_step = make_eval_step(model, head_cfg, CELLS.astype(np.float32),
+                               num_candidates=NUM_CANDIDATES)
+    _, val_preds = eval_step(state.params,
+                             {"inputs": jnp.asarray(emb_val),
+                              "labels": jnp.asarray(lla[val_rows])})
+
+    train_df = df[df["selection"] == "train"].reset_index(drop=True)
+    proto_df = build_prototypes(train_df, cluster_args=CLUSTER_ARGS,
+                                num_workers=0)
+    bank = build_proto_bank(proto_df.to_dict("records"), emb_tr,
+                            lla[train_rows], num_cells=len(CELLS))
+    refine = make_refine_fn(
+        bank, RefinerConfig(topk=TOPK, temperature=TEMPERATURE,
+                            max_refinement_km=MAX_REFINE_KM),
+        within_cluster="reference")
+    refined = refine(jnp.asarray(emb_val), val_preds["pred_lla"],
+                     val_preds["topk_cells"], val_preds["topk_probs"])
+
+    metrics = compute_geoguessr_metrics(
+        predictions=np.asarray(refined["pred_lla"]),
+        labels=lla[val_rows],
+        cell_preds=np.asarray(val_preds["pred_cell"]),
+        cell_labels=df["geocell_idx"].to_numpy()[val_rows],
+        topk_cells=np.asarray(val_preds["topk_cells"]),
+    )
+    debug = {"val_embedding": emb_val,
+             "val_probs": np.asarray(val_preds["probs"])}
+    return metrics, debug
+
+
+class TestCompositionParityEmbedMode:
+    @pytest.fixture(scope="class")
+    def both(self, world, tmp_path_factory):
+        ours, ours_dbg = run_pigeon_tpu_embed_mode(
+            *world, tmp_path_factory.mktemp("emb_sweep"))
+        ref, ref_dbg = run_twin(*world)
+        return ours, ref, ours_dbg, ref_dbg
+
+    def test_sweep_roundtrip_matches_twin_embeddings(self, both):
+        """The full sweep (pad, async copies, .npy, index reorder) returns
+        exactly the twin's torch token-mean embeddings."""
+        _, _, ours_dbg, ref_dbg = both
+        np.testing.assert_allclose(ours_dbg["val_embedding"],
+                                   ref_dbg["val_embedding"],
+                                   atol=5e-5, rtol=1e-3)
+
+    def test_trained_probabilities_parity(self, both):
+        """Headless training on reloaded shards composes identically."""
+        _, _, ours_dbg, ref_dbg = both
+        np.testing.assert_allclose(ours_dbg["val_probs"],
+                                   ref_dbg["val_probs"], atol=2e-3)
+
+    def test_metric_table_parity(self, both):
+        ours, ref, _, _ = both
+        n_val = N_VAL
+        assert abs(ours["Geocell_accuracy"] - ref["Geocell_accuracy"]) \
+            <= 1.0 / n_val
+        assert abs(ours["Geocell_top5_accuracy"]
+                   - ref["Geocell_top5_accuracy"]) <= 1.0 / n_val
+        med_o, med_r = ours["Median_km_error"], ref["Median_km_error"]
+        assert abs(med_o - med_r) <= max(0.05 * med_r, 5.0), (med_o, med_r)
+        assert abs(ours["Geoguessr_score"] - ref["Geoguessr_score"]) \
+            <= 0.02 * 5000
+        assert 0.6 <= ours["Geocell_accuracy"] < 1.0
