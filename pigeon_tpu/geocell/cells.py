@@ -458,11 +458,18 @@ class CellCollection:
             while pending:
                 results: List[Tuple[Cell, List[Cell]]] = []
                 if num_workers and len(pending) > 1:
+                    import multiprocessing
                     from concurrent.futures import ProcessPoolExecutor
 
+                    # spawn, not fork: the parent holds JAX's thread pool
+                    # by the time planet-scale balancing runs, and forking
+                    # a multithreaded process can deadlock (the reference
+                    # forces spawn globally, run.py:192).
                     with ProcessPoolExecutor(
                             max_workers=min(num_workers,
-                                            len(pending))) as pool:
+                                            len(pending)),
+                            mp_context=multiprocessing
+                            .get_context("spawn")) as pool:
                         results = list(pool.map(
                             _split_worker,
                             [(c, params, min_cell_size, max_cell_size)

@@ -16,6 +16,7 @@ parallelized with a process pool sized to the host (the reference hardcodes
 from __future__ import annotations
 
 import json
+import multiprocessing
 from concurrent.futures import ProcessPoolExecutor
 from typing import Dict, List, Optional, Tuple
 
@@ -102,7 +103,10 @@ def build_prototypes(df: pd.DataFrame,
         for job in jobs:
             all_rows.extend(_cell_job(job))
     else:
-        with ProcessPoolExecutor(max_workers=num_workers) as pool:
+        # spawn, not fork (JAX threads in the parent; reference run.py:192)
+        with ProcessPoolExecutor(
+                max_workers=num_workers,
+                mp_context=multiprocessing.get_context("spawn")) as pool:
             for rows in pool.map(_cell_job, jobs, chunksize=8):
                 all_rows.extend(rows)
 

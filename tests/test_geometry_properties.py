@@ -5,13 +5,18 @@ convex clips, subject rings, and point clouds and assert the invariants
 that must hold for ANY input.
 """
 
+import os
+
 import numpy as np
 import pytest
 from hypothesis import given, settings, strategies as st
 
 from pigeon_tpu.geocell import geometry as geom
 
-settings.register_profile("geo", max_examples=60, deadline=None)
+# GEO_HYP_EXAMPLES=5000 for deep offline hunts; 60 keeps the suite fast.
+settings.register_profile(
+    "geo", max_examples=int(os.environ.get("GEO_HYP_EXAMPLES", "60")),
+    deadline=None)
 settings.load_profile("geo")
 
 
