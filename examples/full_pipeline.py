@@ -92,7 +92,11 @@ def main():
 
     tmp = Path(tmp)
     df = make_world(tmp)
-    mesh = create_mesh(tp=2)
+    # tp=2 on an even-sized mesh (the documented 8-device CPU recipe);
+    # degrade to pure DP on a single chip so the example runs anywhere.
+    import jax
+
+    mesh = create_mesh(tp=2 if len(jax.devices()) % 2 == 0 else 1)
 
     # ---- 1. geocell creation -------------------------------------------
     bs = BoundarySet.from_geojson(str(tmp / "admin2.geojson"))
