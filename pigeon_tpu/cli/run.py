@@ -807,11 +807,16 @@ def cmd_evaluate(args) -> int:
         logger.warning("evaluating on %d devices (mesh %s)",
                        jax.device_count(), dict(mesh.shape))
 
+    # Measured eval-pipeline optima (docs/PERF.md): int8 peaks at bs24
+    # (417.6 vs 407.4 img/s at bs32 through the full refined path) —
+    # the int8 matmuls finish fast enough that the serial bf16/VPU share
+    # dominates at larger batches; bf16 stays at bs32.
+    default_batch = 24 if getattr(args, "quant", False) else 32
     for benchmark in names:
         ds = get_ds(benchmark)
         metrics = evaluate_benchmark(
             eval_step, params,
-            iter_batches(ds, args.batch_size or 32),
+            iter_batches(ds, args.batch_size or default_batch),
             refine_fn=make_refine(benchmark), scaler=scaler,
             country_index=country_index, batch_to_device=to_dev)
         results[benchmark] = metrics
