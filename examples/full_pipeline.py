@@ -94,8 +94,6 @@ def main():
     df = make_world(tmp)
     # tp=2 on an even-sized mesh (the documented 8-device CPU recipe);
     # degrade to pure DP on a single chip so the example runs anywhere.
-    import jax
-
     mesh = create_mesh(tp=2 if len(jax.devices()) % 2 == 0 else 1)
 
     # ---- 1. geocell creation -------------------------------------------

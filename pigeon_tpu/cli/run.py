@@ -193,7 +193,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="embedding shard directory")
     p.add_argument("--checkpoint-dir", default="saved_models")
     p.add_argument("--output", default=None, help="output path")
-    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="per-device batch (default: mode-specific; "
+                        "evaluate/predict use the measured optimum — "
+                        "32 bf16, 24 with --quant)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--port", type=int, default=5000)
     p.add_argument("--host", default="127.0.0.1")
@@ -886,7 +889,8 @@ def cmd_predict(args) -> int:
                              image_size=size, panorama=cfg.head.panorama,
                              normalize=False)
 
-    batch = args.batch_size or 32
+    # int8 forward peaks at bs24 (450 vs 440 img/s at bs32, docs/PERF.md).
+    batch = args.batch_size or (24 if getattr(args, "quant", False) else 32)
 
     def pixel_batches():
         """Threaded decode + prefetch (`data/pipeline.iter_batches`),

@@ -452,32 +452,39 @@ class CellCollection:
         a process pool here because sklearn OPTICS holds the GIL for its
         O(n²) core, which dominates planet-scale runs).
         """
+        # ONE pool for all rounds/ladders: spawn-context workers (fork +
+        # the parent's JAX threads can deadlock; the reference forces
+        # spawn globally, run.py:192) pay a full interpreter + import
+        # startup each, so recreating the pool per round would cost
+        # workers x seconds x rounds. Workers spawn lazily on first use.
+        pool = None
+        if num_workers:
+            import multiprocessing
+            from concurrent.futures import ProcessPoolExecutor
+
+            pool = ProcessPoolExecutor(
+                max_workers=num_workers,
+                mp_context=multiprocessing.get_context("spawn"))
+        try:
+            self._split_ladders(pool, min_cell_size, max_cell_size,
+                                optics_params)
+        finally:
+            if pool is not None:
+                pool.shutdown()
+
+    def _split_ladders(self, pool, min_cell_size: int, max_cell_size: int,
+                       optics_params: Sequence[Tuple[int, float]]) -> None:
         for params in optics_params:
             pending = sorted((c for c in self if c.size > max_cell_size),
                              key=lambda c: c.cell_id)
             while pending:
                 results: List[Tuple[Cell, List[Cell]]] = []
-                if num_workers and len(pending) > 1:
-                    import multiprocessing
-                    from concurrent.futures import ProcessPoolExecutor
-
-                    # spawn, not fork: the parent holds JAX's thread pool
-                    # by the time planet-scale balancing runs, and forking
-                    # a multithreaded process can deadlock (the reference
-                    # forces spawn globally, run.py:192).
-                    with ProcessPoolExecutor(
-                            max_workers=min(num_workers,
-                                            len(pending)),
-                            mp_context=multiprocessing
-                            .get_context("spawn")) as pool:
-                        results = list(pool.map(
-                            _split_worker,
-                            [(c, params, min_cell_size, max_cell_size)
-                             for c in pending]))
-                else:
-                    results = [_split_worker(
-                        (c, params, min_cell_size, max_cell_size))
+                jobs = [(c, params, min_cell_size, max_cell_size)
                         for c in pending]
+                if pool is not None and len(pending) > 1:
+                    results = list(pool.map(_split_worker, jobs))
+                else:
+                    results = [_split_worker(job) for job in jobs]
 
                 next_round: List[Cell] = []
                 for cell, new_cells in results:

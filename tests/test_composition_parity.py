@@ -99,6 +99,39 @@ def _batches(idx: np.ndarray):
         yield idx[start:start + BATCH]
 
 
+def _prototypes_refine_metrics(df, emb_tr, refine_emb, val_preds):
+    """Shared composition tail: library OPTICS prototypes -> refiner
+    (reference within-cluster semantics) -> metric suite. Used by both
+    the on-tower (scenario 1) and embed-mode (scenario 3) runs."""
+    from pigeon_tpu.geocell import build_prototypes
+
+    train_rows = np.where(df["selection"] == "train")[0]
+    val_rows = np.where(df["selection"] == "val")[0]
+    lla = df[["lng", "lat"]].to_numpy(np.float32)
+
+    train_df = df[df["selection"] == "train"].reset_index(drop=True)
+    proto_df = build_prototypes(train_df, cluster_args=CLUSTER_ARGS,
+                                num_workers=0)
+    bank = build_proto_bank(proto_df.to_dict("records"),
+                            np.asarray(emb_tr), lla[train_rows],
+                            num_cells=len(CELLS))
+    refine = make_refine_fn(
+        bank, RefinerConfig(topk=TOPK, temperature=TEMPERATURE,
+                            max_refinement_km=MAX_REFINE_KM),
+        within_cluster="reference")
+    refined = refine(jnp.asarray(refine_emb), val_preds["pred_lla"],
+                     val_preds["topk_cells"], val_preds["topk_probs"])
+
+    metrics = compute_geoguessr_metrics(
+        predictions=np.asarray(refined["pred_lla"]),
+        labels=lla[val_rows],
+        cell_preds=np.asarray(val_preds["pred_cell"]),
+        cell_labels=df["geocell_idx"].to_numpy()[val_rows],
+        topk_cells=np.asarray(val_preds["topk_cells"]),
+    )
+    return metrics, bank
+
+
 def run_pigeon_tpu(df, images, hf_tower, head_w, head_b):
     """The real library composition, end to end."""
     vision_cfg = cfg_lib.VisionConfig(
@@ -150,30 +183,8 @@ def run_pigeon_tpu(df, images, hf_tower, head_w, head_b):
                              {"inputs": jnp.asarray(images[val_rows]),
                               "labels": jnp.asarray(lla[val_rows])})
 
-    # Prototypes (library OPTICS path) + refiner (jit scan, reference
-    # within-cluster semantics).
-    from pigeon_tpu.geocell import build_prototypes
-
-    train_df = df[df["selection"] == "train"].reset_index(drop=True)
-    proto_df = build_prototypes(train_df, cluster_args=CLUSTER_ARGS,
-                                num_workers=0)
-    bank = build_proto_bank(proto_df.to_dict("records"),
-                            np.asarray(train_preds["embedding"]),
-                            lla[train_rows], num_cells=len(CELLS))
-    refine = make_refine_fn(
-        bank, RefinerConfig(topk=TOPK, temperature=TEMPERATURE,
-                            max_refinement_km=MAX_REFINE_KM),
-        within_cluster="reference")
-    refined = refine(val_preds["embedding"], val_preds["pred_lla"],
-                     val_preds["topk_cells"], val_preds["topk_probs"])
-
-    metrics = compute_geoguessr_metrics(
-        predictions=np.asarray(refined["pred_lla"]),
-        labels=lla[val_rows],
-        cell_preds=np.asarray(val_preds["pred_cell"]),
-        cell_labels=df["geocell_idx"].to_numpy()[val_rows],
-        topk_cells=np.asarray(val_preds["topk_cells"]),
-    )
+    metrics, bank = _prototypes_refine_metrics(
+        df, train_preds["embedding"], val_preds["embedding"], val_preds)
     debug = {"val_embedding": np.asarray(val_preds["embedding"]),
              "val_probs": np.asarray(val_preds["probs"]),
              # For downstream tests (int8-on-trained-checkpoint).
@@ -222,11 +233,17 @@ def run_twin(df, images, hf_tower, head_w, head_b):
     return metrics, debug
 
 
+@pytest.fixture(scope="module")
+def twin_result(world):
+    """run_twin computed once, shared by scenarios 1 and 3."""
+    return run_twin(*world)
+
+
 class TestCompositionParity:
     @pytest.fixture(scope="class")
-    def both(self, world):
+    def both(self, world, twin_result):
         ours, ours_dbg = run_pigeon_tpu(*world)
-        ref, ref_dbg = run_twin(*world)
+        ref, ref_dbg = twin_result
         return ours, ref, ours_dbg, ref_dbg
 
     def test_embedding_stage_parity(self, both):
@@ -642,7 +659,6 @@ class _ArrayDataset:
 def run_pigeon_tpu_embed_mode(df, images, hf_tower, head_w, head_b,
                               out_dir):
     """The real embed-mode composition: sweep to disk, then headless."""
-    from pigeon_tpu.geocell import build_prototypes
     from pigeon_tpu.models.embedder import ClipEmbedder
     from pigeon_tpu.models.geocell_head import GeocellHead
     from pigeon_tpu.train.embed import embed_splits_to_disk, \
@@ -703,25 +719,8 @@ def run_pigeon_tpu_embed_mode(df, images, hf_tower, head_w, head_b,
                              {"inputs": jnp.asarray(emb_val),
                               "labels": jnp.asarray(lla[val_rows])})
 
-    train_df = df[df["selection"] == "train"].reset_index(drop=True)
-    proto_df = build_prototypes(train_df, cluster_args=CLUSTER_ARGS,
-                                num_workers=0)
-    bank = build_proto_bank(proto_df.to_dict("records"), emb_tr,
-                            lla[train_rows], num_cells=len(CELLS))
-    refine = make_refine_fn(
-        bank, RefinerConfig(topk=TOPK, temperature=TEMPERATURE,
-                            max_refinement_km=MAX_REFINE_KM),
-        within_cluster="reference")
-    refined = refine(jnp.asarray(emb_val), val_preds["pred_lla"],
-                     val_preds["topk_cells"], val_preds["topk_probs"])
-
-    metrics = compute_geoguessr_metrics(
-        predictions=np.asarray(refined["pred_lla"]),
-        labels=lla[val_rows],
-        cell_preds=np.asarray(val_preds["pred_cell"]),
-        cell_labels=df["geocell_idx"].to_numpy()[val_rows],
-        topk_cells=np.asarray(val_preds["topk_cells"]),
-    )
+    metrics, _ = _prototypes_refine_metrics(df, emb_tr, emb_val,
+                                            val_preds)
     debug = {"val_embedding": emb_val,
              "val_probs": np.asarray(val_preds["probs"])}
     return metrics, debug
@@ -729,10 +728,10 @@ def run_pigeon_tpu_embed_mode(df, images, hf_tower, head_w, head_b,
 
 class TestCompositionParityEmbedMode:
     @pytest.fixture(scope="class")
-    def both(self, world, tmp_path_factory):
+    def both(self, world, twin_result, tmp_path_factory):
         ours, ours_dbg = run_pigeon_tpu_embed_mode(
             *world, tmp_path_factory.mktemp("emb_sweep"))
-        ref, ref_dbg = run_twin(*world)
+        ref, ref_dbg = twin_result
         return ours, ref, ours_dbg, ref_dbg
 
     def test_sweep_roundtrip_matches_twin_embeddings(self, both):
