@@ -51,3 +51,25 @@ chrome.runtime.onMessage.addListener((request, sender, sendResponse) => {
       return false;
   }
 });
+
+// Custom model servers: host_permissions cover geoguessr + localhost
+// only; a non-default {serverUrl} origin needs a runtime grant from
+// optional_host_permissions. Content scripts cannot call
+// chrome.permissions, and request() needs a user gesture — a toolbar
+// click is one, and it reaches the service worker.
+chrome.action.onClicked.addListener(async () => {
+  try {
+    const stored = await chrome.storage.local.get("serverUrl");
+    if (!stored.serverUrl) return;
+    const origin = new URL(stored.serverUrl).origin + "/*";
+    const has = await chrome.permissions.contains({ origins: [origin] });
+    if (!has) {
+      const granted = await chrome.permissions.request({
+        origins: [origin],
+      });
+      console.log("model-server permission " + origin + ": " + granted);
+    }
+  } catch (e) {
+    console.log("model-server permission request failed: " + e);
+  }
+});

@@ -538,6 +538,7 @@ def cmd_embed(args) -> int:
                 state, cfg.vision.num_layers)}
         logger.warning("loaded vision tower from %s", args.base)
 
+    out = args.output or args.embeddings or "data/embeddings"
     splits = {}
     for split in ("train", "val", "test"):
         ds = TabularImageDataset.from_csv(
@@ -558,15 +559,13 @@ def cmd_embed(args) -> int:
 
         sampled = pd.concat([d.df for d in splits.values()],
                             ignore_index=True)
-        out_dir = args.output or args.embeddings or "data/embeddings"
-        os.makedirs(out_dir, exist_ok=True)
-        sampled_csv = os.path.join(out_dir, "metadata_sampled.csv")
+        os.makedirs(out, exist_ok=True)
+        sampled_csv = os.path.join(out, "metadata_sampled.csv")
         sampled.to_csv(sampled_csv, index=False)
         logger.warning(
             "--sample: wrote the sampled metadata to %s — use it as "
             "--metadata for prototypes/finetune/evaluate against these "
             "embeddings", sampled_csv)
-    out = args.output or args.embeddings or "data/embeddings"
     embed_splits_to_disk(
         model, params, splits, out,
         batch_size=args.batch_size or cfg.train.embed_batch_size_per_device)
@@ -688,6 +687,7 @@ def cmd_evaluate(args) -> int:
     import jax
     import jax.numpy as jnp
     import numpy as np
+    import pandas as pd
 
     from pigeon_tpu.data import BenchmarkDataset, iter_batches
     from pigeon_tpu.models.super_guessr import SuperGuessr
@@ -748,12 +748,19 @@ def cmd_evaluate(args) -> int:
     if args.load is None and args.test:
         # -t without benchmarks: evaluate the metadata's test holdout
         # (the reference's EvalDataset path, `run.py:162` + eval_dataset.py).
+        # --metadata may be a comma-separated pair (the --landmarks
+        # convention, see _load_refine_assets): concatenate the test
+        # splits, mirroring the finetune concat.
         from pigeon_tpu.data import TabularImageDataset
 
         names = ["test"]
         def make_ds(_name):
-            return TabularImageDataset.from_csv(
-                args.metadata, "test", args.images,
+            frames = [pd.read_csv(m) for m in args.metadata.split(",")]
+            frames = [f[f["selection"] == "test"]
+                      if "selection" in f.columns else f for f in frames]
+            df = pd.concat(frames, ignore_index=True)
+            return TabularImageDataset(
+                df, args.images,
                 image_size=cfg.vision.image_size,
                 panorama=cfg.head.panorama, normalize=False)
     else:
@@ -1079,7 +1086,7 @@ def cmd_pretrain(args) -> int:
     return 0
 
 
-def _serve_calibration_batch(args, cfg, example):
+def _serve_calibration_batch(args, cfg):
     """Real-image activation-calibration batch for `serve --quant`.
 
     Loads up to 32 images from ``--calib-images`` (a directory of
@@ -1134,7 +1141,7 @@ def cmd_serve(args) -> int:
     params = _init_and_restore(args, cfg, model, example)
 
     if getattr(args, "quant", False):
-        calib = _serve_calibration_batch(args, cfg, example)
+        calib = _serve_calibration_batch(args, cfg)
         if calib is None:
             # Synthetic N(0,1) calibration batch (matches CLIP-normalized
             # input stats but not real activation tails) — leave 25%
@@ -1232,10 +1239,14 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     # Persistent XLA compile cache: the remote compile service's cold
     # compiles cost 60-380 s; a warm workspace re-loads in milliseconds
-    # (core/compile_cache.py).
-    from pigeon_tpu.core.compile_cache import enable_persistent_cache
+    # (core/compile_cache.py). NOT for `geocells` — enabling the cache
+    # probes jax.default_backend(), which would connect the pure-CPU
+    # OPTICS run to the shared TPU tunnel for its whole (hours-long)
+    # lifetime and collide with any real TPU process (CLAUDE.md rule 2).
+    if args.function != "geocells":
+        from pigeon_tpu.core.compile_cache import enable_persistent_cache
 
-    enable_persistent_cache()
+        enable_persistent_cache()
     if not args.classification:
         raise SystemExit(
             "regression mode is not implemented (the reference's released "

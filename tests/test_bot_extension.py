@@ -88,3 +88,14 @@ def test_worker_actions_handled():
     handled = set(re.findall(r'case "(\w+)"', background))
     assert sent, "no worker messages found in common.js"
     assert sent <= handled, f"unhandled worker actions: {sent - handled}"
+
+
+def test_optional_host_permission_is_reachable(manifest):
+    """optional_host_permissions must be backed by a request flow: the
+    toolbar-click handler grants a custom {serverUrl} origin (content
+    scripts cannot call chrome.permissions; request() needs a gesture)."""
+    assert "optional_host_permissions" in manifest
+    assert "action" in manifest  # toolbar button = the user gesture
+    background = script_text("background.js")
+    assert "chrome.action.onClicked" in background
+    assert "chrome.permissions.request" in background

@@ -556,3 +556,29 @@ def test_embed_sample_writes_aligned_metadata(tiny_world, monkeypatch):
     pos = [orig.index[orig["image"] == im][0]
            for im in train_rows["image"]]
     assert pos == sorted(pos)
+
+
+def test_evaluate_holdout_comma_metadata(tiny_world, monkeypatch):
+    """evaluate -t with the --landmarks comma-metadata convention
+    concatenates the test splits of both CSVs (previously crashed:
+    pd.read_csv('a.csv,b.csv'))."""
+    import json
+
+    tmp = tiny_world
+    monkeypatch.chdir(tmp)
+    meta = pd.read_csv(tmp / "meta.csv")
+    meta.loc[meta["selection"] == "val", "selection"] = "test"
+    meta.iloc[:18].to_csv(tmp / "meta_a.csv", index=False)
+    meta.iloc[18:].reset_index(drop=True).to_csv(tmp / "meta_b.csv",
+                                                 index=False)
+    n_test = int((meta["selection"] == "test").sum())
+    out = tmp / "holdout_lm.json"
+    rc = main(["evaluate", "runhlm", "--tiny", "-t",
+               "--metadata", f"{tmp}/meta_a.csv,{tmp}/meta_b.csv",
+               "--images", str(tmp / "imgs"),
+               "--geocells", str(tmp / "cells.csv"),
+               "--batch-size", "4", "--output", str(out)])
+    assert rc == 0
+    results = json.loads(out.read_text())
+    assert "Median_km_error" in results["test"]
+    assert n_test >= 2  # both files contribute test rows

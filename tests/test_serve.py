@@ -124,9 +124,22 @@ class TestCli:
                       "selection": "train"}).to_csv(
             tmp_path / "meta.csv", index=False)
         out = tmp_path / "cells.csv"
-        rc = main(["geocells", "run1", "--metadata",
-                   str(tmp_path / "meta.csv"), "--output", str(out),
-                   "--yfcc"])
+        # The pure-CPU geocells command must NOT touch the compile
+        # cache (probing the backend would hold the shared TPU tunnel
+        # for the whole run).
+        import pigeon_tpu.core.compile_cache as cc
+
+        def _boom(*a, **k):
+            raise AssertionError("geocells must not init a JAX backend")
+
+        orig_epc = cc.enable_persistent_cache
+        cc.enable_persistent_cache = _boom
+        try:
+            rc = main(["geocells", "run1", "--metadata",
+                       str(tmp_path / "meta.csv"), "--output", str(out),
+                       "--yfcc"])
+        finally:
+            cc.enable_persistent_cache = orig_epc
         assert rc == 0
         df = pd.read_csv(out)
         assert {"name", "size", "geometry", "lng", "lat"} <= set(df.columns)
