@@ -224,6 +224,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1,
                    help="model (tensor-parallel) mesh axis size; must "
                         "divide the device count (docs/SHARDING.md)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-style sharding: store params + optimizer "
+                        "state 1/dp-th per device over the data axis "
+                        "(pretrain/finetune; docs/SHARDING.md)")
     p.add_argument("--model", default=None,
                    choices=["vit-l14-336", "vit-b32"],
                    help="CLIP tower size (default: the preset's "
@@ -345,7 +349,7 @@ def _finetune_on_embeddings(args) -> int:
 
     from pigeon_tpu.train import (
         create_mesh, create_train_state, make_eval_step, make_train_step,
-        shard_batch,
+        shard_batch, state_shardings,
     )
     from pigeon_tpu.train.embed import load_embeddings
     from pigeon_tpu.train.loop import train_model
@@ -374,8 +378,10 @@ def _finetune_on_embeddings(args) -> int:
     example = (jnp.zeros((2, *views, dim)),)
     opt = adamw(tcfg.learning_rate)
     state = create_train_state(jax.random.PRNGKey(tcfg.seed), model, opt,
-                               example, mesh=mesh)
-    step = make_train_step(model, opt, cfg.head, cells)
+                               example, mesh=mesh, fsdp=args.fsdp)
+    step = make_train_step(model, opt, cfg.head, cells,
+                           out_shardings=(state_shardings(state)
+                                          if args.fsdp else None))
     eval_step = make_eval_step(model, cfg.head, cells)
 
     def batches(split, shuffle_seed=None):
@@ -416,7 +422,7 @@ def _finetune_on_pixels(args) -> int:
     from pigeon_tpu.data import TabularImageDataset, iter_batches
     from pigeon_tpu.train import (
         create_mesh, create_train_state, make_eval_step, make_train_step,
-        shard_batch,
+        shard_batch, state_shardings,
     )
     from pigeon_tpu.train.checkpoints import latest_step, restore_checkpoint
     from pigeon_tpu.train.loop import train_model
@@ -435,7 +441,7 @@ def _finetune_on_pixels(args) -> int:
                           cfg.vision.image_size, 3)),)
     opt = adamw(tcfg.learning_rate)
     state = create_train_state(jax.random.PRNGKey(tcfg.seed), model, opt,
-                               example, mesh=mesh)
+                               example, mesh=mesh, fsdp=args.fsdp)
     ckpt_dir = os.path.join(args.checkpoint_dir, args.name)
     if args.base:
         state = state.replace(params=_load_base_checkpoint(
@@ -445,7 +451,9 @@ def _finetune_on_pixels(args) -> int:
         logger.warning("resumed from step %d", int(state.step))
 
     mask = mask_builder(state.params)
-    step = make_train_step(model, opt, cfg.head, cells, grad_mask=mask)
+    step = make_train_step(model, opt, cfg.head, cells, grad_mask=mask,
+                           out_shardings=(state_shardings(state)
+                                          if args.fsdp else None))
     eval_step = make_eval_step(model, cfg.head, cells)
 
     # uint8 host pipeline: decode+resize on workers, normalize on device
@@ -1006,7 +1014,12 @@ def cmd_pretrain(args) -> int:
 
     from pigeon_tpu.data.tokenizer import load_tokenizer
     from pigeon_tpu.models.clip import CLIPModel
-    from pigeon_tpu.train import create_train_state
+    from pigeon_tpu.train import (
+        create_mesh,
+        create_train_state,
+        shard_batch,
+        state_shardings,
+    )
     from pigeon_tpu.train.modes import (
         make_pretrain_step,
         pretrain,
@@ -1048,18 +1061,24 @@ def cmd_pretrain(args) -> int:
     example = (jnp.zeros((2, cfg.vision.image_size, cfg.vision.image_size,
                           3)),
                jnp.zeros((2, max_tokens), jnp.int32))
+    # Pretrain shards over the full mesh: batches over the data axis
+    # (global-batch contrastive negatives ride the all-gather), params
+    # by the TP rules — plus ZeRO storage sharding under --fsdp.
+    mesh = create_mesh(tp=args.tp)
     state = create_train_state(
         jax.random.PRNGKey(cfg.train.pretrain_seed), model, opt, example,
-        init_kwargs={})
-    step = make_pretrain_step(model, opt)
+        mesh=mesh, fsdp=args.fsdp, init_kwargs={})
+    step = make_pretrain_step(
+        model, opt, out_shardings=(state_shardings(state)
+                                   if args.fsdp else None))
 
     def batches(epoch):
         for batch in ds.batches(tokenizer, batch_size, shuffle=True,
                                 seed=epoch, max_tokens=max_tokens):
-            yield {
+            yield shard_batch({
                 "pixel_values": jnp.asarray(batch["pixel_values"]),
                 "input_ids": jnp.asarray(batch["input_ids"]),
-            }
+            }, mesh)
 
     # Before/after in-batch retrieval probe (reference
     # `training/train_modes.py:53-64`).

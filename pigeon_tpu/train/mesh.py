@@ -90,6 +90,73 @@ def shard_params(params, mesh: Mesh,
         params, specs)
 
 
+def fsdp_param_specs(params, mesh: Mesh,
+                     rules: Sequence[Tuple[str, P]] = DEFAULT_RULES,
+                     min_size: int = 1 << 14):
+    """ZeRO/FSDP-style specs: TP rules + ``data``-axis weight sharding.
+
+    Each leaf keeps its tensor-parallel spec and additionally shards its
+    largest still-unsharded axis over the ``data`` mesh axis (when that
+    axis size divides the dim), so parameters — and, via
+    :func:`opt_state_specs`, optimizer moments and accumulation buffers —
+    are stored 1/dp-th per device instead of replicated. XLA inserts the
+    all-gather before use and reduce-scatters the gradients (the ZeRO-3
+    communication pattern) automatically under GSPMD.
+
+    Leaves smaller than ``min_size`` elements stay on their TP spec alone:
+    sharding tiny biases/LN scales saves nothing and costs a collective.
+    """
+    import math
+
+    data_axis = mesh.axis_names[0]
+    dp = mesh.shape[data_axis]
+
+    def one(path, x):
+        spec = spec_for_path(_path_str(path), rules)
+        entries = list(spec) + [None] * (len(x.shape) - len(spec))
+        if dp == 1 or math.prod(x.shape) < min_size:
+            return spec
+        free = [d for d in range(len(entries))
+                if entries[d] is None and x.shape[d] % dp == 0]
+        if not free:
+            return spec
+        d = max(free, key=lambda i: x.shape[i])
+        entries[d] = data_axis
+        return P(*entries)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def opt_state_specs(opt_state, params, specs):
+    """Specs for an optax state tree mirroring ``params`` shardings.
+
+    Optimizer-state leaves that mirror a parameter (Adam's mu/nu,
+    MultiSteps' accumulated grads) sit under paths ending in the full
+    parameter path — those inherit the parameter's spec (matched on the
+    longest path suffix at a ``/`` boundary, with a shape check).
+    Everything else (step counts, scalars) replicates.
+    """
+    by_path = {}
+    flat_params = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_specs = jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda s: isinstance(s, P))
+    for (path, leaf), spec in zip(flat_params, flat_specs):
+        by_path[_path_str(path)] = (tuple(leaf.shape), spec)
+
+    def one(path, x):
+        s = _path_str(path)
+        best = None
+        for ppath, (shape, spec) in by_path.items():
+            if tuple(getattr(x, "shape", ())) != shape:
+                continue
+            if s == ppath or s.endswith("/" + ppath):
+                if best is None or len(ppath) > len(best[0]):
+                    best = (ppath, spec)
+        return best[1] if best else P()
+
+    return jax.tree_util.tree_map_with_path(one, opt_state)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch arrays shard their leading axis over the data axis."""
     return NamedSharding(mesh, P("data"))

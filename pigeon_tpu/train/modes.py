@@ -57,11 +57,13 @@ def pretrain_optimizer(cfg: PigeonConfig, total_steps: int
                  accum_steps=t.pretrain_grad_accum_steps)
 
 
-def make_pretrain_step(clip_model, optimizer) -> Callable:
+def make_pretrain_step(clip_model, optimizer, out_shardings=None) -> Callable:
     """Jitted contrastive CLIP train step: (state, batch) -> (state, metrics).
 
     batch: ``pixel_values`` (B, H, W, 3), ``input_ids`` (B, S) — sharded
-    batch-major over the data axis.
+    batch-major over the data axis. ``out_shardings`` (a TrainState
+    sharding pytree, see `train_loop.state_shardings`) pins the FSDP
+    layout across steps.
     """
 
     def loss_fn(params, batch):
@@ -69,7 +71,11 @@ def make_pretrain_step(clip_model, optimizer) -> Callable:
                                batch["input_ids"], return_loss=True)
         return out["loss"], out
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    jit_kwargs = {}
+    if out_shardings is not None:
+        jit_kwargs["out_shardings"] = (out_shardings, None)
+
+    @functools.partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
     def step(state: TrainState, batch):
         (loss, out), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch)

@@ -23,7 +23,11 @@ from pigeon_tpu.config import HeadConfig
 from pigeon_tpu.models.geocell_head import geocell_loss, geocell_predictions
 from jax.sharding import NamedSharding
 
-from pigeon_tpu.train.mesh import param_specs
+from pigeon_tpu.train.mesh import (
+    fsdp_param_specs,
+    opt_state_specs,
+    param_specs,
+)
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -38,24 +42,39 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def create_train_state(rng, model, optimizer, example_inputs, mesh=None,
-                       init_kwargs: Optional[dict] = None) -> TrainState:
+                       init_kwargs: Optional[dict] = None,
+                       fsdp: bool = False) -> TrainState:
     """Initialize params + optimizer state, sharded over ``mesh``.
 
     Initialization runs under jit with output sharding constraints derived
     from the path rules, so large params materialize directly in their
     sharded layout (no host-memory spike, no resharding transfer).
+
+    With ``fsdp=True``, parameters AND optimizer state (Adam moments,
+    accumulation buffers) additionally shard over the ``data`` axis
+    (`mesh.fsdp_param_specs` — the ZeRO-3 storage layout); the train step
+    needs no change — GSPMD all-gathers weights before use and
+    reduce-scatters gradients back to the shard layout.
     """
     init_kwargs = init_kwargs or {}
 
     def init_fn(rng):
         params = model.init(rng, *example_inputs, **init_kwargs)["params"]
+        specs = None
         if mesh is not None:
-            specs = param_specs(params)
+            specs = (fsdp_param_specs(params, mesh) if fsdp
+                     else param_specs(params))
             params = jax.tree_util.tree_map(
                 lambda x, s: jax.lax.with_sharding_constraint(
                     x, NamedSharding(mesh, s)),
                 params, specs)
         opt_state = optimizer.init(params)
+        if mesh is not None and fsdp:
+            ospecs = opt_state_specs(opt_state, params, specs)
+            opt_state = jax.tree_util.tree_map(
+                lambda x, s: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, s)),
+                opt_state, ospecs)
         return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                           opt_state=opt_state)
 
@@ -73,9 +92,17 @@ def _maybe_normalize(inputs, force: bool = False):
     return inputs
 
 
+def state_shardings(state: TrainState):
+    """Sharding pytree of a train state (pass as ``make_train_step``'s
+    ``out_shardings`` so FSDP layouts survive the step deterministically
+    instead of relying on GSPMD propagation)."""
+    return jax.tree_util.tree_map(lambda x: x.sharding, state)
+
+
 def make_train_step(model, optimizer, head_cfg: HeadConfig, geocells,
                     grad_mask=None, donate: bool = True,
-                    normalize_inputs: bool = False) -> Callable:
+                    normalize_inputs: bool = False,
+                    out_shardings=None) -> Callable:
     """Build the jitted SPMD train step.
 
     Args:
@@ -110,7 +137,12 @@ def make_train_step(model, optimizer, head_cfg: HeadConfig, geocells,
         )
         return total, parts
 
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    jit_kwargs = {}
+    if out_shardings is not None:
+        jit_kwargs["out_shardings"] = (out_shardings, None)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else (),
+                       **jit_kwargs)
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         grads, parts = jax.grad(loss_fn, has_aux=True)(

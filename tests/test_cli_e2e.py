@@ -297,6 +297,27 @@ def test_finetune_on_embeddings_with_tp2(tiny_world, monkeypatch):
     assert latest_step(str(tmp / "saved_models" / "runtp")) is not None
 
 
+def test_finetune_on_embeddings_with_fsdp(tiny_world, monkeypatch):
+    """--fsdp --tp 2: ZeRO storage sharding composed with TP on the
+    8-device mesh; training must converge to a checkpoint as usual."""
+    tmp = tiny_world
+    monkeypatch.chdir(tmp)
+    rc = main(["embed", "runfs", "--tiny",
+               "--metadata", str(tmp / "meta.csv"),
+               "--images", str(tmp / "imgs"),
+               "--output", str(tmp / "emb"), "--batch-size", "8"])
+    assert rc == 0
+    rc = main(["finetune", "runfs", "--tiny", "--tp", "2", "--fsdp",
+               "--metadata", str(tmp / "meta.csv"),
+               "--geocells", str(tmp / "cells.csv"),
+               "--embeddings", str(tmp / "emb"),
+               "--batch-size", "8", "--epochs", "2"])
+    assert rc == 0
+    from pigeon_tpu.train.checkpoints import latest_step
+
+    assert latest_step(str(tmp / "saved_models" / "runfs")) is not None
+
+
 def test_predict_directory_to_csv(tiny_world, monkeypatch):
     """`predict --images DIR` geolocates every image into a CSV —
     the batch-inference surface the reference never shipped."""
