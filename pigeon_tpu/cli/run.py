@@ -128,7 +128,7 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native PIGEON: planet-scale image geolocation.")
     p.add_argument("function",
                    choices=["pretrain", "finetune", "embed", "evaluate",
-                            "predict", "serve", "geocells"],
+                            "predict", "serve", "geocells", "export"],
                    help="operation to run")
     p.add_argument("name", nargs="?", default="pigeon",
                    help="model/run name or checkpoint path")
@@ -224,6 +224,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1,
                    help="model (tensor-parallel) mesh axis size; must "
                         "divide the device count (docs/SHARDING.md)")
+    p.add_argument("--artifact", default=None,
+                   help="serve: load an AOT artifact directory (from "
+                        "`export`) instead of building the model; "
+                        "export: see --output")
+    p.add_argument("--platforms", default="tpu,cpu",
+                   help="export: comma-separated lowering platforms "
+                        "baked into the artifact")
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-style sharding: store params + optimizer "
                         "state 1/dp-th per device over the data axis "
@@ -611,7 +618,7 @@ def _init_and_restore(args, cfg, model, example):
 
 
 def _quantize_for_inference(cfg, params, calib_pixels,
-                            margin: float = 1.0):
+                            margin: float = 1.0, attn_impl=None):
     """int8 W8A8 tower for inference (`models/quant.py`).
 
     Quantizes the tower weights per output channel, freezes activation
@@ -624,12 +631,13 @@ def _quantize_for_inference(cfg, params, calib_pixels,
     from pigeon_tpu.models.quant import quantize_and_calibrate
     from pigeon_tpu.models.super_guessr import SuperGuessr
 
+    attn_impl = attn_impl or _attn_impl()
     dyn = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
-                      attn_impl=_attn_impl(), quant=True)
+                      attn_impl=attn_impl, quant=True)
     params = quantize_and_calibrate(dyn, params, calib_pixels,
                                     tower_key="vision", margin=margin)
     model = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
-                        attn_impl=_attn_impl(), quant="static")
+                        attn_impl=attn_impl, quant="static")
     return model, params
 
 
@@ -1150,6 +1158,9 @@ def cmd_serve(args) -> int:
     from pigeon_tpu.serve import PredictionService, serve
     from pigeon_tpu.serve.server import make_serving_fn
 
+    if args.artifact:
+        return _serve_artifact(args)
+
     cells, _ = load_geocells(args)
     cfg = config_with_cells(args, cells)
     model = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
@@ -1242,6 +1253,107 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def _serve_artifact(args) -> int:
+    """Serve from an AOT artifact (`export`): no model code, config, or
+    checkpoint machinery — the deserialized program + weights only."""
+    import jax.numpy as jnp
+
+    from pigeon_tpu.serve import PredictionService, serve
+    from pigeon_tpu.serve.export import load_serving_artifact
+
+    serve_fn, manifest = load_serving_artifact(args.artifact)
+    logger.warning("serving artifact %s: %d params, cells=%d, wire=%s, "
+                   "platforms=%s", args.artifact, manifest["num_params"],
+                   manifest["num_cells"], manifest["wire_dtype"],
+                   manifest["platforms"])
+
+    refine_fn = None
+    assets = _load_refine_assets(args)
+    if assets is not None:
+        import dataclasses
+
+        from pigeon_tpu.train.evaluate import build_refiner, refiner_preset
+
+        preset = dataclasses.replace(refiner_preset("geoguessr"),
+                                     hedge=args.hedge)
+        refine_fn = build_refiner(*assets,
+                                  num_cells=manifest["num_cells"],
+                                  cfg=preset)
+        logger.warning("refinement enabled (topk=%d, hedge=%s)",
+                       preset.topk, args.hedge)
+    elif args.hedge:
+        raise SystemExit("--hedge requires --prototypes/--embeddings/"
+                         "--metadata (hedging applies to refined guesses)")
+
+    size = manifest["image_size"]
+    views = (4,) if manifest["panorama"] else ()
+    batch = 1 if manifest["batch"] == "symbolic" else manifest["batch"]
+    logger.warning("warming up artifact executable ...")
+    out = serve_fn(jnp.zeros((batch, *views, size, size, 3), jnp.uint8))
+    if refine_fn is not None:
+        out_r = refine_fn(out["embedding"], out["pred_lla"],
+                          out["topk_cells"], out["topk_probs"])
+        float(jnp.sum(out_r["pred_lla"]))
+    float(jnp.sum(out["pred_lla"]))
+    logger.warning("warmup done")
+    service = PredictionService(serve_fn, image_size=size,
+                                panorama=manifest["panorama"],
+                                refine_fn=refine_fn,
+                                game_log=os.path.join("runs",
+                                                      "games.jsonl"))
+    serve(service, host=args.host, port=args.port)
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Export the serving program as a reloadable AOT artifact
+    (`serve/export.py`): StableHLO module + weights + manifest."""
+    import jax
+    import jax.numpy as jnp
+
+    from pigeon_tpu.models.super_guessr import SuperGuessr
+    from pigeon_tpu.serve.export import export_serving_artifact
+
+    cells, _ = load_geocells(args)
+    cfg = config_with_cells(args, cells)
+    # XLA attention: Pallas custom calls carry no cross-version
+    # compatibility guarantee under jax.export (serve/export.py).
+    model = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
+                        attn_impl="xla")
+    views = (4,) if cfg.head.panorama else ()
+    example = jnp.zeros((1, *views, cfg.vision.image_size,
+                         cfg.vision.image_size, 3))
+    params = _init_and_restore(args, cfg, model, example)
+
+    if getattr(args, "quant", False):
+        calib = _serve_calibration_batch(args, cfg)
+        margin = 1.1 if calib is not None else 1.25
+        if calib is None:
+            calib = jax.random.normal(
+                jax.random.PRNGKey(3), (2, *example.shape[1:]),
+                jnp.float32)
+        model, params = _quantize_for_inference(cfg, params, calib,
+                                                margin=margin,
+                                                attn_impl="xla")
+        logger.warning("exporting the int8 W8A8 tower (margin %.2f)",
+                       margin)
+
+    out_dir = args.output or os.path.join(
+        args.checkpoint_dir, f"{args.name}_artifact")
+    manifest = export_serving_artifact(
+        model, params, cfg.head, cells, out_dir,
+        image_size=cfg.vision.image_size,
+        panorama=cfg.head.panorama,
+        batch=args.batch_size,
+        platforms=tuple(args.platforms.split(",")))
+    logger.warning(
+        "exported %s: %d params, %d cells, batch=%s, platforms=%s — "
+        "serve it with: pigeon_tpu serve --artifact %s",
+        out_dir, manifest["num_params"], manifest["num_cells"],
+        manifest["batch"], manifest["platforms"], out_dir)
+    return 0
+
+
 COMMANDS = {
     "pretrain": cmd_pretrain,
     "finetune": cmd_finetune,
@@ -1250,6 +1362,7 @@ COMMANDS = {
     "predict": cmd_predict,
     "serve": cmd_serve,
     "geocells": cmd_geocells,
+    "export": cmd_export,
 }
 
 
