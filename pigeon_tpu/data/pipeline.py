@@ -80,12 +80,24 @@ class TabularImageDataset:
         """Decode + CLIP-preprocess one sample's image(s)."""
         from PIL import Image
 
+        from pigeon_tpu.data import native_decode
         from pigeon_tpu.data.image_ops import resize_crop_pil
 
         fn = clip_preprocess_pil if self.normalize else resize_crop_pil
         views = []
         for col in self.image_columns:
             path = os.path.join(self.image_dir, str(row[col]))
+            if (not self.normalize
+                    and path.lower().endswith((".jpg", ".jpeg"))
+                    and native_decode.available()):
+                # Native fast path: libjpeg + bicubic in C++, PIL-parity
+                # output (tests/test_native_decode.py); None -> PIL below.
+                with open(path, "rb") as f:
+                    arr = native_decode.decode_resize_crop(
+                        f.read(), self.image_size)
+                if arr is not None:
+                    views.append(arr)
+                    continue
             with Image.open(path) as im:
                 if not self.normalize:
                     im.draft("RGB", (self.image_size, self.image_size))

@@ -48,15 +48,16 @@ def _signatures(lib: ctypes.CDLL) -> ctypes.CDLL:
     return lib
 
 
-def _build() -> bool:
-    """(Re)compile the library. Atomic (temp + rename) and serialized
-    across processes with an flock — process-pool workers (prototype
-    builder, split fan-out) may race to build on first use."""
-    src = os.path.join(_NATIVE_DIR, "geokernels.cpp")
-    if not os.path.exists(src):
+def build_shared(src_path: str, lib_path: str, extra_args=()) -> bool:
+    """(Re)compile a native shared library. Atomic (temp + rename) and
+    serialized across processes with an flock — process-pool workers
+    (prototype builder, split fan-out) may race to build on first use.
+    Shared by the geo kernels and the JPEG decode kernel
+    (`data/native_decode.py`)."""
+    if not os.path.exists(src_path):
         return False
-    lock_path = _LIB_PATH + ".lock"
-    tmp_path = f"{_LIB_PATH}.tmp.{os.getpid()}"
+    lock_path = lib_path + ".lock"
+    tmp_path = f"{lib_path}.tmp.{os.getpid()}"
     try:
         with open(lock_path, "w") as lock_file:
             try:
@@ -66,21 +67,21 @@ def _build() -> bool:
             except ImportError:  # pragma: no cover (non-POSIX)
                 pass
             # Another process may have finished the build while we waited.
-            if (os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH)
-                    >= os.path.getmtime(src)):
+            if (os.path.exists(lib_path) and os.path.getmtime(lib_path)
+                    >= os.path.getmtime(src_path)):
                 return True
-            # -ffp-contract=off: OPTICS kernel parity with sklearn's
-            # uncontracted euclidean distances (see native/build.sh).
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-ffp-contract=off",
-                 "-fPIC", "-shared", "-fopenmp", "-o", tmp_path, src],
+                 "-fPIC", "-shared", "-fopenmp", "-o", tmp_path, src_path,
+                 *extra_args],
                 check=True, capture_output=True, timeout=120)
             # rename keeps the old inode alive for processes that
             # already dlopen'd it (no mid-run SIGBUS).
-            os.replace(tmp_path, _LIB_PATH)
+            os.replace(tmp_path, lib_path)
             return True
     except (OSError, subprocess.SubprocessError) as e:
-        logger.info("native build unavailable: %s", e)
+        logger.info("native build unavailable (%s): %s",
+                    os.path.basename(src_path), e)
         return False
     finally:
         if os.path.exists(tmp_path):
@@ -88,6 +89,13 @@ def _build() -> bool:
                 os.remove(tmp_path)
             except OSError:
                 pass
+
+
+def _build() -> bool:
+    # -ffp-contract=off: OPTICS kernel parity with sklearn's
+    # uncontracted euclidean distances (see native/build.sh).
+    return build_shared(os.path.join(_NATIVE_DIR, "geokernels.cpp"),
+                        _LIB_PATH)
 
 
 def _try_load(path: str = _LIB_PATH) -> Optional[ctypes.CDLL]:

@@ -33,16 +33,6 @@ import numpy as np
 logger = logging.getLogger("pigeon_tpu.serve")
 
 
-def _decode_data_url(data: str) -> np.ndarray:
-    """base64 (data-URL or raw) -> RGB uint8 array."""
-    from PIL import Image
-
-    payload = re.sub(r"^data:image/[a-zA-Z+]+;base64,", "", data)
-    raw = base64.b64decode(payload)
-    with Image.open(io.BytesIO(raw)) as im:
-        return np.asarray(im.convert("RGB"))
-
-
 class PredictionService:
     """Wraps the jitted serving function + preprocessing + refinement."""
 
@@ -70,20 +60,37 @@ class PredictionService:
         self._lock = threading.Lock()
 
     def predict(self, payload: dict) -> dict:
+        from pigeon_tpu.data import native_decode
         from pigeon_tpu.data.image_ops import resize_crop_pil
 
         keys = (["image", "image_2", "image_3", "image_4"]
                 if self.panorama else ["image"])
-        views = []
+        raws = []
         for key in keys:
             if key not in payload:
                 raise ValueError(f"missing field {key!r}")
-            img = _decode_data_url(payload[key])
-            # uint8 to the device (4x less host->device traffic — the
-            # serving bottleneck through slow links); CLIP normalization
-            # runs inside the jitted forward where it fuses into the
-            # patch-embed matmul.
-            views.append(resize_crop_pil(img, self.image_size))
+            raws.append(re.sub(r"^data:image/[a-zA-Z+]+;base64,", "",
+                               payload[key]))
+        raws = [base64.b64decode(r) for r in raws]
+        # uint8 to the device (4x less host->device traffic — the
+        # serving bottleneck through slow links); CLIP normalization
+        # runs inside the jitted forward where it fuses into the
+        # patch-embed matmul. Decode all views in one native call
+        # (libjpeg + OpenMP, native/decode.cpp); per-image None -> PIL
+        # fallback (e.g. PNG screenshots).
+        decoded = (native_decode.decode_resize_crop_batch(
+            raws, self.image_size, nthreads=len(raws))
+            if native_decode.available() else [None] * len(raws))
+        views = []
+        for raw, nat in zip(raws, decoded):
+            if nat is not None:
+                views.append(nat)
+                continue
+            from PIL import Image
+
+            with Image.open(io.BytesIO(raw)) as im:
+                views.append(resize_crop_pil(im.convert("RGB"),
+                                             self.image_size))
         pixels = np.stack(views)[None] if self.panorama \
             else views[0][None]
 

@@ -58,6 +58,51 @@ def smooth_labels_np(distances: np.ndarray, tau_km: float) -> np.ndarray:
                          neginf=0.0)
 
 
+# -------------------------------------------- contrastive pretrain (torch)
+
+def pretrain_clip_torch(model, images_nchw: np.ndarray,
+                        token_ids: np.ndarray, lr: float, epochs: int,
+                        batch_size: int, b1: float = 0.9, b2: float = 0.98,
+                        eps: float = 1e-6, max_grad_norm: float = 1.0,
+                        accum_steps: int = 1):
+    """Reference contrastive pretraining semantics: HF `Trainer.train` on a
+    `CLIPModel` with ``return_loss=True`` (`training/train_modes.py:30-64`)
+    — per-batch symmetric InfoNCE, AdamW, global-norm grad clipping before
+    each step, fixed batch order, optional gradient accumulation (HF
+    divides the loss by accum_steps and steps every accum_steps batches,
+    `config.py:121,155`). weight_decay pinned to 0 on both sides so the
+    comparison isolates loss/optimizer composition.
+
+    Returns the per-micro-batch loss values (pre-division, i.e. the loss
+    of each batch under the params current at that batch).
+    """
+    opt = torch.optim.AdamW(model.parameters(), lr=lr, betas=(b1, b2),
+                            eps=eps, weight_decay=0.0)
+    losses = []
+    model.train()
+    n = len(images_nchw)
+    micro = 0
+    opt.zero_grad()
+    for _ in range(epochs):
+        for start in range(0, n, batch_size):
+            sl = slice(start, start + batch_size)
+            out = model(
+                input_ids=torch.from_numpy(token_ids[sl].astype(np.int64)),
+                pixel_values=torch.from_numpy(images_nchw[sl]),
+                return_loss=True)
+            losses.append(float(out.loss.detach()))
+            (out.loss / accum_steps).backward()
+            micro += 1
+            if micro % accum_steps == 0:
+                if max_grad_norm is not None:
+                    torch.nn.utils.clip_grad_norm_(model.parameters(),
+                                                   max_grad_norm)
+                opt.step()
+                opt.zero_grad()
+    model.eval()
+    return losses
+
+
 # ------------------------------------------------- head training (torch)
 
 def train_head_torch(head: torch.nn.Linear, embeddings: np.ndarray,
