@@ -79,7 +79,8 @@ class PredictionService:
         # (libjpeg + OpenMP, native/decode.cpp); per-image None -> PIL
         # fallback (e.g. PNG screenshots).
         decoded = (native_decode.decode_resize_crop_batch(
-            raws, self.image_size, nthreads=len(raws))
+            raws, self.image_size,
+            nthreads=min(len(raws), os.cpu_count() or 1))
             if native_decode.available() else [None] * len(raws))
         views = []
         for raw, nat in zip(raws, decoded):
