@@ -28,10 +28,12 @@ independent windows and reports the MEDIAN rate (all windows on stderr) —
 single-window numbers on this shared tunnel vary ~10%.
 
 Env knobs: BENCH_BATCH (32 — measured optimum for BOTH bf16 (317 vs
-313 at bs64) and int8 (440 vs 403); larger batches grow the serial
-VPU share's VMEM working set), BENCH_ITERS (16 — at bs32 a window is
-~1.6 s, long enough to drown scheduling jitter), BENCH_SEGMENTS (1),
-BENCH_WINDOWS (5), BENCH_ATTN (flash), BENCH_QUANT (0; 1 = the int8
+313 at bs64 pre-fusion) and int8 (440 vs 403); larger batches grow the
+serial VPU share's VMEM working set), BENCH_ITERS (16 — at bs32 a
+window is ~1.6 s, long enough to drown scheduling jitter),
+BENCH_SEGMENTS (1), BENCH_WINDOWS (5), BENCH_ATTN (flash_fused — the
+QKV-projection+attention fusion, measured 374 vs 316 img/s for 'flash'
+same-session; docs/PERF.md), BENCH_QUANT (0; 1 = the int8
 W8A8 serving path, `models/quant.py` — separate metric name, default
 headline stays bf16; the int8 optimum is bs24 (450 img/s, 440 at bs32)
 — 32 is the shared bf16/int8 default, see docs/PERF.md).
@@ -73,7 +75,12 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "16"))
     segments = int(os.environ.get("BENCH_SEGMENTS", "1"))
-    attn_impl = os.environ.get("BENCH_ATTN", "flash")
+    # int8 towers quantize the projections separately, so the fused
+    # QKV branch falls back to 'flash' semantics there — name the int8
+    # metric by the impl that actually runs.
+    default_attn = ("flash" if os.environ.get("BENCH_QUANT", "0") == "1"
+                    else "flash_fused")
+    attn_impl = os.environ.get("BENCH_ATTN", default_attn)
 
     vision_cfg = vit_l14_336_vision()
     head_cfg = HeadConfig(num_cells=2203, embed_dim=1024, panorama=False,

@@ -114,12 +114,19 @@ def _sample_dataset(ds, n: int):
     return ds
 
 
-def _attn_impl() -> str:
-    """Fused Pallas attention on real TPU backends, XLA elsewhere
-    (measured: +10% inference, +16% training on v5e; docs/PERF.md)."""
+def _attn_impl(train: bool = False) -> str:
+    """Pallas attention on real TPU backends, XLA elsewhere.
+
+    Inference defaults to the QKV-projection+attention fusion
+    (`flash_fused`, r3: 374 vs 316 img/s same-session; under masks or
+    int8 quant the module falls back to 'flash' semantics per-layer).
+    Training keeps the separate-projection 'flash' kernels until the
+    fused custom_vjp path is measured on hardware (docs/PERF.md)."""
     import jax
 
-    return "flash" if jax.default_backend() == "tpu" else "xla"
+    if jax.default_backend() != "tpu":
+        return "xla"
+    return "flash" if train else "flash_fused"
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -438,7 +445,8 @@ def _finetune_on_pixels(args) -> int:
 
     cells, _ = load_geocells(args)
     cfg = config_with_cells(args, cells)
-    model, mask_builder = build_finetune_model(cfg, attn_impl=_attn_impl())
+    model, mask_builder = build_finetune_model(
+        cfg, attn_impl=_attn_impl(train=True))
     tcfg = cfg.train
     batch = args.batch_size or tcfg.batch_size_per_device
     mesh = create_mesh(tp=args.tp)
@@ -1046,8 +1054,14 @@ def cmd_pretrain(args) -> int:
             f"tokenizer vocab ({tok_vocab}) exceeds the configured text "
             f"vocab ({cfg.text.vocab_size}); use a matching config or "
             f"vocab assets")
+    # attn_impl + remat were previously left at their defaults here
+    # ("xla", no remat) — on a real chip that forfeits the Pallas
+    # kernels and OOMs HBM at the production batch (full activation
+    # storage for 24 layers does not fit one v5e; docs/PERF.md).
     model = CLIPModel(cfg.vision, cfg.text, dtype=jnp.bfloat16,
-                      eos_token_id=getattr(tokenizer, "eos_id", 49407))
+                      eos_token_id=getattr(tokenizer, "eos_id", 49407),
+                      attn_impl=_attn_impl(train=True),
+                      remat=jax.default_backend() == "tpu")
 
     import pandas as pd
 

@@ -227,6 +227,128 @@ def _flash_backward(q, k, v, g):
     )(q, k, v, g)
 
 
+#: Head groups for the fused QKV+attention kernel: one grid program
+#: projects H/groups heads' q/k/v from x (full 1024-wide contraction)
+#: and runs attention on them; the weight blocks' index is constant in
+#: the batch dim so they stay VMEM-resident per group sweep. 4 measured
+#: best at the ViT-L shape (g2 fails server-side compile on VMEM).
+FUSED_GROUPS = 4
+
+
+def _fused_qkv_kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
+                      bv_ref, o_ref, *, hg: int, dh: int, scale: float):
+    """One (group, batch) program: project hg heads' q/k/v in-kernel,
+    then single-pass softmax attention per head (same math as
+    `_attn_kernel`). q/k/v never round-trip through HBM — the structural
+    fusion docs/PERF.md names as the forward's remaining lever."""
+    x = x_ref[0]                                       # (S, D)
+
+    def proj(w_ref, b_ref):
+        y = jax.lax.dot_general(
+            x, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (y + b_ref[...].astype(jnp.float32)).astype(x.dtype)
+
+    q_all = proj(wq_ref, bq_ref)                       # (S, hg*dh)
+    k_all = proj(wk_ref, bk_ref)
+    v_all = proj(wv_ref, bv_ref)
+    for h in range(hg):
+        sl = slice(h * dh, (h + 1) * dh)
+        logits = jax.lax.dot_general(
+            q_all[:, sl], k_all[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * np.float32(scale)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_all.dtype), v_all[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, :, h * dh:(h + 1) * dh] = (o / denom).astype(o_ref.dtype)
+
+
+def _fused_qkv_forward(x, wq, wk, wv, bq, bk, bv, num_heads: int):
+    """x: (B, S, D); w*: (D, D); b*: (D,) -> (B, S, D) attention output
+    (heads concatenated in natural order, pre-output-projection)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, d = x.shape
+    dh = d // num_heads
+    groups = next(g for g in (FUSED_GROUPS, 2, 1) if num_heads % g == 0)
+    hg = num_heads // groups
+    gw = hg * dh
+
+    wspec = pl.BlockSpec((d, gw), lambda g, bb: (0, g),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, gw), lambda g, bb: (0, g),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fused_qkv_kernel, hg=hg, dh=dh,
+                          scale=dh ** -0.5),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+        grid=(groups, b),
+        in_specs=[
+            pl.BlockSpec((1, s, d), lambda g, bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec, bspec, wspec, bspec, wspec, bspec,
+        ],
+        out_specs=pl.BlockSpec((1, s, gw), lambda g, bb: (bb, 0, g),
+                               memory_space=pltpu.VMEM),
+    )(x, wq, bq[None, :], wk, bk[None, :], wv, bv[None, :])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_qkv_mha(x, wq, wk, wv, bq, bk, bv, num_heads):
+    """Fused QKV projection + attention: (B, S, D) -> (B, S, D).
+
+    Forward runs the Pallas fusion; backward rematerializes q/k/v with
+    XLA einsums and reuses the fused attention backward kernel, then
+    projects the gradients (dx, dW*, db*). Exact same math as the
+    Dense-projections + `mha` path (parity-tested)."""
+    return _fused_qkv_forward(x, wq, wk, wv, bq, bk, bv, num_heads)
+
+
+def _fused_qkv_fwd(x, wq, wk, wv, bq, bk, bv, num_heads):
+    out = _fused_qkv_forward(x, wq, wk, wv, bq, bk, bv, num_heads)
+    return out, (x, wq, wk, wv, bq, bk, bv)
+
+
+def _fused_qkv_bwd(num_heads, res, g):
+    x, wq, wk, wv, bq, bk, bv = res
+    b, s, d = x.shape
+    dh = d // num_heads
+
+    def fold(t):                                       # (B,S,D)->(BH,S,Dh)
+        return jnp.swapaxes(t.reshape(b, s, num_heads, dh), 1, 2) \
+            .reshape(b * num_heads, s, dh)
+
+    def unfold(t):                                     # (BH,S,Dh)->(B,S,D)
+        return jnp.swapaxes(t.reshape(b, num_heads, s, dh), 1, 2) \
+            .reshape(b, s, d)
+
+    q = fold((x @ wq + bq).astype(x.dtype))
+    k = fold((x @ wk + bk).astype(x.dtype))
+    v = fold((x @ wv + bv).astype(x.dtype))
+    dq, dk, dv = _flash_backward(q, k, v, fold(g.astype(x.dtype)))
+    dq_u, dk_u, dv_u = unfold(dq), unfold(dk), unfold(dv)
+
+    dx = dq_u @ wq.T + dk_u @ wk.T + dv_u @ wv.T
+    flat_x = x.reshape(b * s, d)
+
+    def wgrad(dt):
+        return jax.lax.dot_general(
+            flat_x, dt.reshape(b * s, d), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(wq.dtype)
+
+    return (dx.astype(x.dtype), wgrad(dq_u), wgrad(dk_u), wgrad(dv_u),
+            dq_u.sum((0, 1)).astype(bq.dtype),
+            dk_u.sum((0, 1)).astype(bk.dtype),
+            dv_u.sum((0, 1)).astype(bv.dtype))
+
+
+fused_qkv_mha.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
+
+
 def _xla_attention_bshd(q, k, v):
     """Reference einsum attention on (BH, S, Dh) (f32 softmax)."""
     scale = q.shape[-1] ** -0.5

@@ -100,8 +100,31 @@ class PatchEmbed(nn.Module):
         return y
 
 
+class _DenseParams(nn.Module):
+    """Parameter-only twin of `nn.Dense` (same names/init/shapes/param
+    dtype): lets the fused QKV kernel consume raw kernels/biases while
+    keeping the checkpoint tree identical to the Dense path."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
-    """Standard MHA with separate q/k/v/out projections (HF-compatible)."""
+    """Standard MHA with separate q/k/v/out projections (HF-compatible).
+
+    ``attn_impl='flash_fused'`` runs the QKV projections INSIDE the
+    Pallas attention kernel (`kernels/flash_attention.fused_qkv_mha`) —
+    q/k/v never round-trip through HBM. Param tree is unchanged
+    (`_DenseParams`); falls back to 'flash' semantics under masks or
+    quantization (int8 quantizes the projections separately)."""
 
     num_heads: int
     dtype: Dtype = jnp.float32
@@ -116,11 +139,25 @@ class MultiHeadAttention(nn.Module):
 
         make = dense_factory(self.quant, self.dtype)
         dense = lambda name: make(d, name)  # noqa: E731
+
+        if (self.attn_impl == "flash_fused" and mask is None
+                and not self.quant):
+            from pigeon_tpu.kernels import flash_attention
+
+            wq, bq = _DenseParams(d, d, name="q_proj")()
+            wk, bk = _DenseParams(d, d, name="k_proj")()
+            wv, bv = _DenseParams(d, d, name="v_proj")()
+            cast = lambda t: t.astype(self.dtype)  # noqa: E731
+            out = flash_attention.fused_qkv_mha(
+                x, cast(wq), cast(wk), cast(wv), cast(bq), cast(bk),
+                cast(bv), self.num_heads)
+            return dense("out_proj")(out)
+
         q = dense("q_proj")(x).reshape(*x.shape[:-1], self.num_heads, head_dim)
         k = dense("k_proj")(x).reshape(*x.shape[:-1], self.num_heads, head_dim)
         v = dense("v_proj")(x).reshape(*x.shape[:-1], self.num_heads, head_dim)
 
-        if self.attn_impl == "flash" and mask is None:
+        if self.attn_impl in ("flash", "flash_fused") and mask is None:
             from pigeon_tpu.kernels import flash_attention
             out = flash_attention.mha(q, k, v)
         else:

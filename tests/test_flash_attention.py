@@ -93,6 +93,65 @@ class TestBackward:
                                        atol=3e-4)
 
 
+class TestFusedQKV:
+    """`fused_qkv_mha`: QKV projections inside the attention kernel."""
+
+    def _setup(self, b=2, s=64, h=4, dh=16):
+        d = h * dh
+        x = jnp.asarray(RNG.normal(size=(b, s, d)).astype(np.float32) * .3)
+        ws = [jnp.asarray(RNG.normal(size=(d, d)).astype(np.float32) * .1)
+              for _ in range(3)]
+        bs = [jnp.asarray(RNG.normal(size=(d,)).astype(np.float32) * .1)
+              for _ in range(3)]
+        return x, ws, bs, h, dh
+
+    @staticmethod
+    def _reference(x, ws, bs, h, dh):
+        b, s, d = x.shape
+        q, k, v = ((x @ w + bb).reshape(b, s, h, dh)
+                   for w, bb in zip(ws, bs))
+        return xla_mha(q, k, v).reshape(b, s, d)
+
+    @pytest.mark.parametrize("s", [64, 100, 577])
+    def test_matches_dense_projections(self, s):
+        from pigeon_tpu.kernels.flash_attention import fused_qkv_mha
+
+        x, ws, bs, h, dh = self._setup(s=s)
+        got = np.asarray(fused_qkv_mha(x, *ws, *bs, h))
+        want = np.asarray(self._reference(x, ws, bs, h, dh))
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+    def test_odd_head_count_group_fallback(self):
+        # h=3 not divisible by FUSED_GROUPS=4 or 2 -> groups=1.
+        from pigeon_tpu.kernels.flash_attention import fused_qkv_mha
+
+        x, ws, bs, h, dh = self._setup(h=3, dh=16)
+        got = np.asarray(fused_qkv_mha(x, *ws, *bs, 3))
+        want = np.asarray(self._reference(x, ws, bs, 3, 16))
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+    def test_grads_match_dense_path(self):
+        from pigeon_tpu.kernels.flash_attention import fused_qkv_mha
+
+        x, ws, bs, h, dh = self._setup(s=80)
+
+        def loss_fused(x, wq, wk, wv, bq, bk, bv):
+            return jnp.sum(fused_qkv_mha(x, wq, wk, wv, bq, bk, bv, h)
+                           ** 2)
+
+        def loss_ref(x, wq, wk, wv, bq, bk, bv):
+            return jnp.sum(
+                self._reference(x, (wq, wk, wv), (bq, bk, bv), h, dh)
+                ** 2)
+
+        args = (x, *ws, *bs)
+        g1 = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+        g2 = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4)
+
+
 class TestModelIntegration:
     def test_vision_tower_flash_matches_xla(self):
         from pigeon_tpu.config import VisionConfig
@@ -106,6 +165,33 @@ class TestModelIntegration:
         tower_flash = CLIPVisionTower(cfg, attn_impl="flash")
         last_x, pooled_x = tower_xla.apply(params, x)
         last_f, pooled_f = tower_flash.apply(params, x)
+        np.testing.assert_allclose(np.asarray(last_f), np.asarray(last_x),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(pooled_f),
+                                   np.asarray(pooled_x), atol=5e-5)
+
+    def test_vision_tower_flash_fused_matches_xla(self):
+        """attn_impl='flash_fused' must consume the SAME param tree
+        (the `_DenseParams` twin keeps q/k/v_proj names) and match."""
+        from pigeon_tpu.config import VisionConfig
+        from pigeon_tpu.models.clip import CLIPVisionTower
+
+        cfg = VisionConfig(image_size=32, patch_size=8, hidden_size=32,
+                           intermediate_size=64, num_layers=2, num_heads=4)
+        x = jnp.asarray(RNG.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        tower_xla = CLIPVisionTower(cfg, attn_impl="xla")
+        params = tower_xla.init(jax.random.PRNGKey(0), x)
+        tower_fused = CLIPVisionTower(cfg, attn_impl="flash_fused")
+        # identical tree structure from both init paths
+        fused_params = tower_fused.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(fused_params))
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(fused_params)):
+            assert a.shape == b.shape
+
+        last_x, pooled_x = tower_xla.apply(params, x)
+        last_f, pooled_f = tower_fused.apply(params, x)
         np.testing.assert_allclose(np.asarray(last_f), np.asarray(last_x),
                                    atol=5e-5)
         np.testing.assert_allclose(np.asarray(pooled_f),
