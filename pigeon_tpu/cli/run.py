@@ -639,7 +639,15 @@ def _quantize_for_inference(cfg, params, calib_pixels,
     from pigeon_tpu.models.quant import quantize_and_calibrate
     from pigeon_tpu.models.super_guessr import SuperGuessr
 
-    attn_impl = attn_impl or _attn_impl()
+    # int8 static towers route 'flash_fused' into the int8 fused QKV
+    # kernel (`fused_qkv_mha_int8`) — exact-parity-tested on CPU but
+    # NOT yet validated on real TPU (Mosaic int8 dot lowering is
+    # exactly what interpret mode can't catch; CLAUDE.md rule 4), so
+    # the quant path stays on 'flash' until a hardware run confirms.
+    if attn_impl is None:
+        attn_impl = _attn_impl()
+        if attn_impl == "flash_fused":
+            attn_impl = "flash"
     dyn = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
                       attn_impl=attn_impl, quant=True)
     params = quantize_and_calibrate(dyn, params, calib_pixels,

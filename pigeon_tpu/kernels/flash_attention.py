@@ -235,6 +235,25 @@ def _flash_backward(q, k, v, g):
 FUSED_GROUPS = 4
 
 
+def _fused_heads_attention(q_all, k_all, v_all, o_ref, *, hg: int,
+                           dh: int, scale: float):
+    """Single-pass softmax attention per head over concatenated
+    (S, hg*dh) q/k/v blocks (same math as `_attn_kernel`), writing into
+    the program's (1, S, hg*dh) output block."""
+    for h in range(hg):
+        sl = slice(h * dh, (h + 1) * dh)
+        logits = jax.lax.dot_general(
+            q_all[:, sl], k_all[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * np.float32(scale)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_all.dtype), v_all[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, :, h * dh:(h + 1) * dh] = (o / denom).astype(o_ref.dtype)
+
+
 def _fused_qkv_kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
                       bv_ref, o_ref, *, hg: int, dh: int, scale: float):
     """One (group, batch) program: project hg heads' q/k/v in-kernel,
@@ -252,18 +271,8 @@ def _fused_qkv_kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
     q_all = proj(wq_ref, bq_ref)                       # (S, hg*dh)
     k_all = proj(wk_ref, bk_ref)
     v_all = proj(wv_ref, bv_ref)
-    for h in range(hg):
-        sl = slice(h * dh, (h + 1) * dh)
-        logits = jax.lax.dot_general(
-            q_all[:, sl], k_all[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * np.float32(scale)
-        m = jnp.max(logits, axis=1, keepdims=True)
-        p = jnp.exp(logits - m)
-        denom = jnp.sum(p, axis=1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v_all.dtype), v_all[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[0, :, h * dh:(h + 1) * dh] = (o / denom).astype(o_ref.dtype)
+    _fused_heads_attention(q_all, k_all, v_all, o_ref, hg=hg, dh=dh,
+                           scale=scale)
 
 
 def _fused_qkv_forward(x, wq, wk, wv, bq, bk, bv, num_heads: int):
@@ -347,6 +356,91 @@ def _fused_qkv_bwd(num_heads, res, g):
 
 
 fused_qkv_mha.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
+
+
+def _fused_qkv_int8_kernel(xq_ref, wq_ref, sq_ref, bq_ref, wk_ref,
+                           sk_ref, bk_ref, wv_ref, sv_ref, bv_ref,
+                           o_ref, *, hg: int, dh: int, scale: float):
+    """Int8 variant of `_fused_qkv_kernel`: x arrives pre-quantized
+    int8 (HALF the per-group x DMA of the bf16 kernel), the projection
+    dots run int8 x int8 -> int32 on the MXU's ~1.8x int8 rate, and the
+    per-output-channel dequant scale (act_scale folded in by the
+    wrapper) + bias land in the f32 epilogue. Attention stays bf16/f32
+    exactly as in the bf16 kernel."""
+    xq = xq_ref[0]                                     # (S, D) int8
+
+    def proj(w_ref, s_ref, b_ref):
+        y = jax.lax.dot_general(
+            xq, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * s_ref[...] + b_ref[...]
+        return y.astype(o_ref.dtype)
+
+    q_all = proj(wq_ref, sq_ref, bq_ref)               # (S, hg*dh)
+    k_all = proj(wk_ref, sk_ref, bk_ref)
+    v_all = proj(wv_ref, sv_ref, bv_ref)
+    _fused_heads_attention(q_all, k_all, v_all, o_ref, hg=hg, dh=dh,
+                           scale=scale)
+
+
+def fused_qkv_mha_int8(x, act_scale, wq, sq, bq, wk, sk, bk, wv, sv, bv,
+                       num_heads: int):
+    """Int8 fused QKV projection + attention (serving path, fwd-only).
+
+    Args:
+        x: (B, S, D) float activations.
+        act_scale: f32 scalar — the SHARED per-tensor input scale
+            (`models/quant.py` static mode; q/k/v observe the same
+            input so calibration freezes identical scales).
+        wq/wk/wv: int8 (D, D) kernels; sq/sk/sv: f32 (D,)
+            per-output-channel weight scales; bq/bk/bv: f32 (D,).
+    Returns:
+        (B, S, D) attention output in ``x.dtype`` (heads concatenated,
+        pre-output-projection).
+
+    Matches QuantDense(static) projections + `mha` exactly:
+    ``x_q = clip(round(x / act_scale), ±127)``,
+    ``q = x_q @ wq * (act_scale * sq) + bq`` — the quantize step is a
+    fusable XLA round/clip/cast (folds into the producing op), and the
+    act_scale is folded into the weight-scale vectors so the kernel
+    needs no scalar operand.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, d = x.shape
+    dh = d // num_heads
+    groups = next(g for g in (FUSED_GROUPS, 2, 1) if num_heads % g == 0)
+    hg = num_heads // groups
+    gw = hg * dh
+
+    act_scale = jnp.asarray(act_scale, jnp.float32)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / act_scale),
+                   -127, 127).astype(jnp.int8)
+
+    def fold(sc):                                      # (D,) -> (1, D) f32
+        return (act_scale * sc.astype(jnp.float32))[None, :]
+
+    wspec = pl.BlockSpec((d, gw), lambda g, bb: (0, g),
+                         memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, gw), lambda g, bb: (0, g),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fused_qkv_int8_kernel, hg=hg, dh=dh,
+                          scale=dh ** -0.5),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+        grid=(groups, b),
+        in_specs=[
+            pl.BlockSpec((1, s, d), lambda g, bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec, vec, vec, wspec, vec, vec, wspec, vec, vec,
+        ],
+        out_specs=pl.BlockSpec((1, s, gw), lambda g, bb: (bb, 0, g),
+                               memory_space=pltpu.VMEM),
+    )(x_q, wq, fold(sq), bq.astype(jnp.float32)[None, :],
+      wk, fold(sk), bk.astype(jnp.float32)[None, :],
+      wv, fold(sv), bv.astype(jnp.float32)[None, :])
+    return out
 
 
 def _xla_attention_bshd(q, k, v):

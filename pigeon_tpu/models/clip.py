@@ -117,14 +117,42 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _QuantDenseParams(nn.Module):
+    """Parameter-only twin of `models.quant.QuantDense` (same names/
+    init/shapes/dtypes): lets the int8 fused QKV kernel consume the raw
+    int8 kernels + scales while the checkpoint tree stays identical to
+    the QuantDense path (so `quantize_tower_params` /
+    `calibrate_act_scales` output loads unchanged)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", lambda _, s: jnp.zeros(s, jnp.int8),
+                            (self.in_features, self.features))
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        act_scale = self.param("act_scale", nn.initializers.ones,
+                               (), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, scale, act_scale, bias
+
+
 class MultiHeadAttention(nn.Module):
     """Standard MHA with separate q/k/v/out projections (HF-compatible).
 
     ``attn_impl='flash_fused'`` runs the QKV projections INSIDE the
     Pallas attention kernel (`kernels/flash_attention.fused_qkv_mha`) —
     q/k/v never round-trip through HBM. Param tree is unchanged
-    (`_DenseParams`); falls back to 'flash' semantics under masks or
-    quantization (int8 quantizes the projections separately)."""
+    (`_DenseParams`); falls back to 'flash' semantics under masks.
+    With ``quant='static'`` the fused kernel runs the projections as
+    int8 MXU dots (`fused_qkv_mha_int8`) with x quantized ONCE at the
+    shared per-tensor scale (q/k/v observe the same input, so
+    calibration freezes identical scales; the kernel uses their max);
+    dynamic-quant calibration (``quant=True``) keeps the separate
+    QuantDense path so each projection can sow its amax."""
 
     num_heads: int
     dtype: Dtype = jnp.float32
@@ -151,6 +179,19 @@ class MultiHeadAttention(nn.Module):
             out = flash_attention.fused_qkv_mha(
                 x, cast(wq), cast(wk), cast(wv), cast(bq), cast(bk),
                 cast(bv), self.num_heads)
+            return dense("out_proj")(out)
+
+        if (self.attn_impl == "flash_fused" and mask is None
+                and self.quant == "static"):
+            from pigeon_tpu.kernels import flash_attention
+
+            wq, sq, aq, bq = _QuantDenseParams(d, d, name="q_proj")()
+            wk, sk, ak, bk = _QuantDenseParams(d, d, name="k_proj")()
+            wv, sv, av, bv = _QuantDenseParams(d, d, name="v_proj")()
+            a_scale = jnp.maximum(jnp.maximum(aq, ak), av)
+            out = flash_attention.fused_qkv_mha_int8(
+                x.astype(self.dtype), a_scale, wq, sq, bq, wk, sk, bk,
+                wv, sv, bv, self.num_heads)
             return dense("out_proj")(out)
 
         q = dense("q_proj")(x).reshape(*x.shape[:-1], self.num_heads, head_dim)

@@ -152,6 +152,83 @@ class TestFusedQKV:
                                        atol=5e-4)
 
 
+class TestFusedQKVInt8:
+    """`fused_qkv_mha_int8`: int8 projections inside the kernel must
+    reproduce QuantDense(static) + attention exactly."""
+
+    def _setup(self, b=2, s=64, h=4, dh=16):
+        from pigeon_tpu.models.quant import quantize_channelwise
+
+        d = h * dh
+        x = jnp.asarray(RNG.normal(size=(b, s, d)).astype(np.float32) * .5)
+        packs = []
+        for _ in range(3):
+            w = RNG.normal(size=(d, d)).astype(np.float32) * .1
+            w_q, s_w = quantize_channelwise(jnp.asarray(w))
+            bias = jnp.asarray(RNG.normal(size=(d,)).astype(np.float32)
+                               * .1)
+            packs.append((w_q, s_w, bias))
+        act_scale = jnp.float32(float(jnp.abs(x).max()) / 127.0)
+        return x, packs, act_scale, h, dh
+
+    @staticmethod
+    def _reference(x, packs, act_scale, h, dh):
+        """QuantDense static-mode math + xla attention (int values up
+        to 127*127*D stay exactly representable in f32)."""
+        b, s, d = x.shape
+        x_q = jnp.clip(jnp.round(x / act_scale), -127, 127)
+        qkv = []
+        for w_q, s_w, bias in packs:
+            y = x_q @ w_q.astype(jnp.float32)
+            qkv.append((y * (act_scale * s_w) + bias).reshape(b, s, h, dh))
+        return xla_mha(*qkv).reshape(b, s, d)
+
+    @pytest.mark.parametrize("s", [64, 100, 577])
+    def test_matches_quantdense_static_math(self, s):
+        from pigeon_tpu.kernels.flash_attention import fused_qkv_mha_int8
+
+        x, packs, act_scale, h, dh = self._setup(s=s)
+        args = [a for p in packs for a in p]
+        got = np.asarray(fused_qkv_mha_int8(x, act_scale, *args, h))
+        want = np.asarray(self._reference(x, packs, act_scale, h, dh))
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+    def test_static_tower_fused_matches_separate_projections(self):
+        """quant='static' + attn_impl='flash_fused' must (a) init the
+        SAME param tree as the QuantDense path and (b) match its output
+        (q/k/v act scales are identical after calibration — same input
+        — so the shared-scale fused quantize is the same quantize)."""
+        from pigeon_tpu.config import VisionConfig
+        from pigeon_tpu.models.clip import CLIPVisionTower
+        from pigeon_tpu.models.quant import quantize_and_calibrate
+
+        cfg = VisionConfig(image_size=32, patch_size=8, hidden_size=64,
+                           intermediate_size=128, num_layers=2,
+                           num_heads=4, projection_dim=32)
+        px = jnp.asarray(RNG.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        f32 = CLIPVisionTower(cfg, dtype=jnp.float32)
+        params = jax.jit(f32.init)(jax.random.PRNGKey(1), px)["params"]
+        dyn = CLIPVisionTower(cfg, dtype=jnp.float32, quant=True)
+        qparams = quantize_and_calibrate(dyn, params, px)
+
+        sep = CLIPVisionTower(cfg, dtype=jnp.float32, quant="static",
+                              attn_impl="flash")
+        fused = CLIPVisionTower(cfg, dtype=jnp.float32, quant="static",
+                                attn_impl="flash_fused")
+        fused_tree = jax.jit(fused.init)(jax.random.PRNGKey(2),
+                                         px)["params"]
+        sep_tree = jax.jit(sep.init)(jax.random.PRNGKey(2), px)["params"]
+        assert (jax.tree_util.tree_structure(fused_tree)
+                == jax.tree_util.tree_structure(sep_tree))
+
+        want_h, want_p = sep.apply({"params": qparams}, px)
+        got_h, got_p = fused.apply({"params": qparams}, px)
+        np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                                   atol=5e-5)
+
+
 class TestModelIntegration:
     def test_vision_tower_flash_matches_xla(self):
         from pigeon_tpu.config import VisionConfig
