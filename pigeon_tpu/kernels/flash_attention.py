@@ -358,6 +358,119 @@ def _fused_qkv_bwd(num_heads, res, g):
 fused_qkv_mha.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
 
 
+def _layer_norm_f32(x, scale, bias, eps: float):
+    """Flax-parity LayerNorm math in f32 (fast-variance form):
+    promote to f32, mean/var over the last axis with
+    ``var = max(0, E[x^2] - E[x]^2)``, normalize, affine — matching
+    `nn.LayerNorm(use_fast_variance=True)` so the fused path is
+    bit-compatible with the separate-LN tower at f32."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        0.0, jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu)
+    xn = (xf - mu) * jax.lax.rsqrt(var + np.float32(eps))
+    return xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def _fused_ln_qkv_kernel(x_ref, ls_ref, lb_ref, wq_ref, bq_ref, wk_ref,
+                         bk_ref, wv_ref, bv_ref, o_ref, *, hg: int,
+                         dh: int, scale: float, eps: float):
+    """`_fused_qkv_kernel` with the pre-attention LayerNorm folded in:
+    x arrives RAW (pre-LN), the LN runs in f32 on the VPU against the
+    VMEM-resident block, and the normalized tensor never exists in HBM.
+    LN is recomputed once per group program (hg-way redundancy) — a few
+    µs of VPU work against a (B, S, D) HBM round-trip per layer."""
+    xn = _layer_norm_f32(x_ref[0], ls_ref[...], lb_ref[...],
+                         eps).astype(o_ref.dtype)      # (S, D)
+
+    def proj(w_ref, b_ref):
+        y = jax.lax.dot_general(
+            xn, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (y + b_ref[...].astype(jnp.float32)).astype(xn.dtype)
+
+    q_all = proj(wq_ref, bq_ref)                       # (S, hg*dh)
+    k_all = proj(wk_ref, bk_ref)
+    v_all = proj(wv_ref, bv_ref)
+    _fused_heads_attention(q_all, k_all, v_all, o_ref, hg=hg, dh=dh,
+                           scale=scale)
+
+
+def _fused_ln_qkv_forward(x, ln_scale, ln_bias, wq, wk, wv, bq, bk, bv,
+                          num_heads: int, eps: float):
+    """Pallas LN+QKV+attention fusion: (B, S, D) raw -> (B, S, D)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, d = x.shape
+    dh = d // num_heads
+    groups = next(g for g in (FUSED_GROUPS, 2, 1) if num_heads % g == 0)
+    hg = num_heads // groups
+    gw = hg * dh
+
+    wspec = pl.BlockSpec((d, gw), lambda g, bb: (0, g),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, gw), lambda g, bb: (0, g),
+                         memory_space=pltpu.VMEM)
+    lnspec = pl.BlockSpec((1, d), lambda g, bb: (0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fused_ln_qkv_kernel, hg=hg, dh=dh,
+                          scale=dh ** -0.5, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+        grid=(groups, b),
+        in_specs=[
+            pl.BlockSpec((1, s, d), lambda g, bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            lnspec, lnspec,
+            wspec, bspec, wspec, bspec, wspec, bspec,
+        ],
+        out_specs=pl.BlockSpec((1, s, gw), lambda g, bb: (bb, 0, g),
+                               memory_space=pltpu.VMEM),
+    )(x, ln_scale.astype(jnp.float32)[None, :],
+      ln_bias.astype(jnp.float32)[None, :],
+      wq, bq[None, :], wk, bk[None, :], wv, bv[None, :])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_ln_qkv_mha(x, ln_scale, ln_bias, wq, wk, wv, bq, bk, bv,
+                     num_heads, eps=1e-5):
+    """LayerNorm + QKV projection + attention in ONE Pallas kernel.
+
+    Same contract as `fused_qkv_mha` but takes the RAW (pre-LN) block
+    input plus the LN affine params: the normalized (B, S, D) tensor is
+    computed in-kernel and never round-trips HBM (one full read+write
+    of the activation per layer saved vs a separate XLA LayerNorm).
+
+    Backward rematerializes the LN in XLA (chain-ruled via `jax.vjp`)
+    and reuses `_fused_qkv_bwd`."""
+    return _fused_ln_qkv_forward(x, ln_scale, ln_bias, wq, wk, wv,
+                                 bq, bk, bv, num_heads, eps)
+
+
+def _fused_ln_qkv_fwd(x, ln_scale, ln_bias, wq, wk, wv, bq, bk, bv,
+                      num_heads, eps):
+    out = _fused_ln_qkv_forward(x, ln_scale, ln_bias, wq, wk, wv, bq,
+                                bk, bv, num_heads, eps)
+    return out, (x, ln_scale, ln_bias, wq, wk, wv, bq, bk, bv)
+
+
+def _fused_ln_qkv_bwd(num_heads, eps, res, g):
+    x, ln_scale, ln_bias, wq, wk, wv, bq, bk, bv = res
+
+    def ln(x, s, b):
+        return _layer_norm_f32(x, s, b, eps).astype(x.dtype)
+
+    xn, ln_vjp = jax.vjp(ln, x, ln_scale, ln_bias)
+    grads = _fused_qkv_bwd(num_heads, (xn, wq, wk, wv, bq, bk, bv), g)
+    dx, dls, dlb = ln_vjp(grads[0])
+    return (dx, dls.astype(ln_scale.dtype),
+            dlb.astype(ln_bias.dtype)) + grads[1:]
+
+
+fused_ln_qkv_mha.defvjp(_fused_ln_qkv_fwd, _fused_ln_qkv_bwd)
+
+
 def _fused_qkv_int8_kernel(xq_ref, wq_ref, sq_ref, bq_ref, wk_ref,
                            sk_ref, bk_ref, wv_ref, sv_ref, bv_ref,
                            o_ref, *, hg: int, dh: int, scale: float):

@@ -140,6 +140,23 @@ class _QuantDenseParams(nn.Module):
         return kernel, scale, act_scale, bias
 
 
+class _LayerNormParams(nn.Module):
+    """Parameter-only twin of `nn.LayerNorm` (same names/shapes/dtypes)
+    for the LN-fused attention path: the affine params live in the
+    checkpoint exactly as the separate-LN tower's, but the normalize
+    itself runs inside the Pallas kernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return scale, bias
+
+
 class MultiHeadAttention(nn.Module):
     """Standard MHA with separate q/k/v/out projections (HF-compatible).
 
@@ -160,7 +177,7 @@ class MultiHeadAttention(nn.Module):
     quant: Any = False  # False | True (int8, dynamic act) | "static"
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, ln=None):
         d = x.shape[-1]
         head_dim = d // self.num_heads
         from pigeon_tpu.models.quant import dense_factory
@@ -176,9 +193,18 @@ class MultiHeadAttention(nn.Module):
             wk, bk = _DenseParams(d, d, name="k_proj")()
             wv, bv = _DenseParams(d, d, name="v_proj")()
             cast = lambda t: t.astype(self.dtype)  # noqa: E731
-            out = flash_attention.fused_qkv_mha(
-                x, cast(wq), cast(wk), cast(wv), cast(bq), cast(bk),
-                cast(bv), self.num_heads)
+            if ln is not None:
+                # `ln` = (scale, bias, eps) from the caller's pre-LN:
+                # x is RAW here; LN runs inside the kernel.
+                ls, lb, eps = ln
+                out = flash_attention.fused_ln_qkv_mha(
+                    x.astype(self.dtype), ls, lb, cast(wq), cast(wk),
+                    cast(wv), cast(bq), cast(bk), cast(bv),
+                    self.num_heads, eps)
+            else:
+                out = flash_attention.fused_qkv_mha(
+                    x, cast(wq), cast(wk), cast(wv), cast(bq), cast(bk),
+                    cast(bv), self.num_heads)
             return dense("out_proj")(out)
 
         if (self.attn_impl == "flash_fused" and mask is None
@@ -229,9 +255,23 @@ class TransformerLayer(nn.Module):
 
         mlp_dense = dense_factory(self.quant, self.dtype)
 
-        attn_out = MultiHeadAttention(
-            self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
-            quant=self.quant, name="attn")(ln("ln1")(x), mask)
+        # 'flash_fused_ln' folds LN1 into the fused QKV kernel (the
+        # normalized tensor never round-trips HBM). Param tree is
+        # unchanged: `_LayerNormParams` declares the same ln1
+        # {scale, bias}. Under masks or quantization it degrades to
+        # plain 'flash_fused' with a separate XLA LayerNorm.
+        fuse_ln = (self.attn_impl == "flash_fused_ln" and mask is None
+                   and not self.quant)
+        impl = ("flash_fused" if self.attn_impl == "flash_fused_ln"
+                else self.attn_impl)
+        attn = MultiHeadAttention(
+            self.num_heads, dtype=self.dtype, attn_impl=impl,
+            quant=self.quant, name="attn")
+        if fuse_ln:
+            ls, lb = _LayerNormParams(x.shape[-1], name="ln1")()
+            attn_out = attn(x, mask, ln=(ls, lb, self.layer_norm_eps))
+        else:
+            attn_out = attn(ln("ln1")(x), mask)
         # Named for remat='attn_out': saving this (B, S, d) tensor skips
         # re-running the attention kernel during the rematerialized
         # backward (the flash backward recomputes softmax internally

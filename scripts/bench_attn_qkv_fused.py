@@ -119,8 +119,10 @@ def main() -> None:
             out.reshape(B, H, S, DH), 1, 2).reshape(B, S, H * DH)
 
     rng = np.random.default_rng(0)
-    x = jax.device_put(jnp.asarray(
-        rng.normal(0, 1, (B, S, D)).astype(np.float32), jnp.bfloat16))
+    # x generated ON DEVICE (host->device ~6 MB/s; a (32, 577, 1024)
+    # f32 upload alone is ~13 min through the tunnel).
+    x = jax.jit(lambda key: jax.random.normal(
+        key, (B, S, D), jnp.bfloat16))(jax.random.PRNGKey(0))
     wq, wk, wv = (rng.normal(0, 0.02, (D, D)).astype(np.float32)
                   for _ in range(3))
     bq, bk, bv = (rng.normal(0, 0.02, (D,)).astype(np.float32)
@@ -132,19 +134,44 @@ def main() -> None:
     for groups in (2, 4, 8):
         variants[f"fused_g{groups}"] = (make_fused(groups), base_args)
 
+    # LN-fusion A/B (r4): separate XLA LayerNorm + fused kernel vs the
+    # LN-folded kernel. Both take the RAW x, so the delta is exactly
+    # the LN'd tensor's HBM round-trip (+ in-kernel VPU LN cost).
+    ls = jax.device_put(jnp.ones((D,), jnp.float32))
+    lb = jax.device_put(jnp.zeros((D,), jnp.float32))
+
+    def ln_then_fused(x, wq, wk, wv, bq, bk, bv):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.maximum(0., jnp.mean(xf * xf, -1, keepdims=True)
+                          - mu * mu)
+        xn = (((xf - mu) * jax.lax.rsqrt(var + 1e-5)) * ls
+              + lb).astype(x.dtype)
+        return fa.fused_qkv_mha(xn, wq, wk, wv, bq, bk, bv, H)
+
+    def ln_fused(x, wq, wk, wv, bq, bk, bv):
+        return fa.fused_ln_qkv_mha(x, ls, lb, wq, wk, wv, bq, bk, bv,
+                                   H, 1e-5)
+
+    variants["ln_xla_then_fused"] = (ln_then_fused, base_args)
+    variants["ln_fused_in_kernel"] = (ln_fused, base_args)
+
     scalarize = jax.jit(lambda a: a.astype(jnp.float32).sum())
-    base_out = None
+    # Parity baselines are per family: the LN variants normalize x, so
+    # they compare against each other, not the no-LN baseline.
+    family_base = {}
     for name, (fn, args) in variants.items():
+        family = "ln" if name.startswith("ln_") else "plain"
         jitted = jax.jit(fn)
         try:
             out = jitted(x, *args)
             float(scalarize(out))
             err = None
-            if base_out is None:
-                base_out = np.asarray(out[:4], np.float32)
+            if family not in family_base:
+                family_base[family] = np.asarray(out[:4], np.float32)
             else:
                 err = float(np.abs(np.asarray(out[:4], np.float32)
-                                   - base_out).max())
+                                   - family_base[family]).max())
                 assert err < 5e-2, f"{name} parity {err}"
         except Exception as e:  # noqa: BLE001
             print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:200]}",

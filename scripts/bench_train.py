@@ -6,7 +6,9 @@ readback for synchronization (block_until_ready is a no-op through the
 axon tunnel), median of BENCH_WINDOWS timing windows.
 
 Env knobs: BENCH_BATCH (32), BENCH_ITERS (6), BENCH_WINDOWS (5),
-BENCH_ATTN (flash), BENCH_REMAT (full | attn_out | none).
+BENCH_ATTN (flash; comma-separated list runs an in-process A/B so the
+variants share one tunnel session — e.g. "flash,flash_fused"),
+BENCH_REMAT (full | attn_out | none).
 """
 
 from __future__ import annotations
@@ -36,26 +38,18 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "6"))
     windows = int(os.environ.get("BENCH_WINDOWS", "5"))
-    attn_impl = os.environ.get("BENCH_ATTN", "flash")
+    attn_impls = os.environ.get("BENCH_ATTN", "flash").split(",")
     remat = os.environ.get("BENCH_REMAT", "full")
 
     vision_cfg = vit_l14_336_vision()
     head_cfg = HeadConfig(num_cells=2203, embed_dim=1024, panorama=False,
                           multi_task=True)
-    model = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.bfloat16,
-                        attn_impl=attn_impl, remat=remat)
-
     size = vision_cfg.image_size
-    example = jnp.zeros((2, size, size, 3))
-    opt = adamw(2e-5)
-    state = create_train_state(jax.random.PRNGKey(0), model, opt,
-                               (example,))
     import numpy as np
 
     cells = np.stack([np.linspace(-170, 170, head_cfg.num_cells),
                       np.linspace(-55, 65, head_cfg.num_cells)],
                      -1).astype(np.float32)
-    step = make_train_step(model, opt, head_cfg, cells)
 
     # On-device batch (host->device is ~6 MB/s through the tunnel).
     ks = jax.random.split(jax.random.PRNGKey(5), 7)
@@ -74,32 +68,42 @@ def main() -> None:
     }
     rng = jax.random.PRNGKey(7)
 
-    t0 = time.perf_counter()
-    state, metrics = step(state, dev_batch, rng)
-    float(metrics["loss"])                 # sync (compile included)
-    compile_s = time.perf_counter() - t0
-    state, metrics = step(state, dev_batch, rng)
-    float(metrics["loss"])
+    for attn_impl in attn_impls:
+        model = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.bfloat16,
+                            attn_impl=attn_impl, remat=remat)
+        example = jnp.zeros((2, size, size, 3))
+        opt = adamw(2e-5)
+        state = create_train_state(jax.random.PRNGKey(0), model, opt,
+                                   (example,))
+        step = make_train_step(model, opt, head_cfg, cells)
 
-    rates = []
-    for _ in range(windows):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            state, metrics = step(state, dev_batch, rng)
-        loss = float(metrics["loss"])      # scalar readback = sync
-        per_iter = (time.perf_counter() - t0) / iters
-        rates.append(batch / per_iter)
-    rates.sort()
-    rate = rates[len(rates) // 2]
-    print(json.dumps({
-        "metric": f"vit_l14_336_train_images_per_sec_bs{batch}"
-                  f"_{attn_impl}_remat-{remat}",
-        "value": round(rate, 2),
-        "unit": "images/sec",
-        "loss": round(loss, 3),
-    }))
-    print(f"# windows={[round(r, 1) for r in rates]} "
-          f"compile={compile_s:.1f}s", file=sys.stderr)
+        state, metrics = step(state, dev_batch, rng)
+        float(metrics["loss"])             # sync (compile included)
+        compile_s = time.perf_counter() - t0
+        state, metrics = step(state, dev_batch, rng)
+        float(metrics["loss"])
+
+        rates = []
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, metrics = step(state, dev_batch, rng)
+            loss = float(metrics["loss"])  # scalar readback = sync
+            per_iter = (time.perf_counter() - t0) / iters
+            rates.append(batch / per_iter)
+        rates.sort()
+        rate = rates[len(rates) // 2]
+        print(json.dumps({
+            "metric": f"vit_l14_336_train_images_per_sec_bs{batch}"
+                      f"_{attn_impl}_remat-{remat}",
+            "value": round(rate, 2),
+            "unit": "images/sec",
+            "loss": round(loss, 3),
+        }))
+        print(f"# windows={[round(r, 1) for r in rates]} "
+              f"compile={compile_s:.1f}s", file=sys.stderr)
+        sys.stdout.flush()
 
 
 if __name__ == "__main__":

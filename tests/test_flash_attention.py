@@ -152,6 +152,115 @@ class TestFusedQKV:
                                        atol=5e-4)
 
 
+class TestFusedLNQKV:
+    """`fused_ln_qkv_mha`: LayerNorm folded into the fused QKV kernel
+    must match nn.LayerNorm + dense projections + attention."""
+
+    EPS = 1e-5
+
+    def _setup(self, b=2, s=64, h=4, dh=16):
+        d = h * dh
+        x = jnp.asarray(RNG.normal(size=(b, s, d)).astype(np.float32))
+        ls = jnp.asarray(1.0 + RNG.normal(size=(d,)).astype(np.float32)
+                         * .1)
+        lb = jnp.asarray(RNG.normal(size=(d,)).astype(np.float32) * .1)
+        ws = [jnp.asarray(RNG.normal(size=(d, d)).astype(np.float32) * .1)
+              for _ in range(3)]
+        bs = [jnp.asarray(RNG.normal(size=(d,)).astype(np.float32) * .1)
+              for _ in range(3)]
+        return x, ls, lb, ws, bs, h, dh
+
+    def _reference(self, x, ls, lb, ws, bs, h, dh):
+        import flax.linen as nn
+
+        b, s, d = x.shape
+        xn = nn.LayerNorm(epsilon=self.EPS).apply(
+            {"params": {"scale": ls, "bias": lb}}, x)
+        q, k, v = ((xn @ w + bb).reshape(b, s, h, dh)
+                   for w, bb in zip(ws, bs))
+        return xla_mha(q, k, v).reshape(b, s, d)
+
+    @pytest.mark.parametrize("s", [64, 100, 577])
+    def test_matches_layernorm_plus_dense(self, s):
+        from pigeon_tpu.kernels.flash_attention import fused_ln_qkv_mha
+
+        x, ls, lb, ws, bs, h, dh = self._setup(s=s)
+        got = np.asarray(fused_ln_qkv_mha(x, ls, lb, *ws, *bs, h,
+                                          self.EPS))
+        want = np.asarray(self._reference(x, ls, lb, ws, bs, h, dh))
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+    def test_grads_match_separate_path(self):
+        from pigeon_tpu.kernels.flash_attention import fused_ln_qkv_mha
+
+        x, ls, lb, ws, bs, h, dh = self._setup(s=80)
+
+        def loss_fused(x, ls, lb, wq, wk, wv, bq, bk, bv):
+            return jnp.sum(fused_ln_qkv_mha(
+                x, ls, lb, wq, wk, wv, bq, bk, bv, h, self.EPS) ** 2)
+
+        def loss_ref(x, ls, lb, wq, wk, wv, bq, bk, bv):
+            return jnp.sum(self._reference(
+                x, ls, lb, (wq, wk, wv), (bq, bk, bv), h, dh) ** 2)
+
+        args = (x, ls, lb, *ws, *bs)
+        g1 = jax.grad(loss_fused, argnums=tuple(range(9)))(*args)
+        g2 = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4)
+
+    def test_vision_tower_ln_fused_matches_flash(self):
+        """attn_impl='flash_fused_ln' must init the SAME param tree
+        (`_LayerNormParams` keeps the ln1 {scale, bias} names) and
+        match the separate-LN tower."""
+        from pigeon_tpu.config import VisionConfig
+        from pigeon_tpu.models.clip import CLIPVisionTower
+
+        cfg = VisionConfig(image_size=32, patch_size=8, hidden_size=32,
+                           intermediate_size=64, num_layers=2,
+                           num_heads=4)
+        x = jnp.asarray(RNG.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        tower_flash = CLIPVisionTower(cfg, attn_impl="flash")
+        params = tower_flash.init(jax.random.PRNGKey(0), x)
+        tower_ln = CLIPVisionTower(cfg, attn_impl="flash_fused_ln")
+        ln_params = tower_ln.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(ln_params))
+
+        last_f, pooled_f = tower_flash.apply(params, x)
+        last_l, pooled_l = tower_ln.apply(params, x)
+        np.testing.assert_allclose(np.asarray(last_l),
+                                   np.asarray(last_f), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(pooled_l),
+                                   np.asarray(pooled_f), atol=5e-5)
+
+    def test_tower_grads_match_flash(self):
+        """Training viability: d(loss)/d(params) through the LN-fused
+        tower matches the separate-LN flash tower."""
+        from pigeon_tpu.config import VisionConfig
+        from pigeon_tpu.models.clip import CLIPVisionTower
+
+        cfg = VisionConfig(image_size=32, patch_size=8, hidden_size=32,
+                           intermediate_size=64, num_layers=2,
+                           num_heads=4)
+        x = jnp.asarray(RNG.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        tower_flash = CLIPVisionTower(cfg, attn_impl="flash")
+        tower_ln = CLIPVisionTower(cfg, attn_impl="flash_fused_ln")
+        params = tower_flash.init(jax.random.PRNGKey(0), x)["params"]
+
+        def loss(tower, p):
+            last, pooled = tower.apply({"params": p}, x)
+            return jnp.sum(pooled ** 2) + jnp.sum(last ** 2)
+
+        g_f = jax.grad(lambda p: loss(tower_flash, p))(params)
+        g_l = jax.grad(lambda p: loss(tower_ln, p))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                        jax.tree_util.tree_leaves(g_l)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4)
+
+
 class TestFusedQKVInt8:
     """`fused_qkv_mha_int8`: int8 projections inside the kernel must
     reproduce QuantDense(static) + attention exactly."""
