@@ -256,13 +256,19 @@ class TransformerLayer(nn.Module):
         mlp_dense = dense_factory(self.quant, self.dtype)
 
         # 'flash_fused_ln' folds LN1 into the fused QKV kernel (the
-        # normalized tensor never round-trips HBM). Param tree is
-        # unchanged: `_LayerNormParams` declares the same ln1
-        # {scale, bias}. Under masks or quantization it degrades to
-        # plain 'flash_fused' with a separate XLA LayerNorm.
-        fuse_ln = (self.attn_impl == "flash_fused_ln" and mask is None
+        # normalized tensor never round-trips HBM); 'flash_fused_mlp'
+        # additionally folds LN2 + fc1 + quick-GELU + fc2 + residual
+        # into `kernels/fused_mlp.fused_ln_mlp`. Param tree is
+        # unchanged: `_LayerNormParams`/`_DenseParams` declare the same
+        # ln1/ln2/fc1/fc2 names. Under masks or quantization both
+        # degrade to plain 'flash_fused' with separate XLA ops.
+        ln_impls = ("flash_fused_ln", "flash_fused_mlp")
+        fuse_ln = (self.attn_impl in ln_impls and mask is None
                    and not self.quant)
-        impl = ("flash_fused" if self.attn_impl == "flash_fused_ln"
+        fuse_mlp = (self.attn_impl == "flash_fused_mlp" and mask is None
+                    and not self.quant
+                    and self.hidden_act == "quick_gelu")
+        impl = ("flash_fused" if self.attn_impl in ln_impls
                 else self.attn_impl)
         attn = MultiHeadAttention(
             self.num_heads, dtype=self.dtype, attn_impl=impl,
@@ -280,6 +286,19 @@ class TransformerLayer(nn.Module):
 
         attn_out = checkpoint_name(attn_out, "attn_out")
         x = x + attn_out
+        if fuse_mlp:
+            from pigeon_tpu.kernels.fused_mlp import fused_ln_mlp
+
+            d = x.shape[-1]
+            ls2, lb2 = _LayerNormParams(d, name="ln2")()
+            w1, b1 = _DenseParams(d, self.intermediate_size,
+                                  name="fc1")()
+            w2, b2 = _DenseParams(self.intermediate_size, d,
+                                  name="fc2")()
+            cast = lambda t: t.astype(self.dtype)  # noqa: E731
+            return fused_ln_mlp(x.astype(self.dtype), ls2, lb2,
+                                cast(w1), cast(b1), cast(w2), cast(b2),
+                                self.layer_norm_eps)
         h = ln("ln2")(x)
         h = mlp_dense(self.intermediate_size, "fc1")(h)
         h = act(h)

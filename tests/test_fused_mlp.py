@@ -1,0 +1,147 @@
+"""Fused LN+MLP+residual kernel: parity vs the separate XLA path."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+RNG = np.random.default_rng(31)
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def _setup(b=2, s=64, d=64, inter=256):
+    x = jnp.asarray(RNG.normal(size=(b, s, d)).astype(np.float32))
+    ls = jnp.asarray(1.0 + RNG.normal(size=(d,)).astype(np.float32) * .1)
+    lb = jnp.asarray(RNG.normal(size=(d,)).astype(np.float32) * .1)
+    w1 = jnp.asarray(RNG.normal(size=(d, inter)).astype(np.float32) * .1)
+    b1 = jnp.asarray(RNG.normal(size=(inter,)).astype(np.float32) * .1)
+    w2 = jnp.asarray(RNG.normal(size=(inter, d)).astype(np.float32) * .1)
+    b2 = jnp.asarray(RNG.normal(size=(d,)).astype(np.float32) * .1)
+    return x, ls, lb, w1, b1, w2, b2
+
+
+def _reference(x, ls, lb, w1, b1, w2, b2, eps=1e-5):
+    """nn.LayerNorm + nn.Dense + quick_gelu + nn.Dense + residual."""
+    import flax.linen as nn
+
+    from pigeon_tpu.models.clip import quick_gelu
+
+    xn = nn.LayerNorm(epsilon=eps).apply(
+        {"params": {"scale": ls, "bias": lb}}, x)
+    h = quick_gelu(xn @ w1 + b1)
+    return x + (h @ w2 + b2)
+
+
+class TestFusedLNMLP:
+    @pytest.mark.parametrize("s,inter", [(64, 256), (100, 512),
+                                         (577, 1024)])
+    def test_matches_separate_path(self, s, inter):
+        from pigeon_tpu.kernels.fused_mlp import fused_ln_mlp
+
+        args = _setup(s=s, inter=inter)
+        got = np.asarray(fused_ln_mlp(*args))
+        want = np.asarray(_reference(*args))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_indivisible_intermediate_single_chunk(self):
+        # inter=192 not divisible by DEFAULT_CHUNK=512 -> one chunk.
+        from pigeon_tpu.kernels.fused_mlp import fused_ln_mlp
+
+        args = _setup(inter=192)
+        got = np.asarray(fused_ln_mlp(*args))
+        want = np.asarray(_reference(*args))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_grads_match_separate_path(self):
+        from pigeon_tpu.kernels.fused_mlp import fused_ln_mlp
+
+        args = _setup(s=80, inter=256)
+
+        def loss_fused(*a):
+            return jnp.sum(fused_ln_mlp(*a) ** 2)
+
+        def loss_ref(*a):
+            return jnp.sum(_reference(*a) ** 2)
+
+        g1 = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+        g2 = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, rtol=1e-4)
+
+
+class TestTowerIntegration:
+    def _cfg(self):
+        from pigeon_tpu.config import VisionConfig
+
+        return VisionConfig(image_size=32, patch_size=8, hidden_size=64,
+                            intermediate_size=128, num_layers=2,
+                            num_heads=4, projection_dim=32)
+
+    def test_vision_tower_mlp_fused_matches_flash(self):
+        """attn_impl='flash_fused_mlp' must init the SAME param tree
+        and match the separate-ops tower."""
+        from pigeon_tpu.models.clip import CLIPVisionTower
+
+        cfg = self._cfg()
+        x = jnp.asarray(RNG.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        tower_flash = CLIPVisionTower(cfg, attn_impl="flash")
+        params = tower_flash.init(jax.random.PRNGKey(0), x)
+        tower_mlp = CLIPVisionTower(cfg, attn_impl="flash_fused_mlp")
+        mlp_params = tower_mlp.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(mlp_params))
+
+        last_f, pooled_f = tower_flash.apply(params, x)
+        last_m, pooled_m = tower_mlp.apply(params, x)
+        np.testing.assert_allclose(np.asarray(last_m),
+                                   np.asarray(last_f), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(pooled_m),
+                                   np.asarray(pooled_f), atol=5e-5)
+
+    def test_tower_grads_match_flash(self):
+        from pigeon_tpu.models.clip import CLIPVisionTower
+
+        cfg = self._cfg()
+        x = jnp.asarray(RNG.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        tower_flash = CLIPVisionTower(cfg, attn_impl="flash")
+        tower_mlp = CLIPVisionTower(cfg, attn_impl="flash_fused_mlp")
+        params = tower_flash.init(jax.random.PRNGKey(0), x)["params"]
+
+        def loss(tower, p):
+            last, pooled = tower.apply({"params": p}, x)
+            return jnp.sum(pooled ** 2) + jnp.sum(last ** 2)
+
+        g_f = jax.grad(lambda p: loss(tower_flash, p))(params)
+        g_m = jax.grad(lambda p: loss(tower_mlp, p))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                        jax.tree_util.tree_leaves(g_m)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4)
+
+    def test_exact_gelu_tower_falls_back(self):
+        """Non-quick-gelu towers must silently keep the XLA MLP (Mosaic
+        has no erf), with the same params and output."""
+        import dataclasses
+
+        from pigeon_tpu.models.clip import CLIPVisionTower
+
+        cfg = dataclasses.replace(self._cfg(), hidden_act="gelu")
+        x = jnp.asarray(RNG.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        tower_flash = CLIPVisionTower(cfg, attn_impl="flash")
+        params = tower_flash.init(jax.random.PRNGKey(0), x)
+        tower_mlp = CLIPVisionTower(cfg, attn_impl="flash_fused_mlp")
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(
+                       tower_mlp.init(jax.random.PRNGKey(0), x)))
+        last_f, _ = tower_flash.apply(params, x)
+        last_m, _ = tower_mlp.apply(params, x)
+        np.testing.assert_allclose(np.asarray(last_m),
+                                   np.asarray(last_f), atol=5e-5)
