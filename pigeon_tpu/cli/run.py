@@ -121,11 +121,18 @@ def _attn_impl(train: bool = False) -> str:
     (`flash_fused`, r3: 374 vs 316 img/s same-session; under masks or
     int8 quant the module falls back to 'flash' semantics per-layer).
     Training keeps the separate-projection 'flash' kernels until the
-    fused custom_vjp path is measured on hardware (docs/PERF.md)."""
+    fused custom_vjp path is measured on hardware (docs/PERF.md).
+
+    ``PIGEON_ATTN_IMPL`` overrides both (e.g. 'flash_fused_ln' /
+    'flash_fused_mlp', the r4 LN/MLP-fusion opt-ins) — TPU only, so a
+    CPU run never lands on a Pallas path it cannot execute."""
     import jax
 
     if jax.default_backend() != "tpu":
         return "xla"
+    override = os.environ.get("PIGEON_ATTN_IMPL")
+    if override:
+        return override
     return "flash" if train else "flash_fused"
 
 

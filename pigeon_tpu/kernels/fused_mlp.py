@@ -39,6 +39,7 @@ CUDA kernels).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,10 +48,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pigeon_tpu.kernels.flash_attention import _layer_norm_f32
 
-#: Intermediate-dimension chunk width. 512 keeps the per-step weight
-#: blocks at 2 x 1 MB bf16 (double-buffered) with the (S, D) f32
-#: accumulator + (S, D) xn scratch well inside VMEM.
-DEFAULT_CHUNK = 512
+#: Intermediate-dimension chunk width (env-tunable: PIGEON_MLP_CHUNK).
+#: 512 keeps the per-step weight blocks at 2 x 1 MB bf16; the full
+#: VMEM budget at the flagship shape (double-buffered x/out/weights +
+#: (S, D) xn + f32 accumulator scratch) is ~14-16 MB — near the
+#: ~16 MB/core limit, so 256 is the first fallback if the server-side
+#: compile rejects 512.
+DEFAULT_CHUNK = int(os.environ.get("PIGEON_MLP_CHUNK", "512"))
 
 
 def _quick_gelu_f32(y):
