@@ -1,0 +1,126 @@
+"""Round-4 hardware measurement session — ALL pending A/Bs, one process.
+
+The axon tunnel is shared and flaky; e2e comparisons are only honest
+within one tunnel session (docs/PERF.md). This driver runs every
+pending round-4 measurement in priority order IN-PROCESS so the
+variants share a session, flushing results as it goes:
+
+  1. int8 fused QKV component bench (validates Mosaic int8 dot
+     lowering — the one thing interpret mode can't check);
+  2. QKV-fusion component bench incl. the LN-fusion A/B pair;
+  3. fused LN+MLP component bench (validates scratch persistence +
+     cross-chunk accumulation on real Mosaic);
+  4. e2e bf16 bench sweep: flash_fused vs flash_fused_ln vs
+     flash_fused_mlp;
+  5. e2e int8 bench: flash (current quant default) vs flash_fused
+     (routes into fused_qkv_mha_int8);
+  6. training A/B: flash vs flash_fused (vs LN/MLP variants) through
+     the custom_vjp backward under full remat.
+
+Env: HW_BUDGET_S (default 9000) — steps are skipped once the budget is
+exhausted; HW_STEPS (comma list of step numbers to run, default all).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import time
+import traceback
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+START = time.time()
+BUDGET = float(os.environ.get("HW_BUDGET_S", "9000"))
+
+
+def _load(path, name):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _script(fname):
+    return _load(os.path.join(ROOT, "scripts", fname),
+                 fname.replace(".py", ""))
+
+
+def step(num, title):
+    def deco(fn):
+        fn._num, fn._title = num, title
+        return fn
+    return deco
+
+
+@step(1, "int8 fused QKV component")
+def s1():
+    _script("bench_attn_qkv_fused_int8.py").main()
+
+
+@step(2, "QKV fusion + LN A/B component")
+def s2():
+    _script("bench_attn_qkv_fused.py").main()
+
+
+@step(3, "fused LN+MLP component")
+def s3():
+    _script("bench_mlp_fused.py").main()
+
+
+@step(4, "e2e bf16 attn sweep")
+def s4():
+    bench = _load(os.path.join(ROOT, "bench.py"), "bench_e2e")
+    for attn in ("flash_fused", "flash_fused_ln", "flash_fused_mlp"):
+        os.environ["BENCH_ATTN"] = attn
+        bench.main()
+    os.environ.pop("BENCH_ATTN", None)
+
+
+@step(5, "e2e int8: flash vs fused")
+def s5():
+    bench = _load(os.path.join(ROOT, "bench.py"), "bench_e2e_int8")
+    os.environ["BENCH_QUANT"] = "1"
+    for attn in ("flash", "flash_fused"):
+        os.environ["BENCH_ATTN"] = attn
+        bench.main()
+    os.environ.pop("BENCH_QUANT", None)
+    os.environ.pop("BENCH_ATTN", None)
+
+
+@step(6, "training attn A/B")
+def s6():
+    os.environ["BENCH_ATTN"] = \
+        "flash,flash_fused,flash_fused_ln,flash_fused_mlp"
+    _script("bench_train.py").main()
+    os.environ.pop("BENCH_ATTN", None)
+
+
+def main() -> None:
+    steps = sorted(
+        (v for v in globals().values() if hasattr(v, "_num")),
+        key=lambda f: f._num)
+    only = os.environ.get("HW_STEPS")
+    if only:
+        keep = {int(s) for s in only.split(",")}
+        steps = [s for s in steps if s._num in keep]
+    for fn in steps:
+        elapsed = time.time() - START
+        if elapsed > BUDGET:
+            print(f"## budget exhausted ({elapsed:.0f}s) — skipping "
+                  f"step {fn._num}+", flush=True)
+            break
+        print(f"## step {fn._num}: {fn._title} (t={elapsed:.0f}s)",
+              flush=True)
+        try:
+            fn()
+        except Exception:  # noqa: BLE001
+            traceback.print_exc()
+            print(f"## step {fn._num} FAILED — continuing", flush=True)
+    print(f"## session done (t={time.time() - START:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
