@@ -368,8 +368,12 @@ def _layer_norm_f32(x, scale, bias, eps: float):
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.maximum(
         0.0, jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu)
-    xn = (xf - mu) * jax.lax.rsqrt(var + np.float32(eps))
-    return xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    # Flax folds scale into the rsqrt factor BEFORE multiplying the
+    # centered input; match that association order bit-for-bit — the
+    # int8 fused MLP quantizes this output, and a one-ulp difference
+    # flips round() at quantization boundaries.
+    mul = jax.lax.rsqrt(var + np.float32(eps)) * scale.astype(jnp.float32)
+    return (xf - mu) * mul + bias.astype(jnp.float32)
 
 
 def _fused_ln_qkv_kernel(x_ref, ls_ref, lb_ref, wq_ref, bq_ref, wk_ref,
