@@ -69,21 +69,63 @@ def main() -> None:
     def fused_path(x, ls, lb, w1, b1, w2, b2):
         return fused_ln_mlp(x, ls, lb, w1, b1, w2, b2, 1e-5)
 
-    variants = {"xla_ln_mlp": xla_path, "fused_ln_mlp": fused_path}
+    # Int8 pair: the current QuantDense(static) XLA composition vs
+    # `fused_ln_mlp_int8` (same math; parity within quantization-flip
+    # noise). Weights quantized from the bf16 ones.
+    from pigeon_tpu.kernels.fused_mlp import fused_ln_mlp_int8
+    from pigeon_tpu.models.quant import quantize_channelwise
+
+    w1_q, s1 = quantize_channelwise(w1.astype(jnp.float32))
+    w2_q, s2 = quantize_channelwise(w2.astype(jnp.float32))
+    a1 = jnp.float32(0.05)
+    a2 = jnp.float32(0.02)
+    iargs = (x, ls, lb, a1, w1_q, s1, b1.astype(jnp.float32), a2,
+             w2_q, s2, b2.astype(jnp.float32))
+
+    def xla_int8(x, ls, lb, a1, w1_q, s1, b1, a2, w2_q, s2, b2):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.maximum(0., jnp.mean(xf * xf, -1, keepdims=True)
+                          - mu * mu)
+        xn = (((xf - mu) * jax.lax.rsqrt(var + 1e-5)) * ls
+              + lb).astype(x.dtype)
+
+        def qdense(y, a, w_q, s_w, bias):
+            y_q = jnp.clip(jnp.round(y.astype(jnp.float32) / a),
+                           -127, 127).astype(jnp.int8)
+            o = jax.lax.dot_general(
+                y_q, w_q, (((y_q.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return (o.astype(jnp.float32) * (a * s_w)
+                    + bias).astype(x.dtype)
+
+        h = qdense(xn, a1, w1_q, s1, b1)
+        h = (h * jax.nn.sigmoid(1.702 * h)).astype(x.dtype)
+        return x + qdense(h, a2, w2_q, s2, b2).astype(jnp.float32) \
+            .astype(x.dtype)
+
+    def fused_int8(*a):
+        return fused_ln_mlp_int8(*a, 1e-5)
+
+    variants = {"xla_ln_mlp": (xla_path, args),
+                "fused_ln_mlp": (fused_path, args),
+                "xla_int8_ln_mlp": (xla_int8, iargs),
+                "fused_int8_ln_mlp": (fused_int8, iargs)}
 
     scalarize = jax.jit(lambda a: a.astype(jnp.float32).sum())
-    base_out = None
-    for name, fn in variants.items():
+    family_base = {}
+    for name, (fn, vargs) in variants.items():
+        family = "int8" if "int8" in name else "bf16"
         jitted = jax.jit(fn)
         try:
-            out = jitted(*args)
+            out = jitted(*vargs)
             float(scalarize(out))
             err = None
-            if base_out is None:
-                base_out = np.asarray(out[:4], np.float32)
+            if family not in family_base:
+                family_base[family] = np.asarray(out[:4], np.float32)
             else:
                 err = float(np.abs(np.asarray(out[:4], np.float32)
-                                   - base_out).max())
+                                   - family_base[family]).max())
                 assert err < 5e-2, f"{name} parity {err}"
         except Exception as e:  # noqa: BLE001
             print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:300]}",
@@ -94,7 +136,7 @@ def main() -> None:
             carry = None
             t0 = time.perf_counter()
             for _ in range(n):
-                carry = scalarize(jitted(*args))
+                carry = scalarize(jitted(*vargs))
             float(carry)
             return time.perf_counter() - t0
 

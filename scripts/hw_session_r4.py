@@ -75,7 +75,11 @@ def s4():
     bench = _load(os.path.join(ROOT, "bench.py"), "bench_e2e")
     for attn in ("flash_fused", "flash_fused_ln", "flash_fused_mlp"):
         os.environ["BENCH_ATTN"] = attn
-        bench.main()
+        try:
+            bench.main()
+        except Exception:  # noqa: BLE001 — e.g. VMEM compile reject
+            traceback.print_exc()
+            print(f"## e2e {attn} FAILED — next variant", flush=True)
     os.environ.pop("BENCH_ATTN", None)
 
 
@@ -83,9 +87,14 @@ def s4():
 def s5():
     bench = _load(os.path.join(ROOT, "bench.py"), "bench_e2e_int8")
     os.environ["BENCH_QUANT"] = "1"
-    for attn in ("flash", "flash_fused"):
+    for attn in ("flash", "flash_fused", "flash_fused_mlp"):
         os.environ["BENCH_ATTN"] = attn
-        bench.main()
+        try:
+            bench.main()
+        except Exception:  # noqa: BLE001
+            traceback.print_exc()
+            print(f"## int8 e2e {attn} FAILED — next variant",
+                  flush=True)
     os.environ.pop("BENCH_QUANT", None)
     os.environ.pop("BENCH_ATTN", None)
 
