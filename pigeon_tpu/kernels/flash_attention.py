@@ -24,6 +24,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 #: One query tile per (batch, head): K/V DMA into VMEM exactly once and the
@@ -473,6 +475,153 @@ def _fused_ln_qkv_bwd(num_heads, eps, res, g):
 
 
 fused_ln_qkv_mha.defvjp(_fused_ln_qkv_fwd, _fused_ln_qkv_bwd)
+
+
+def _block_attn_kernel(x_ref, ls_ref, lb_ref, wq_ref, bq_ref, wk_ref,
+                       bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, o_ref,
+                       xn_ref, oall_ref, acc_ref, *, hg: int, dh: int,
+                       scale: float, eps: float, groups: int):
+    """The WHOLE attention half of a transformer block in one program:
+    LN1 + QKV projections + softmax attention + output projection +
+    residual. Grid is (batch, group) with the GROUP dim innermost so
+    the per-group output-projection partials accumulate into an f32
+    VMEM scratch across consecutive steps; x stays resident per batch
+    element (it is both the LN input and the residual), the weight
+    blocks stream. LN(x), q/k/v, the attention output, and the
+    pre-residual projection never exist in HBM."""
+    g_idx = pl.program_id(1)
+
+    @pl.when(g_idx == 0)
+    def _():
+        xn_ref[...] = _layer_norm_f32(
+            x_ref[0], ls_ref[...], lb_ref[...], eps).astype(xn_ref.dtype)
+
+    xn = xn_ref[...]
+
+    def proj(w_ref, b_ref):
+        y = jax.lax.dot_general(
+            xn, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (y + b_ref[...].astype(jnp.float32)).astype(xn.dtype)
+
+    q_all = proj(wq_ref, bq_ref)                       # (S, hg*dh)
+    k_all = proj(wk_ref, bk_ref)
+    v_all = proj(wv_ref, bv_ref)
+    for h in range(hg):
+        sl = slice(h * dh, (h + 1) * dh)
+        logits = jax.lax.dot_general(
+            q_all[:, sl], k_all[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * np.float32(scale)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_all.dtype), v_all[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        oall_ref[:, sl] = (o / denom).astype(oall_ref.dtype)
+
+    # One (S, gw) @ (gw, D) out-projection dot per group (K=gw keeps
+    # the MXU fed vs per-head K=64 slices).
+    partial = jax.lax.dot_general(
+        oall_ref[...], wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(g_idx == 0)
+    def _():
+        acc_ref[...] = (x_ref[0].astype(jnp.float32) + bo_ref[...]
+                        + partial)
+
+    @pl.when(g_idx > 0)
+    def _():
+        acc_ref[...] += partial
+
+    @pl.when(g_idx == groups - 1)
+    def _():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _fused_block_attn_forward(x, ln_scale, ln_bias, wq, wk, wv, bq, bk,
+                              bv, wo, bo, num_heads: int, eps: float):
+    b, s, d = x.shape
+    dh = d // num_heads
+    groups = next(g for g in (FUSED_GROUPS, 2, 1) if num_heads % g == 0)
+    hg = num_heads // groups
+    gw = hg * dh
+
+    wspec = pl.BlockSpec((d, gw), lambda bb, g: (0, g),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, gw), lambda bb, g: (0, g),
+                         memory_space=pltpu.VMEM)
+    const = pl.BlockSpec((1, d), lambda bb, g: (0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_block_attn_kernel, hg=hg, dh=dh,
+                          scale=dh ** -0.5, eps=eps, groups=groups),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+        grid=(b, groups),
+        in_specs=[
+            pl.BlockSpec((1, s, d), lambda bb, g: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const, const,
+            wspec, bspec, wspec, bspec, wspec, bspec,
+            pl.BlockSpec((gw, d), lambda bb, g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            const,
+        ],
+        out_specs=pl.BlockSpec((1, s, d), lambda bb, g: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((s, d), x.dtype),       # LN(x), computed at g==0
+            pltpu.VMEM((s, gw), x.dtype),      # group attention output
+            pltpu.VMEM((s, d), jnp.float32),   # out-proj accumulator
+        ],
+    )(x, ln_scale.astype(jnp.float32)[None, :],
+      ln_bias.astype(jnp.float32)[None, :],
+      wq, bq[None, :], wk, bk[None, :], wv, bv[None, :],
+      wo, bo.astype(jnp.float32)[None, :])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def fused_block_attention(x, ln_scale, ln_bias, wq, wk, wv, bq, bk, bv,
+                          wo, bo, num_heads, eps=1e-5):
+    """LN1 + QKV + attention + out-projection + residual in ONE Pallas
+    kernel: ``(B, S, D) -> (B, S, D)`` computing
+    ``x + out_proj(attn(LN(x)))``. Combined with
+    `kernels/fused_mlp.fused_ln_mlp` the whole transformer layer runs
+    as two Pallas programs; the only per-layer HBM tensor traffic left
+    is x in and the two block outputs.
+
+    Backward rematerializes LN + projections in XLA and reuses the
+    `fused_qkv_mha` custom_vjp (flash backward kernel) via `jax.vjp`
+    of the reference composition."""
+    return _fused_block_attn_forward(x, ln_scale, ln_bias, wq, wk, wv,
+                                     bq, bk, bv, wo, bo, num_heads, eps)
+
+
+def _fused_block_reference(x, ln_scale, ln_bias, wq, wk, wv, bq, bk, bv,
+                           wo, bo, num_heads, eps):
+    xn = _layer_norm_f32(x, ln_scale, ln_bias, eps).astype(x.dtype)
+    ao = fused_qkv_mha(xn, wq, wk, wv, bq, bk, bv, num_heads)
+    out = jax.lax.dot_general(
+        ao, wo, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bo.astype(jnp.float32)
+    return (x.astype(jnp.float32) + out).astype(x.dtype)
+
+
+def _fused_block_fwd(x, ln_scale, ln_bias, wq, wk, wv, bq, bk, bv, wo,
+                     bo, num_heads, eps):
+    out = _fused_block_attn_forward(x, ln_scale, ln_bias, wq, wk, wv,
+                                    bq, bk, bv, wo, bo, num_heads, eps)
+    return out, (x, ln_scale, ln_bias, wq, wk, wv, bq, bk, bv, wo, bo)
+
+
+def _fused_block_bwd(num_heads, eps, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _fused_block_reference(*a, num_heads, eps), *res)
+    return vjp(g)
+
+
+fused_block_attention.defvjp(_fused_block_fwd, _fused_block_bwd)
 
 
 def _fused_qkv_int8_kernel(xq_ref, wq_ref, sq_ref, bq_ref, wk_ref,

@@ -207,6 +207,24 @@ class MultiHeadAttention(nn.Module):
                     cast(bv), self.num_heads)
             return dense("out_proj")(out)
 
+        if (self.attn_impl == "flash_fused_block" and mask is None
+                and not self.quant and ln is not None):
+            # The whole attention half (LN1 + QKV + attention +
+            # out-projection + residual) as ONE kernel — the caller
+            # must NOT add the residual again.
+            from pigeon_tpu.kernels import flash_attention
+
+            wq, bq = _DenseParams(d, d, name="q_proj")()
+            wk, bk = _DenseParams(d, d, name="k_proj")()
+            wv, bv = _DenseParams(d, d, name="v_proj")()
+            wo, bo = _DenseParams(d, d, name="out_proj")()
+            ls, lb, eps = ln
+            cast = lambda t: t.astype(self.dtype)  # noqa: E731
+            return flash_attention.fused_block_attention(
+                x.astype(self.dtype), ls, lb, cast(wq), cast(wk),
+                cast(wv), cast(bq), cast(bk), cast(bv), cast(wo),
+                cast(bo), self.num_heads, eps)
+
         if (self.attn_impl == "flash_fused" and mask is None
                 and self.quant == "static"):
             from pigeon_tpu.kernels import flash_attention
@@ -264,30 +282,47 @@ class TransformerLayer(nn.Module):
         # `_LayerNormParams`/`_DenseParams`/`_QuantDenseParams` declare
         # the same ln1/ln2/fc1/fc2 names. Under masks / dynamic-quant
         # calibration both degrade to plain 'flash_fused' + XLA ops.
-        ln_impls = ("flash_fused_ln", "flash_fused_mlp")
+        ln_impls = ("flash_fused_ln", "flash_fused_mlp",
+                    "flash_fused_block")
         fuse_ln = (self.attn_impl in ln_impls and mask is None
                    and not self.quant)
-        fuse_mlp = (self.attn_impl == "flash_fused_mlp" and mask is None
+        # 'flash_fused_block' fuses the ENTIRE attention half including
+        # the out-projection and residual into one kernel; paired with
+        # the fused MLP the layer is two Pallas programs.
+        fuse_block = (self.attn_impl == "flash_fused_block"
+                      and mask is None and not self.quant)
+        fuse_mlp = (self.attn_impl in ("flash_fused_mlp",
+                                       "flash_fused_block")
+                    and mask is None
                     and self.quant in (False, "static")
                     and self.hidden_act == "quick_gelu")
-        impl = ("flash_fused" if self.attn_impl in ln_impls
+        impl = ("flash_fused" if (self.attn_impl in ln_impls
+                                  and not fuse_block)
                 else self.attn_impl)
         attn = MultiHeadAttention(
             self.num_heads, dtype=self.dtype, attn_impl=impl,
             quant=self.quant, name="attn")
-        if fuse_ln:
-            ls, lb = _LayerNormParams(x.shape[-1], name="ln1")()
-            attn_out = attn(x, mask, ln=(ls, lb, self.layer_norm_eps))
-        else:
-            attn_out = attn(ln("ln1")(x), mask)
         # Named for remat='attn_out': saving this (B, S, d) tensor skips
         # re-running the attention kernel during the rematerialized
         # backward (the flash backward recomputes softmax internally
         # anyway, so full remat runs the attention THREE times).
         from jax.ad_checkpoint import checkpoint_name
 
-        attn_out = checkpoint_name(attn_out, "attn_out")
-        x = x + attn_out
+        if fuse_block:
+            ls, lb = _LayerNormParams(x.shape[-1], name="ln1")()
+            # Residual included by the kernel; the checkpoint_name
+            # lands on the post-residual tensor (same (B, S, d) cost).
+            x = checkpoint_name(
+                attn(x, mask, ln=(ls, lb, self.layer_norm_eps)),
+                "attn_out")
+        else:
+            if fuse_ln:
+                ls, lb = _LayerNormParams(x.shape[-1], name="ln1")()
+                attn_out = attn(x, mask,
+                                ln=(ls, lb, self.layer_norm_eps))
+            else:
+                attn_out = attn(ln("ln1")(x), mask)
+            x = x + checkpoint_name(attn_out, "attn_out")
         if fuse_mlp:
             from pigeon_tpu.kernels.fused_mlp import (
                 fused_ln_mlp,

@@ -73,7 +73,8 @@ def s3():
 @step(4, "e2e bf16 attn sweep")
 def s4():
     bench = _load(os.path.join(ROOT, "bench.py"), "bench_e2e")
-    for attn in ("flash_fused", "flash_fused_ln", "flash_fused_mlp"):
+    for attn in ("flash_fused", "flash_fused_ln", "flash_fused_mlp",
+                 "flash_fused_block"):
         os.environ["BENCH_ATTN"] = attn
         try:
             bench.main()
@@ -101,8 +102,8 @@ def s5():
 
 @step(6, "training attn A/B")
 def s6():
-    os.environ["BENCH_ATTN"] = \
-        "flash,flash_fused,flash_fused_ln,flash_fused_mlp"
+    os.environ["BENCH_ATTN"] = ("flash,flash_fused,flash_fused_ln,"
+                                "flash_fused_mlp,flash_fused_block")
     _script("bench_train.py").main()
     os.environ.pop("BENCH_ATTN", None)
 

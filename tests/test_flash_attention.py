@@ -261,6 +261,155 @@ class TestFusedLNQKV:
                                        atol=5e-4)
 
 
+class TestFusedBlock:
+    """`fused_block_attention`: LN1 + QKV + attention + out-projection
+    + residual in one kernel must match the separate composition."""
+
+    EPS = 1e-5
+
+    def _setup(self, b=2, s=64, h=4, dh=16):
+        d = h * dh
+        x = jnp.asarray(RNG.normal(size=(b, s, d)).astype(np.float32))
+        ls = jnp.asarray(1.0 + RNG.normal(size=(d,)).astype(np.float32)
+                         * .1)
+        lb = jnp.asarray(RNG.normal(size=(d,)).astype(np.float32) * .1)
+        ws = [jnp.asarray(RNG.normal(size=(d, d)).astype(np.float32)
+                          * .1) for _ in range(4)]
+        bs = [jnp.asarray(RNG.normal(size=(d,)).astype(np.float32)
+                          * .1) for _ in range(4)]
+        return x, ls, lb, ws, bs, h, dh
+
+    def _reference(self, x, ls, lb, ws, bs, h, dh):
+        import flax.linen as nn
+
+        b, s, d = x.shape
+        xn = nn.LayerNorm(epsilon=self.EPS).apply(
+            {"params": {"scale": ls, "bias": lb}}, x)
+        q, k, v = ((xn @ w + bb).reshape(b, s, h, dh)
+                   for w, bb in zip(ws[:3], bs[:3]))
+        ao = xla_mha(q, k, v).reshape(b, s, d)
+        return x + (ao @ ws[3] + bs[3])
+
+    @pytest.mark.parametrize("s", [64, 100, 577])
+    def test_matches_separate_composition(self, s):
+        from pigeon_tpu.kernels.flash_attention import (
+            fused_block_attention,
+        )
+
+        x, ls, lb, ws, bs, h, dh = self._setup(s=s)
+        got = np.asarray(fused_block_attention(
+            x, ls, lb, ws[0], ws[1], ws[2], bs[0], bs[1], bs[2], ws[3],
+            bs[3], h, self.EPS))
+        want = np.asarray(self._reference(x, ls, lb, ws, bs, h, dh))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_grads_match_separate_composition(self):
+        from pigeon_tpu.kernels.flash_attention import (
+            fused_block_attention,
+        )
+
+        x, ls, lb, ws, bs, h, dh = self._setup(s=80)
+
+        def loss_fused(x, ls, lb, wq, wk, wv, bq, bk, bv, wo, bo):
+            return jnp.sum(fused_block_attention(
+                x, ls, lb, wq, wk, wv, bq, bk, bv, wo, bo, h,
+                self.EPS) ** 2)
+
+        def loss_ref(x, ls, lb, wq, wk, wv, bq, bk, bv, wo, bo):
+            return jnp.sum(self._reference(
+                x, ls, lb, (wq, wk, wv, wo), (bq, bk, bv, bo), h, dh)
+                ** 2)
+
+        args = (x, ls, lb, ws[0], ws[1], ws[2], bs[0], bs[1], bs[2],
+                ws[3], bs[3])
+        g1 = jax.grad(loss_fused, argnums=tuple(range(11)))(*args)
+        g2 = jax.grad(loss_ref, argnums=tuple(range(11)))(*args)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3)
+
+    def test_vision_tower_block_fused_matches_flash(self):
+        """attn_impl='flash_fused_block' (two-Pallas-program layers)
+        must init the SAME param tree and match the separate tower."""
+        from pigeon_tpu.config import VisionConfig
+        from pigeon_tpu.models.clip import CLIPVisionTower
+
+        cfg = VisionConfig(image_size=32, patch_size=8, hidden_size=64,
+                           intermediate_size=128, num_layers=2,
+                           num_heads=4, projection_dim=32)
+        x = jnp.asarray(RNG.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        tower_flash = CLIPVisionTower(cfg, attn_impl="flash")
+        params = tower_flash.init(jax.random.PRNGKey(0), x)
+        tower_blk = CLIPVisionTower(cfg, attn_impl="flash_fused_block")
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(
+                    tower_blk.init(jax.random.PRNGKey(0), x)))
+
+        last_f, pooled_f = tower_flash.apply(params, x)
+        last_b, pooled_b = tower_blk.apply(params, x)
+        np.testing.assert_allclose(np.asarray(last_b),
+                                   np.asarray(last_f), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(pooled_b),
+                                   np.asarray(pooled_f), atol=1e-4)
+
+    def test_tower_grads_match_flash(self):
+        from pigeon_tpu.config import VisionConfig
+        from pigeon_tpu.models.clip import CLIPVisionTower
+
+        cfg = VisionConfig(image_size=32, patch_size=8, hidden_size=64,
+                           intermediate_size=128, num_layers=2,
+                           num_heads=4, projection_dim=32)
+        x = jnp.asarray(RNG.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        tower_flash = CLIPVisionTower(cfg, attn_impl="flash")
+        tower_blk = CLIPVisionTower(cfg, attn_impl="flash_fused_block")
+        params = tower_flash.init(jax.random.PRNGKey(0), x)["params"]
+
+        def loss(tower, p):
+            last, pooled = tower.apply({"params": p}, x)
+            return jnp.sum(pooled ** 2) + jnp.sum(last ** 2)
+
+        g_f = jax.grad(lambda p: loss(tower_flash, p))(params)
+        g_b = jax.grad(lambda p: loss(tower_blk, p))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                        jax.tree_util.tree_leaves(g_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3)
+
+    def test_static_int8_tower_block_impl_routes_to_int8_kernels(self):
+        """quant='static' + 'flash_fused_block' degrades to the int8
+        fused QKV + int8 fused MLP combination (same tree, output
+        within quantization-flip noise of the QuantDense path)."""
+        from pigeon_tpu.config import VisionConfig
+        from pigeon_tpu.models.clip import CLIPVisionTower
+        from pigeon_tpu.models.quant import quantize_and_calibrate
+
+        cfg = VisionConfig(image_size=32, patch_size=8, hidden_size=64,
+                           intermediate_size=128, num_layers=2,
+                           num_heads=4, projection_dim=32)
+        px = jnp.asarray(RNG.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        f32 = CLIPVisionTower(cfg, dtype=jnp.float32)
+        params = jax.jit(f32.init)(jax.random.PRNGKey(1), px)["params"]
+        dyn = CLIPVisionTower(cfg, dtype=jnp.float32, quant=True)
+        qparams = quantize_and_calibrate(dyn, params, px)
+
+        sep = CLIPVisionTower(cfg, dtype=jnp.float32, quant="static",
+                              attn_impl="flash")
+        blk = CLIPVisionTower(cfg, dtype=jnp.float32, quant="static",
+                              attn_impl="flash_fused_block")
+        assert (jax.tree_util.tree_structure(
+                    jax.jit(blk.init)(jax.random.PRNGKey(2),
+                                      px)["params"])
+                == jax.tree_util.tree_structure(
+                    jax.jit(sep.init)(jax.random.PRNGKey(2),
+                                      px)["params"]))
+        want_h, want_p = sep.apply({"params": qparams}, px)
+        got_h, got_p = blk.apply({"params": qparams}, px)
+        for got, want in ((got_h, want_h), (got_p, want_p)):
+            err = np.abs(np.asarray(got) - np.asarray(want))
+            assert err.max() < 5e-2
+            assert (err > 5e-4).mean() < 5e-3
+
+
 class TestFusedQKVInt8:
     """`fused_qkv_mha_int8`: int8 projections inside the kernel must
     reproduce QuantDense(static) + attention exactly."""
