@@ -1,0 +1,145 @@
+"""Train step x remat x fused-attention custom_vjp interplay.
+
+scripts/bench_train.py runs the full train step under remat='full'
+with the fused attention impls; this pins that graph structure
+(jax.checkpoint + nn.scan + custom_vjp + checkpoint_name) on CPU
+BEFORE a hardware session spends compile time on it.
+
+Interpret-mode Pallas carries an OrderedIOEffect that
+`jax.checkpoint` partial-eval rejects (NotImplementedError: Effects
+not supported), so the Pallas ENTRY POINTS are monkeypatched with
+exact XLA twins here — the kernels' numerics are pinned by
+tests/test_flash_attention.py and tests/test_fused_mlp.py; this file
+validates everything AROUND them: custom_vjp signatures under remat,
+checkpoint_name placement (incl. the post-residual block output), and
+loss/grad parity across impls.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+RNG = np.random.default_rng(32)
+
+
+@pytest.fixture(autouse=True)
+def xla_twins(monkeypatch):
+    """Replace Pallas forwards/backwards with exact XLA equivalents."""
+    from pigeon_tpu.kernels import flash_attention as fa
+    from pigeon_tpu.kernels import fused_mlp as fm
+
+    def flash_fwd(q, k, v):
+        return fa._xla_attention_bshd(q, k, v)
+
+    def flash_bwd(q, k, v, g):
+        _, vjp = jax.vjp(fa._xla_attention_bshd, q, k, v)
+        return vjp(g)
+
+    def fused_qkv(x, wq, wk, wv, bq, bk, bv, num_heads):
+        b, s, d = x.shape
+        dh = d // num_heads
+
+        def fold(t):
+            return jnp.swapaxes(
+                t.reshape(b, s, num_heads, dh), 1, 2) \
+                .reshape(b * num_heads, s, dh)
+
+        q, k, v = (fold((x @ w + bb).astype(x.dtype))
+                   for w, bb in ((wq, bq), (wk, bk), (wv, bv)))
+        out = fa._xla_attention_bshd(q, k, v)
+        return jnp.swapaxes(
+            out.reshape(b, num_heads, s, dh), 1, 2).reshape(b, s, d)
+
+    def fused_ln_qkv(x, ls, lb, wq, wk, wv, bq, bk, bv, num_heads,
+                     eps):
+        xn = fa._layer_norm_f32(x, ls, lb, eps).astype(x.dtype)
+        return fused_qkv(xn, wq, wk, wv, bq, bk, bv, num_heads)
+
+    monkeypatch.setattr(fa, "_flash_forward", flash_fwd)
+    monkeypatch.setattr(fa, "_flash_backward", flash_bwd)
+    monkeypatch.setattr(fa, "_fused_qkv_forward", fused_qkv)
+    monkeypatch.setattr(fa, "_fused_ln_qkv_forward", fused_ln_qkv)
+    monkeypatch.setattr(
+        fa, "_fused_block_attn_forward",
+        lambda *a: fa._fused_block_reference(*a))
+    monkeypatch.setattr(
+        fm, "_fused_ln_mlp_forward",
+        lambda *a: fm._reference_ln_mlp(*a))
+    yield
+
+
+def _tiny_setup(attn_impl, remat):
+    import optax
+
+    from pigeon_tpu.config import HeadConfig, VisionConfig
+    from pigeon_tpu.models.super_guessr import SuperGuessr
+    from pigeon_tpu.train import create_train_state
+    from pigeon_tpu.train.train_loop import make_train_step
+
+    vision = VisionConfig(image_size=32, patch_size=8, hidden_size=64,
+                          intermediate_size=128, num_layers=2,
+                          num_heads=4, projection_dim=32)
+    head = HeadConfig(num_cells=11, embed_dim=32, panorama=False,
+                      multi_task=True)
+    model = SuperGuessr(vision, head, dtype=jnp.float32,
+                        attn_impl=attn_impl, remat=remat)
+    example = jnp.zeros((2, 32, 32, 3))
+    # SGD(1.0): params_before - params_after == the raw gradient, so
+    # the post-step comparison is a clean grad-parity check (AdamW's
+    # first step pushes +-lr for ANY nonzero grad — sign-sensitive to
+    # harmless ulp differences between impls).
+    opt = optax.sgd(1.0)
+    state = create_train_state(jax.random.PRNGKey(0), model, opt,
+                               (example,))
+    cells = np.stack([np.linspace(-170, 170, head.num_cells),
+                      np.linspace(-55, 65, head.num_cells)],
+                     -1).astype(np.float32)
+    step = make_train_step(model, opt, head, cells)
+    return state, step
+
+
+def _batch(n=4):
+    ks = jax.random.split(jax.random.PRNGKey(5), 7)
+    return {
+        "inputs": jax.random.normal(ks[0], (n, 32, 32, 3), jnp.float32),
+        "labels": jnp.stack(
+            [jax.random.uniform(ks[1], (n,), minval=-170, maxval=170),
+             jax.random.uniform(ks[2], (n,), minval=-55, maxval=65)],
+            -1),
+        "labels_clf": jax.random.randint(ks[3], (n,), 0, 11),
+        "labels_multi_task": jax.random.normal(ks[4], (n, 6)),
+        "labels_climate": jax.random.randint(ks[5], (n,), 0, 28),
+        "labels_month": jax.random.randint(ks[6], (n,), 0, 12),
+    }
+
+
+@pytest.mark.parametrize("attn_impl", ["flash_fused", "flash_fused_ln",
+                                       "flash_fused_mlp",
+                                       "flash_fused_block"])
+def test_remat_train_step_matches_flash(attn_impl):
+    batch = _batch()
+    rng = jax.random.PRNGKey(7)
+
+    base_state, base_step = _tiny_setup("flash", "full")
+    base_state2, base_metrics = base_step(base_state, batch, rng)
+
+    state, step = _tiny_setup(attn_impl, "full")
+    state2, metrics = step(state, batch, rng)
+
+    assert np.isfinite(float(metrics["loss"]))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(base_metrics["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(state2.params),
+                    jax.tree_util.tree_leaves(base_state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4)
+
+
+def test_attn_out_remat_policy_with_block_impl():
+    """remat='attn_out' must still compile/run when the checkpoint
+    name lands on the post-residual block output."""
+    batch = _batch()
+    state, step = _tiny_setup("flash_fused_block", "attn_out")
+    _, metrics = step(state, batch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics["loss"]))
