@@ -108,6 +108,24 @@ def s6():
     os.environ.pop("BENCH_ATTN", None)
 
 
+@step(7, "e2e bf16 batch-size re-optimum (flash_fused)")
+def s7():
+    # ROADMAP r4 #2: the serial-VPU-share argument that picked bs32
+    # weakened once the projections moved in-kernel — re-find the
+    # optimum for the validated default impl.
+    bench = _load(os.path.join(ROOT, "bench.py"), "bench_e2e_bs")
+    os.environ["BENCH_ATTN"] = "flash_fused"
+    for bs in ("24", "48", "64"):
+        os.environ["BENCH_BATCH"] = bs
+        try:
+            bench.main()
+        except Exception:  # noqa: BLE001
+            traceback.print_exc()
+            print(f"## bs{bs} FAILED — next", flush=True)
+    os.environ.pop("BENCH_BATCH", None)
+    os.environ.pop("BENCH_ATTN", None)
+
+
 def main() -> None:
     steps = sorted(
         (v for v in globals().values() if hasattr(v, "_num")),
