@@ -624,6 +624,118 @@ def _fused_block_bwd(num_heads, eps, res, g):
 fused_block_attention.defvjp(_fused_block_fwd, _fused_block_bwd)
 
 
+def _block_attn_int8_kernel(x_ref, ls_ref, lb_ref, aq_ref, wq_ref,
+                            svq_ref, bq_ref, wk_ref, svk_ref, bk_ref,
+                            wv_ref, svv_ref, bv_ref, ao_ref, wo_ref,
+                            svo_ref, bo_ref, o_ref, oall_ref, *,
+                            hg: int, dh: int, scale: float, eps: float,
+                            groups: int):
+    """Int8 block attention, ONE program per batch element with ALL
+    weights VMEM-resident: the four int8 (D, D) kernels total ~4 MB,
+    so unlike the bf16 block kernel nothing streams — the group loop
+    is a static unroll with STATIC weight slices, x is read once (it
+    is LN input and residual), and no activation ever touches HBM.
+    LN + quantize run once; attention stays bf16/f32; the quantized
+    attention output feeds the int8 out-projection dot per group and
+    the f32 partials sum into the residual."""
+    dt = o_ref.dtype
+    xn = _layer_norm_f32(x_ref[0], ls_ref[...], lb_ref[...],
+                         eps).astype(dt)
+    xq = jnp.clip(jnp.round(xn.astype(jnp.float32) / aq_ref[0, 0]),
+                  -127, 127).astype(jnp.int8)           # (S, D)
+    out = x_ref[0].astype(jnp.float32) + bo_ref[...]
+
+    def proj(w_ref, sv_ref, b_ref, csl):
+        y = jax.lax.dot_general(
+            xq, w_ref[:, csl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32) * sv_ref[0, csl][None, :]
+             + b_ref[0, csl][None, :])
+        return y.astype(dt)
+
+    for g in range(groups):
+        csl = slice(g * hg * dh, (g + 1) * hg * dh)
+        q_all = proj(wq_ref, svq_ref, bq_ref, csl)      # (S, hg*dh)
+        k_all = proj(wk_ref, svk_ref, bk_ref, csl)
+        v_all = proj(wv_ref, svv_ref, bv_ref, csl)
+        for h in range(hg):
+            sl = slice(h * dh, (h + 1) * dh)
+            logits = jax.lax.dot_general(
+                q_all[:, sl], k_all[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * np.float32(scale)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            p = jnp.exp(logits - m)
+            denom = jnp.sum(p, axis=1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v_all.dtype), v_all[:, sl],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            oall_ref[:, sl] = (o / denom).astype(dt)
+        oq = jnp.clip(
+            jnp.round(oall_ref[...].astype(jnp.float32) / ao_ref[0, 0]),
+            -127, 127).astype(jnp.int8)                 # (S, hg*dh)
+        po = jax.lax.dot_general(
+            oq, wo_ref[csl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out += po.astype(jnp.float32) * svo_ref[...]
+
+    o_ref[0] = out.astype(dt)
+
+
+def fused_block_attention_int8(x, ln_scale, ln_bias, aqkv, wq, sq, bq,
+                               wk, sk, bk, wv, sv, bv, ao, wo, so, bo,
+                               num_heads: int, eps: float = 1e-5):
+    """Int8 block attention (serving, fwd-only): LN1 + shared-scale
+    quantize + int8 QKV dots + bf16 attention + int8 out-projection +
+    residual, one Pallas program per batch element.
+
+    ``aqkv``: the shared q/k/v input act scale (calibration freezes
+    identical scales — same input); ``ao``: the out-projection's act
+    scale. Weight packs as `models/quant.py` QuantDense. Matches the
+    separate QuantDense(static) composition within quantization-flip
+    noise (one dequantized LSB; in-kernel exp/rounding may differ from
+    XLA by an ulp at round() boundaries)."""
+    b, s, d = x.shape
+    dh = d // num_heads
+    groups = next(g for g in (FUSED_GROUPS, 2, 1) if num_heads % g == 0)
+    hg = num_heads // groups
+    gw = hg * dh
+
+    aqkv = jnp.asarray(aqkv, jnp.float32).reshape(1, 1)
+    ao = jnp.asarray(ao, jnp.float32).reshape(1, 1)
+
+    def sv_vec(a, sc):                                 # (1, D) f32
+        return (a[0, 0] * sc.astype(jnp.float32))[None, :]
+
+    const = lambda bb: (0, 0)  # noqa: E731
+    vec = pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM)
+    wfull = pl.BlockSpec((d, d), const, memory_space=pltpu.VMEM)
+    scalar = pl.BlockSpec((1, 1), const, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_block_attn_int8_kernel, hg=hg, dh=dh,
+                          scale=dh ** -0.5, eps=eps, groups=groups),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, d), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec, vec, scalar,
+            wfull, vec, vec, wfull, vec, vec, wfull, vec, vec,
+            scalar, wfull, vec, vec,
+        ],
+        out_specs=pl.BlockSpec((1, s, d), lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((s, gw), x.dtype),  # per-group attention output
+        ],
+    )(x, ln_scale.astype(jnp.float32)[None, :],
+      ln_bias.astype(jnp.float32)[None, :],
+      aqkv, wq, sv_vec(aqkv, sq), bq.astype(jnp.float32)[None, :],
+      wk, sv_vec(aqkv, sk), bk.astype(jnp.float32)[None, :],
+      wv, sv_vec(aqkv, sv), bv.astype(jnp.float32)[None, :],
+      ao, wo, sv_vec(ao, so), bo.astype(jnp.float32)[None, :])
+
+
 def _fused_qkv_int8_kernel(xq_ref, wq_ref, sq_ref, bq_ref, wk_ref,
                            sk_ref, bk_ref, wv_ref, sv_ref, bv_ref,
                            o_ref, *, hg: int, dh: int, scale: float):

@@ -225,6 +225,25 @@ class MultiHeadAttention(nn.Module):
                 cast(wv), cast(bq), cast(bk), cast(bv), cast(wo),
                 cast(bo), self.num_heads, eps)
 
+        if (self.attn_impl == "flash_fused_block" and mask is None
+                and self.quant == "static" and ln is not None):
+            # Int8 block: all four int8 (D, D) kernels fit VMEM at
+            # once (~4 MB), so the kernel runs one program per batch
+            # element with zero weight streaming and zero activation
+            # round-trips. Residual included — caller must not re-add.
+            from pigeon_tpu.kernels import flash_attention
+
+            wq, sq, aq, bq = _QuantDenseParams(d, d, name="q_proj")()
+            wk, sk, ak, bk = _QuantDenseParams(d, d, name="k_proj")()
+            wv, sv, av, bv = _QuantDenseParams(d, d, name="v_proj")()
+            wo, so, ao, bo = _QuantDenseParams(d, d, name="out_proj")()
+            ls, lb, eps = ln
+            a_qkv = jnp.maximum(jnp.maximum(aq, ak), av)
+            return flash_attention.fused_block_attention_int8(
+                x.astype(self.dtype), ls, lb, a_qkv, wq, sq, bq,
+                wk, sk, bk, wv, sv, bv, ao, wo, so, bo,
+                self.num_heads, eps)
+
         if (self.attn_impl == "flash_fused" and mask is None
                 and self.quant == "static"):
             from pigeon_tpu.kernels import flash_attention
@@ -288,9 +307,11 @@ class TransformerLayer(nn.Module):
                    and not self.quant)
         # 'flash_fused_block' fuses the ENTIRE attention half including
         # the out-projection and residual into one kernel; paired with
-        # the fused MLP the layer is two Pallas programs.
+        # the fused MLP the layer is two Pallas programs. Static int8
+        # towers route to the whole-weights-resident int8 block kernel.
         fuse_block = (self.attn_impl == "flash_fused_block"
-                      and mask is None and not self.quant)
+                      and mask is None
+                      and self.quant in (False, "static"))
         fuse_mlp = (self.attn_impl in ("flash_fused_mlp",
                                        "flash_fused_block")
                     and mask is None

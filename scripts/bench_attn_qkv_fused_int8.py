@@ -97,9 +97,28 @@ def main() -> None:
             deq[2][0].astype(jnp.bfloat16), deq[0][1], deq[1][1],
             deq[2][1], H)
 
+    def int8_block(x, packs, act_scale):
+        # Whole attention half incl. out-projection + residual: LN is
+        # IDENTITY-parameterized here (scale 1, bias 0) and a 4th
+        # weight pack reuses pack 0, so the comparison isolates the
+        # kernel design, not extra math. Output differs from the
+        # sep/fused variants (adds LN + out-proj) — timing-only row.
+        from pigeon_tpu.kernels.flash_attention import (
+            fused_block_attention_int8,
+        )
+
+        d = x.shape[-1]
+        ls = jnp.ones((d,), jnp.float32)
+        lb = jnp.zeros((d,), jnp.float32)
+        flat = [a for p in packs for a in p]
+        return fused_block_attention_int8(
+            x, ls, lb, act_scale, *flat, jnp.float32(0.02), *packs[0],
+            H, 1e-5)
+
     variants = {"int8_sep_flash": int8_sep_flash,
                 "int8_fused": int8_fused,
-                "bf16_fused": bf16_fused}
+                "bf16_fused": bf16_fused,
+                "int8_block": int8_block}
 
     scalarize = jax.jit(lambda a: a.astype(jnp.float32).sum())
     base_out = None
@@ -111,7 +130,9 @@ def main() -> None:
             err = None
             if base_out is None:
                 base_out = np.asarray(out[:4], np.float32)
-            elif name != "bf16_fused":  # bf16 path differs by quant err
+            # bf16 differs by quant error; int8_block adds LN +
+            # out-proj + residual (timing-only row, parity in tests).
+            elif name not in ("bf16_fused", "int8_block"):
                 err = float(np.abs(np.asarray(out[:4], np.float32)
                                    - base_out).max())
                 assert err < 5e-2, f"{name} parity {err}"

@@ -487,6 +487,68 @@ class TestFusedQKVInt8:
                                    atol=5e-5)
 
 
+class TestFusedBlockInt8:
+    """`fused_block_attention_int8`: whole-weights-resident int8 block
+    must match LN -> QuantDense(static) QKV -> attention ->
+    QuantDense(static) out-proj -> residual within quantization-flip
+    noise (in-kernel exp may differ from XLA by an ulp at round()
+    boundaries of the out-projection quantize)."""
+
+    EPS = 1e-5
+
+    def _setup(self, b=2, s=64, h=4, dh=16):
+        from pigeon_tpu.models.quant import quantize_channelwise
+
+        d = h * dh
+        x = jnp.asarray(RNG.normal(size=(b, s, d)).astype(np.float32))
+        ls = jnp.asarray(1.0 + RNG.normal(size=(d,)).astype(np.float32)
+                         * .1)
+        lb = jnp.asarray(RNG.normal(size=(d,)).astype(np.float32) * .1)
+        packs = []
+        for _ in range(4):
+            w_q, s_w = quantize_channelwise(jnp.asarray(
+                RNG.normal(size=(d, d)).astype(np.float32) * .1))
+            bias = jnp.asarray(RNG.normal(size=(d,)).astype(np.float32)
+                               * .1)
+            packs.append((w_q, s_w, bias))
+        return x, ls, lb, packs, jnp.float32(0.05), jnp.float32(0.01), h
+
+    def _reference(self, x, ls, lb, packs, aqkv, ao, h):
+        import flax.linen as nn
+
+        b, s, d = x.shape
+        dh = d // h
+
+        def qdense(y, a, w_q, s_w, bias):
+            y_q = jnp.clip(jnp.round(y / a), -127, 127)
+            return y_q @ w_q.astype(jnp.float32) * (a * s_w) + bias
+
+        xn = nn.LayerNorm(epsilon=self.EPS).apply(
+            {"params": {"scale": ls, "bias": lb}}, x)
+        q, k, v = (qdense(xn, aqkv, *p).reshape(b, s, h, dh)
+                   for p in packs[:3])
+        ao_t = xla_mha(q, k, v).reshape(b, s, d)
+        return x + qdense(ao_t, ao, *packs[3])
+
+    @pytest.mark.parametrize("s", [64, 577])
+    def test_matches_quantdense_composition(self, s):
+        from pigeon_tpu.kernels.flash_attention import (
+            fused_block_attention_int8,
+        )
+
+        x, ls, lb, packs, aqkv, ao, h = self._setup(s=s)
+        flat = [a for p in packs[:3] for a in p]
+        got = np.asarray(fused_block_attention_int8(
+            x, ls, lb, aqkv, *flat, ao, *packs[3], h, self.EPS))
+        want = np.asarray(self._reference(x, ls, lb, packs, aqkv, ao,
+                                          h))
+        _, s2, _ = packs[3]
+        lsb = float(ao * jnp.max(s2) * 127)
+        err = np.abs(got - want)
+        assert err.max() <= 1.5 * lsb + 2e-4
+        assert (err > 2e-4).mean() < 5e-3
+
+
 class TestModelIntegration:
     def test_vision_tower_flash_matches_xla(self):
         from pigeon_tpu.config import VisionConfig
