@@ -128,9 +128,6 @@ def _flash_forward(q, k, v, block_q: int = DEFAULT_BLOCK_Q):
     """
     import os
 
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     del block_q  # whole (S, Dh) tiles per (batch, head): K/V DMA'd once
     bh, s, dh = q.shape
     scale = dh ** -0.5
@@ -211,9 +208,6 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
 
 def _flash_backward(q, k, v, g):
     """q/k/v/g: (BH, S, Dh) -> (dq, dk, dv)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     bh, s, dh = q.shape
     scale = dh ** -0.5
     pack = next((p for p in (BWD_PACK, 1) if bh % p == 0), 1)
@@ -237,11 +231,13 @@ def _flash_backward(q, k, v, g):
 FUSED_GROUPS = 4
 
 
-def _fused_heads_attention(q_all, k_all, v_all, o_ref, *, hg: int,
-                           dh: int, scale: float):
+def _heads_attention(q_all, k_all, v_all, *, hg: int, dh: int,
+                     scale: float, out_dtype):
     """Single-pass softmax attention per head over concatenated
-    (S, hg*dh) q/k/v blocks (same math as `_attn_kernel`), writing into
-    the program's (1, S, hg*dh) output block."""
+    (S, hg*dh) q/k/v blocks (same math as `_attn_kernel`). Returns the
+    per-head (S, dh) outputs — the single source of this numerically
+    pinned body; callers write the slices into their own refs."""
+    outs = []
     for h in range(hg):
         sl = slice(h * dh, (h + 1) * dh)
         logits = jax.lax.dot_general(
@@ -253,7 +249,17 @@ def _fused_heads_attention(q_all, k_all, v_all, o_ref, *, hg: int,
         o = jax.lax.dot_general(
             p.astype(v_all.dtype), v_all[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        o_ref[0, :, h * dh:(h + 1) * dh] = (o / denom).astype(o_ref.dtype)
+        outs.append(((o / denom)).astype(out_dtype))
+    return outs
+
+
+def _fused_heads_attention(q_all, k_all, v_all, o_ref, *, hg: int,
+                           dh: int, scale: float):
+    """`_heads_attention` written into a (1, S, hg*dh) output block."""
+    outs = _heads_attention(q_all, k_all, v_all, hg=hg, dh=dh,
+                            scale=scale, out_dtype=o_ref.dtype)
+    for h, o in enumerate(outs):
+        o_ref[0, :, h * dh:(h + 1) * dh] = o
 
 
 def _fused_qkv_kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
@@ -280,9 +286,6 @@ def _fused_qkv_kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
 def _fused_qkv_forward(x, wq, wk, wv, bq, bk, bv, num_heads: int):
     """x: (B, S, D); w*: (D, D); b*: (D,) -> (B, S, D) attention output
     (heads concatenated in natural order, pre-output-projection)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     b, s, d = x.shape
     dh = d // num_heads
     groups = next(g for g in (FUSED_GROUPS, 2, 1) if num_heads % g == 0)
@@ -405,9 +408,6 @@ def _fused_ln_qkv_kernel(x_ref, ls_ref, lb_ref, wq_ref, bq_ref, wk_ref,
 def _fused_ln_qkv_forward(x, ln_scale, ln_bias, wq, wk, wv, bq, bk, bv,
                           num_heads: int, eps: float):
     """Pallas LN+QKV+attention fusion: (B, S, D) raw -> (B, S, D)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     b, s, d = x.shape
     dh = d // num_heads
     groups = next(g for g in (FUSED_GROUPS, 2, 1) if num_heads % g == 0)
@@ -507,18 +507,10 @@ def _block_attn_kernel(x_ref, ls_ref, lb_ref, wq_ref, bq_ref, wk_ref,
     q_all = proj(wq_ref, bq_ref)                       # (S, hg*dh)
     k_all = proj(wk_ref, bk_ref)
     v_all = proj(wv_ref, bv_ref)
-    for h in range(hg):
-        sl = slice(h * dh, (h + 1) * dh)
-        logits = jax.lax.dot_general(
-            q_all[:, sl], k_all[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * np.float32(scale)
-        m = jnp.max(logits, axis=1, keepdims=True)
-        p = jnp.exp(logits - m)
-        denom = jnp.sum(p, axis=1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v_all.dtype), v_all[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        oall_ref[:, sl] = (o / denom).astype(oall_ref.dtype)
+    for h, o in enumerate(_heads_attention(
+            q_all, k_all, v_all, hg=hg, dh=dh, scale=scale,
+            out_dtype=oall_ref.dtype)):
+        oall_ref[:, h * dh:(h + 1) * dh] = o
 
     # One (S, gw) @ (gw, D) out-projection dot per group (K=gw keeps
     # the MXU fed vs per-head K=64 slices).
@@ -588,8 +580,16 @@ def fused_block_attention(x, ln_scale, ln_bias, wq, wk, wv, bq, bk, bv,
     kernel: ``(B, S, D) -> (B, S, D)`` computing
     ``x + out_proj(attn(LN(x)))``. Combined with
     `kernels/fused_mlp.fused_ln_mlp` the whole transformer layer runs
-    as two Pallas programs; the only per-layer HBM tensor traffic left
-    is x in and the two block outputs.
+    as two Pallas programs and no ACTIVATION tensor round-trips HBM —
+    but the (batch, group) grid re-streams the four weight blocks on
+    every step (~2 MB x groups x B ≈ 256 MB/layer at bs32, vs 8 MB
+    read-once for the separate-op layer), trading resident weights for
+    resident x. The stream is double-buffered and sits well under the
+    attention-half compute time (~312 µs vs ~1.4 ms at bs32), so
+    whether the activation savings beat the added weight traffic is an
+    OVERLAP question only the e2e measurement answers (the int8 twin
+    `fused_block_attention_int8` avoids the trade entirely — int8
+    weights fit VMEM whole).
 
     Backward rematerializes LN + projections in XLA and reuses the
     `fused_qkv_mha` custom_vjp (flash backward kernel) via `jax.vjp`
@@ -658,19 +658,10 @@ def _block_attn_int8_kernel(x_ref, ls_ref, lb_ref, aq_ref, wq_ref,
         q_all = proj(wq_ref, svq_ref, bq_ref, csl)      # (S, hg*dh)
         k_all = proj(wk_ref, svk_ref, bk_ref, csl)
         v_all = proj(wv_ref, svv_ref, bv_ref, csl)
-        for h in range(hg):
-            sl = slice(h * dh, (h + 1) * dh)
-            logits = jax.lax.dot_general(
-                q_all[:, sl], k_all[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * np.float32(scale)
-            m = jnp.max(logits, axis=1, keepdims=True)
-            p = jnp.exp(logits - m)
-            denom = jnp.sum(p, axis=1, keepdims=True)
-            o = jax.lax.dot_general(
-                p.astype(v_all.dtype), v_all[:, sl],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            oall_ref[:, sl] = (o / denom).astype(dt)
+        for h, o in enumerate(_heads_attention(
+                q_all, k_all, v_all, hg=hg, dh=dh, scale=scale,
+                out_dtype=dt)):
+            oall_ref[:, h * dh:(h + 1) * dh] = o
         oq = jnp.clip(
             jnp.round(oall_ref[...].astype(jnp.float32) / ao_ref[0, 0]),
             -127, 127).astype(jnp.int8)                 # (S, hg*dh)
@@ -783,9 +774,6 @@ def fused_qkv_mha_int8(x, act_scale, wq, sq, bq, wk, sk, bk, wv, sv, bv,
     act_scale is folded into the weight-scale vectors so the kernel
     needs no scalar operand.
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     b, s, d = x.shape
     dh = d // num_heads
     groups = next(g for g in (FUSED_GROUPS, 2, 1) if num_heads % g == 0)

@@ -120,7 +120,7 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     # x generated ON DEVICE (host->device ~6 MB/s; a (32, 577, 1024)
-    # f32 upload alone is ~13 min through the tunnel).
+    # f32 upload alone is ~13 s through the tunnel).
     x = jax.jit(lambda key: jax.random.normal(
         key, (B, S, D), jnp.bfloat16))(jax.random.PRNGKey(0))
     wq, wk, wv = (rng.normal(0, 0.02, (D, D)).astype(np.float32)

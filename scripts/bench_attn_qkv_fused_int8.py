@@ -52,7 +52,7 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     # x generated ON DEVICE (host->device is ~6 MB/s through the
-    # tunnel; a (32, 577, 1024) f32 upload alone would take ~13 min).
+    # tunnel; a (32, 577, 1024) f32 upload alone would take ~13 s).
     x = jax.jit(lambda key: jax.random.normal(
         key, (B, S, D), jnp.bfloat16))(jax.random.PRNGKey(0))
     x.block_until_ready()

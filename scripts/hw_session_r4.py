@@ -88,7 +88,8 @@ def s4():
 def s5():
     bench = _load(os.path.join(ROOT, "bench.py"), "bench_e2e_int8")
     os.environ["BENCH_QUANT"] = "1"
-    for attn in ("flash", "flash_fused", "flash_fused_mlp"):
+    for attn in ("flash", "flash_fused", "flash_fused_mlp",
+                 "flash_fused_block"):
         os.environ["BENCH_ATTN"] = attn
         try:
             bench.main()
