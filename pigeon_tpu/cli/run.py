@@ -136,6 +136,25 @@ def _attn_impl(train: bool = False) -> str:
     return "flash" if train else "flash_fused"
 
 
+def _quant_attn_impl() -> str:
+    """Attention impl for the int8 (quant='static') serving path.
+
+    Static towers route every fused impl into the int8 fused kernels
+    (`fused_qkv_mha_int8` / `fused_ln_mlp_int8` /
+    `fused_block_attention_int8`) — exact-parity-tested on CPU but NOT
+    yet validated on real TPU (Mosaic int8 dot lowering is exactly
+    what interpret mode can't catch; CLAUDE.md rule 4). So this
+    downgrades ALL fused impls to 'flash' — including values arriving
+    via PIGEON_ATTN_IMPL — until a hardware run confirms.
+    PIGEON_QUANT_ATTN_IMPL is the explicit opt-in for that validation
+    run."""
+    override = os.environ.get("PIGEON_QUANT_ATTN_IMPL")
+    if override:
+        return override
+    impl = _attn_impl()
+    return "flash" if impl.startswith("flash_fused") else impl
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="pigeon_tpu",
@@ -646,23 +665,8 @@ def _quantize_for_inference(cfg, params, calib_pixels,
     from pigeon_tpu.models.quant import quantize_and_calibrate
     from pigeon_tpu.models.super_guessr import SuperGuessr
 
-    # Int8 static towers route every fused impl into the int8 fused
-    # kernels (`fused_qkv_mha_int8` / `fused_ln_mlp_int8` /
-    # `fused_block_attention_int8`) — exact-parity-tested on CPU but
-    # NOT yet validated on real TPU (Mosaic int8 dot lowering is
-    # exactly what interpret mode can't catch; CLAUDE.md rule 4). The
-    # quant path therefore downgrades ALL of them to 'flash' —
-    # including values arriving via PIGEON_ATTN_IMPL — until a
-    # hardware run confirms; PIGEON_QUANT_ATTN_IMPL is the explicit
-    # opt-in for that validation run.
     if attn_impl is None:
-        override = os.environ.get("PIGEON_QUANT_ATTN_IMPL")
-        if override:
-            attn_impl = override
-        else:
-            attn_impl = _attn_impl()
-            if attn_impl.startswith("flash_fused"):
-                attn_impl = "flash"
+        attn_impl = _quant_attn_impl()
     dyn = SuperGuessr(cfg.vision, cfg.head, dtype=jnp.bfloat16,
                       attn_impl=attn_impl, quant=True)
     params = quantize_and_calibrate(dyn, params, calib_pixels,

@@ -1,5 +1,7 @@
 """CLI end-to-end smoke: embed -> finetune-on-embeddings through main()."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -603,3 +605,41 @@ def test_evaluate_holdout_comma_metadata(tiny_world, monkeypatch):
     results = json.loads(out.read_text())
     assert "Median_km_error" in results["test"]
     assert n_test >= 2  # both files contribute test rows
+
+
+class TestAttnImplSelection:
+    """The quant path's attention-impl guard (cli/run.py) must hold
+    regardless of the PIGEON_ATTN_IMPL override: every fused impl
+    routes into the int8 fused kernels on static towers, which stay
+    off until hardware-validated (docs/PERF.md r4)."""
+
+    def _sel(self, monkeypatch, attn_env=None, quant_env=None):
+        from pigeon_tpu.cli import run as cli
+
+        for k in ("PIGEON_ATTN_IMPL", "PIGEON_QUANT_ATTN_IMPL"):
+            monkeypatch.delenv(k, raising=False)
+        if attn_env:
+            monkeypatch.setenv("PIGEON_ATTN_IMPL", attn_env)
+        if quant_env:
+            monkeypatch.setenv("PIGEON_QUANT_ATTN_IMPL", quant_env)
+        monkeypatch.setattr(cli, "_attn_impl",
+                            lambda train=False: (
+                                os.environ.get("PIGEON_ATTN_IMPL")
+                                or "flash_fused"))
+        return cli._quant_attn_impl()
+
+    def test_default_downgrades_to_flash(self, monkeypatch):
+        assert self._sel(monkeypatch) == "flash"
+
+    @pytest.mark.parametrize("impl", ["flash_fused", "flash_fused_ln",
+                                      "flash_fused_mlp",
+                                      "flash_fused_block"])
+    def test_every_fused_override_downgrades(self, monkeypatch, impl):
+        assert self._sel(monkeypatch, attn_env=impl) == "flash"
+
+    def test_non_fused_override_passes_through(self, monkeypatch):
+        assert self._sel(monkeypatch, attn_env="xla") == "xla"
+
+    def test_quant_env_is_the_explicit_opt_in(self, monkeypatch):
+        got = self._sel(monkeypatch, quant_env="flash_fused_block")
+        assert got == "flash_fused_block"
