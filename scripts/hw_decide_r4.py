@@ -1,0 +1,164 @@
+"""Parse the round-4 HW session log and apply the ROADMAP decision rule.
+
+`scripts/hw_session_r4.py` interleaves JSON result lines (component
+benches, e2e bench.py, bench_train.py) with progress/stderr text in one
+log. This script turns that log into the three decisions the ROADMAP
+pins so acting on a recovered tunnel is mechanical:
+
+  1. INFERENCE default (`models/clip.py::_attn_impl`): fastest
+     VALIDATED bf16 e2e impl (step 4; an impl that crashed or was
+     skipped never wins).
+  2. TRAIN default: flip only if a fused custom_vjp variant beats
+     'flash' in the step-6 A/B.
+  3. QUANT route (`cli/run.py::_quantize_for_inference` + bench
+     default): flip to a fused int8 impl only if BOTH the step-1
+     Mosaic parity gate passed (an `int8_fused` record implies the
+     in-script assert held on real hardware) AND the step-5 int8 e2e
+     beats 'flash'.
+  4. BENCH_BATCH: step-7 re-optimum for the winning bf16 impl
+     (bs32 comes from step 4's flash_fused row).
+
+Usage: python scripts/hw_decide_r4.py [/tmp/hw_session_r4.log]
+Exit code 2 when the log has no usable e2e rows (session never ran).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+E2E_RE = re.compile(
+    r"embed_classify_images_per_sec_per_chip_bs(\d+)_(\w+?)(_int8)?$")
+TRAIN_RE = re.compile(r"train_images_per_sec_bs(\d+)_(\w+?)_remat")
+
+
+def parse(lines):
+    """Collect {bf16: {(impl, bs): rate}, int8: {...}, train: {...},
+    component: [records]} from mixed log lines."""
+    out = {"bf16": {}, "int8": {}, "train": {}, "component": []}
+    for line in lines:
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if "variant" in rec:
+            out["component"].append(rec)
+            continue
+        metric = rec.get("metric", "")
+        m = E2E_RE.search(metric)
+        if m:
+            bs, impl, quant = int(m.group(1)), m.group(2), m.group(3)
+            out["int8" if quant else "bf16"][(impl, bs)] = rec["value"]
+            continue
+        m = TRAIN_RE.search(metric)
+        if m:
+            out["train"][(m.group(2), int(m.group(1)))] = rec["value"]
+    return out
+
+
+def _best(table):
+    return max(table.items(), key=lambda kv: kv[1]) if table else None
+
+
+def decide(parsed):
+    """Return a list of (decision, detail) strings."""
+    decisions = []
+
+    bf16 = parsed["bf16"]
+    best_bf16 = _best({k: v for k, v in bf16.items() if k[1] == 32})
+    if best_bf16:
+        (impl, _), rate = best_bf16
+        cur = bf16.get(("flash_fused", 32))
+        if impl != "flash_fused" and cur:
+            decisions.append((
+                f"INFERENCE default -> '{impl}'",
+                f"{rate:.1f} img/s vs flash_fused {cur:.1f} "
+                f"(+{100 * (rate / cur - 1):.1f}%)"))
+        else:
+            decisions.append((
+                "INFERENCE default stays 'flash_fused'",
+                f"{rate:.1f} img/s is the best validated bs32 impl"))
+
+    train = parsed["train"]
+    best_train = _best(train)
+    if best_train:
+        (impl, bs), rate = best_train
+        base = train.get(("flash", bs))
+        if impl != "flash" and base and rate > base:
+            decisions.append((
+                f"TRAIN default -> '{impl}'",
+                f"{rate:.1f} img/s vs flash {base:.1f} "
+                f"(+{100 * (rate / base - 1):.1f}%)"))
+        else:
+            decisions.append((
+                "TRAIN default stays 'flash'",
+                f"flash remains fastest at {rate:.1f} img/s"
+                if impl == "flash" else f"{impl} wins without a flash "
+                "baseline row — investigate before flipping"))
+
+    int8 = parsed["int8"]
+    gate = any(r.get("variant") == "int8_fused"
+               for r in parsed["component"])
+    best_int8 = _best(int8)
+    if best_int8:
+        (impl, bs), rate = best_int8
+        base = max((v for (i, _), v in int8.items() if i == "flash"),
+                   default=None)
+        if impl != "flash" and base and rate > base:
+            if gate:
+                decisions.append((
+                    f"QUANT route -> '{impl}' (bs{bs})",
+                    f"{rate:.1f} img/s vs flash {base:.1f} "
+                    f"(+{100 * (rate / base - 1):.1f}%); Mosaic int8 "
+                    "parity gate PASSED (step-1 int8_fused record)"))
+            else:
+                decisions.append((
+                    "QUANT route BLOCKED despite win",
+                    f"'{impl}' {rate:.1f} beats flash {base:.1f} but "
+                    "the step-1 Mosaic parity gate has no int8_fused "
+                    "record — do not flip"))
+        else:
+            decisions.append((
+                "QUANT route stays 'flash'",
+                "no fused int8 impl beat the flash baseline"))
+
+    sweep = {bs: v for (i, bs), v in bf16.items() if i == "flash_fused"}
+    if len(sweep) > 1:
+        bs, rate = max(sweep.items(), key=lambda kv: kv[1])
+        decisions.append((
+            f"BENCH_BATCH optimum: bs{bs}",
+            " ".join(f"bs{b}={v:.1f}" for b, v in sorted(sweep.items()))))
+    return decisions
+
+
+def main() -> int:
+    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hw_session_r4.log"
+    try:
+        with open(path) as f:
+            parsed = parse(f)
+    except OSError as e:
+        print(f"cannot read {path}: {e}", file=sys.stderr)
+        return 2
+    if not (parsed["bf16"] or parsed["int8"] or parsed["train"]):
+        print(f"{path}: no usable result rows", file=sys.stderr)
+        return 2
+
+    for section in ("bf16", "int8", "train"):
+        for (impl, bs), v in sorted(parsed[section].items()):
+            print(f"  {section:5s} {impl:18s} bs{bs:<3d} {v:8.1f} img/s")
+    for rec in parsed["component"]:
+        extra = "".join(f" {k}={v}" for k, v in rec.items()
+                        if k != "variant")
+        print(f"  comp  {rec['variant']:18s}{extra}")
+    print()
+    for head, detail in decide(parsed):
+        print(f"DECISION: {head}\n    {detail}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,99 @@
+"""Unit tests for the round-4 HW decision parser (scripts/hw_decide_r4.py).
+
+The parser turns the mixed hw_session_r4.py log (JSON rows interleaved
+with progress text) into the ROADMAP's three default-flip decisions.
+Testing it on synthetic logs means the real tunnel-recovery session is
+acted on mechanically instead of by ad-hoc log reading.
+"""
+
+import importlib.util
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+spec = importlib.util.spec_from_file_location(
+    "hw_decide_r4", os.path.join(ROOT, "scripts", "hw_decide_r4.py"))
+hw = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(hw)
+
+
+def e2e(impl, bs, value, quant=False):
+    return json.dumps({
+        "metric": "vit_l14_336_embed_classify_images_per_sec_per_chip"
+                  f"_bs{bs}_{impl}{'_int8' if quant else ''}",
+        "value": value, "unit": "images/sec", "vs_baseline": 0.07,
+        "mfu": 0.7})
+
+
+def train(impl, bs, value):
+    return json.dumps({
+        "metric": f"vit_l14_336_train_images_per_sec_bs{bs}_{impl}"
+                  "_remat-full",
+        "value": value, "unit": "images/sec", "loss": 5.4})
+
+
+def test_parse_ignores_noise_and_buckets_rows():
+    lines = [
+        "## step 4: e2e bf16 attn sweep (t=120s)",
+        "# windows=[373.9, 374.4] compile=4.8s",
+        "{not json",
+        e2e("flash_fused", 32, 374.4),
+        e2e("flash_fused_mlp", 32, 390.1),
+        e2e("flash_fused", 32, 451.0, quant=True),
+        train("flash", 32, 81.9),
+        json.dumps({"variant": "int8_fused", "ms_per_call": 1.2,
+                    "max_err_vs_int8_sep": 0.001}),
+    ]
+    p = hw.parse(lines)
+    assert p["bf16"] == {("flash_fused", 32): 374.4,
+                         ("flash_fused_mlp", 32): 390.1}
+    assert p["int8"] == {("flash_fused", 32): 451.0}
+    assert p["train"] == {("flash", 32): 81.9}
+    assert p["component"][0]["variant"] == "int8_fused"
+
+
+def test_inference_flip_when_variant_wins():
+    p = hw.parse([e2e("flash_fused", 32, 374.0),
+                  e2e("flash_fused_block", 32, 401.0)])
+    heads = [h for h, _ in hw.decide(p)]
+    assert any("INFERENCE default -> 'flash_fused_block'" in h
+               for h in heads)
+
+
+def test_inference_stays_when_fused_best():
+    p = hw.parse([e2e("flash_fused", 32, 374.0),
+                  e2e("flash_fused_ln", 32, 360.0)])
+    heads = [h for h, _ in hw.decide(p)]
+    assert any("stays 'flash_fused'" in h for h in heads)
+
+
+def test_train_flip_requires_beating_flash():
+    p = hw.parse([train("flash", 32, 82.0),
+                  train("flash_fused", 32, 86.3)])
+    heads = [h for h, _ in hw.decide(p)]
+    assert any("TRAIN default -> 'flash_fused'" in h for h in heads)
+
+    p = hw.parse([train("flash", 32, 82.0),
+                  train("flash_fused", 32, 79.0)])
+    heads = [h for h, _ in hw.decide(p)]
+    assert any("TRAIN default stays 'flash'" in h for h in heads)
+
+
+def test_quant_flip_gated_on_mosaic_parity():
+    rows = [e2e("flash", 24, 450.0, quant=True),
+            e2e("flash_fused", 24, 500.0, quant=True)]
+    # Without the step-1 int8_fused component record: blocked.
+    heads = [h for h, _ in hw.decide(hw.parse(rows))]
+    assert any("BLOCKED" in h for h in heads)
+    # With it: flip.
+    rows.append(json.dumps({"variant": "int8_fused", "ms_per_call": 1.0}))
+    heads = [h for h, _ in hw.decide(hw.parse(rows))]
+    assert any("QUANT route -> 'flash_fused'" in h for h in heads)
+
+
+def test_batch_sweep_reports_optimum():
+    p = hw.parse([e2e("flash_fused", 32, 374.0),
+                  e2e("flash_fused", 48, 382.0),
+                  e2e("flash_fused", 64, 377.0)])
+    decs = dict(hw.decide(p))
+    assert "BENCH_BATCH optimum: bs48" in decs
