@@ -55,6 +55,18 @@ def step(num, title):
     return deco
 
 
+@step(0, "fast headline smoke (flash_fused, 2 windows)")
+def s0():
+    # The tunnel flaps: secure a driver-comparable headline number in
+    # the first minutes of a recovered session, before the long sweeps.
+    bench = _load(os.path.join(ROOT, "bench.py"), "bench_smoke")
+    os.environ["BENCH_WINDOWS"] = "2"
+    try:
+        bench.main()
+    finally:
+        os.environ.pop("BENCH_WINDOWS", None)
+
+
 @step(1, "int8 fused QKV component")
 def s1():
     _script("bench_attn_qkv_fused_int8.py").main()
