@@ -7,8 +7,17 @@ axon tunnel), median of BENCH_WINDOWS timing windows.
 
 Env knobs: BENCH_BATCH (32), BENCH_ITERS (6), BENCH_WINDOWS (5),
 BENCH_ATTN (flash; comma-separated list runs an in-process A/B so the
-variants share one tunnel session — e.g. "flash,flash_fused"),
-BENCH_REMAT (full | attn_out | none).
+variants share one tunnel session — e.g. "flash,flash_fused"; an entry
+may carry a per-variant remat as "impl:remat", e.g.
+"flash_fused_mlp:none" — under the fused custom_vjp layers the outer
+jax.checkpoint re-runs the Pallas forward whose output the vjp never
+reads, so remat='none' stores only per-layer block inputs (~0.9 GB at
+bs32) and drops that third pass), BENCH_REMAT (full | attn_out | none;
+the default for entries without a suffix).
+
+A variant that fails (e.g. remote-compile HTTP 500 on an
+out-of-memory graph) is reported and skipped — the A/B continues so
+one bad combination cannot burn the shared tunnel session.
 """
 
 from __future__ import annotations
@@ -39,7 +48,7 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "6"))
     windows = int(os.environ.get("BENCH_WINDOWS", "5"))
     attn_impls = os.environ.get("BENCH_ATTN", "flash").split(",")
-    remat = os.environ.get("BENCH_REMAT", "full")
+    default_remat = os.environ.get("BENCH_REMAT", "full")
 
     vision_cfg = vit_l14_336_vision()
     head_cfg = HeadConfig(num_cells=2203, embed_dim=1024, panorama=False,
@@ -68,30 +77,37 @@ def main() -> None:
     }
     rng = jax.random.PRNGKey(7)
 
-    for attn_impl in attn_impls:
-        model = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.bfloat16,
-                            attn_impl=attn_impl, remat=remat)
-        example = jnp.zeros((2, size, size, 3))
-        opt = adamw(2e-5)
-        state = create_train_state(jax.random.PRNGKey(0), model, opt,
-                                   (example,))
-        step = make_train_step(model, opt, head_cfg, cells)
+    for entry in attn_impls:
+        attn_impl, _, remat = entry.partition(":")
+        remat = remat or default_remat
+        try:
+            model = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.bfloat16,
+                                attn_impl=attn_impl, remat=remat)
+            example = jnp.zeros((2, size, size, 3))
+            opt = adamw(2e-5)
+            state = create_train_state(jax.random.PRNGKey(0), model, opt,
+                                       (example,))
+            step = make_train_step(model, opt, head_cfg, cells)
 
-        t0 = time.perf_counter()
-        state, metrics = step(state, dev_batch, rng)
-        float(metrics["loss"])             # sync (compile included)
-        compile_s = time.perf_counter() - t0
-        state, metrics = step(state, dev_batch, rng)
-        float(metrics["loss"])
-
-        rates = []
-        for _ in range(windows):
             t0 = time.perf_counter()
-            for _ in range(iters):
-                state, metrics = step(state, dev_batch, rng)
-            loss = float(metrics["loss"])  # scalar readback = sync
-            per_iter = (time.perf_counter() - t0) / iters
-            rates.append(batch / per_iter)
+            state, metrics = step(state, dev_batch, rng)
+            float(metrics["loss"])         # sync (compile included)
+            compile_s = time.perf_counter() - t0
+            state, metrics = step(state, dev_batch, rng)
+            float(metrics["loss"])
+
+            rates = []
+            for _ in range(windows):
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    state, metrics = step(state, dev_batch, rng)
+                loss = float(metrics["loss"])  # scalar readback = sync
+                per_iter = (time.perf_counter() - t0) / iters
+                rates.append(batch / per_iter)
+        except Exception as e:  # noqa: BLE001 — e.g. compile OOM/500
+            print(f"# {attn_impl}:remat-{remat} FAILED "
+                  f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
+            continue
         rates.sort()
         rate = rates[len(rates) // 2]
         print(json.dumps({

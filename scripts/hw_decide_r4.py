@@ -30,7 +30,8 @@ import sys
 
 E2E_RE = re.compile(
     r"embed_classify_images_per_sec_per_chip_bs(\d+)_(\w+?)(_int8)?$")
-TRAIN_RE = re.compile(r"train_images_per_sec_bs(\d+)_(\w+?)_remat")
+TRAIN_RE = re.compile(
+    r"train_images_per_sec_bs(\d+)_(\w+?)_remat-(\w+)$")
 
 
 def parse(lines):
@@ -56,7 +57,8 @@ def parse(lines):
             continue
         m = TRAIN_RE.search(metric)
         if m:
-            out["train"][(m.group(2), int(m.group(1)))] = rec["value"]
+            key = (f"{m.group(2)}:{m.group(3)}", int(m.group(1)))
+            out["train"][key] = rec["value"]
     return out
 
 
@@ -87,18 +89,18 @@ def decide(parsed):
     best_train = _best(train)
     if best_train:
         (impl, bs), rate = best_train
-        base = train.get(("flash", bs))
-        if impl != "flash" and base and rate > base:
+        base = train.get(("flash:full", bs))
+        if impl != "flash:full" and base and rate > base:
             decisions.append((
-                f"TRAIN default -> '{impl}'",
-                f"{rate:.1f} img/s vs flash {base:.1f} "
+                f"TRAIN default -> '{impl}' (attn_impl:remat)",
+                f"{rate:.1f} img/s vs flash:full {base:.1f} "
                 f"(+{100 * (rate / base - 1):.1f}%)"))
         else:
             decisions.append((
-                "TRAIN default stays 'flash'",
-                f"flash remains fastest at {rate:.1f} img/s"
-                if impl == "flash" else f"{impl} wins without a flash "
-                "baseline row — investigate before flipping"))
+                "TRAIN default stays 'flash' + full remat",
+                f"flash:full remains fastest at {rate:.1f} img/s"
+                if impl == "flash:full" else f"{impl} wins without a "
+                "flash:full baseline row — investigate before flipping"))
 
     int8 = parsed["int8"]
     gate = any(r.get("variant") == "int8_fused"

@@ -113,10 +113,18 @@ def s5():
     os.environ.pop("BENCH_ATTN", None)
 
 
-@step(6, "training attn A/B")
+@step(6, "training attn A/B (impl x remat)")
 def s6():
-    os.environ["BENCH_ATTN"] = ("flash,flash_fused,flash_fused_ln,"
-                                "flash_fused_mlp,flash_fused_block")
+    # remat='none' rows: under the fused custom_vjp layers the outer
+    # jax.checkpoint re-runs the Pallas forward the vjp never reads —
+    # dropping it stores only per-layer block inputs (~0.9 GB at bs32)
+    # and removes a third forward-equivalent pass. 'flash:none' is NOT
+    # listed (XLA MLP + separate projections under no-remat failed
+    # remote compile in r2 — docs/PERF.md); failures skip per-variant.
+    os.environ["BENCH_ATTN"] = (
+        "flash,flash_fused,flash_fused_ln,flash_fused_mlp,"
+        "flash_fused_block,flash_fused:none,flash_fused_mlp:none,"
+        "flash_fused_block:none")
     _script("bench_train.py").main()
     os.environ.pop("BENCH_ATTN", None)
 

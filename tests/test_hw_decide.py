@@ -25,10 +25,10 @@ def e2e(impl, bs, value, quant=False):
         "mfu": 0.7})
 
 
-def train(impl, bs, value):
+def train(impl, bs, value, remat="full"):
     return json.dumps({
         "metric": f"vit_l14_336_train_images_per_sec_bs{bs}_{impl}"
-                  "_remat-full",
+                  f"_remat-{remat}",
         "value": value, "unit": "images/sec", "loss": 5.4})
 
 
@@ -48,7 +48,7 @@ def test_parse_ignores_noise_and_buckets_rows():
     assert p["bf16"] == {("flash_fused", 32): 374.4,
                          ("flash_fused_mlp", 32): 390.1}
     assert p["int8"] == {("flash_fused", 32): 451.0}
-    assert p["train"] == {("flash", 32): 81.9}
+    assert p["train"] == {("flash:full", 32): 81.9}
     assert p["component"][0]["variant"] == "int8_fused"
 
 
@@ -71,12 +71,23 @@ def test_train_flip_requires_beating_flash():
     p = hw.parse([train("flash", 32, 82.0),
                   train("flash_fused", 32, 86.3)])
     heads = [h for h, _ in hw.decide(p)]
-    assert any("TRAIN default -> 'flash_fused'" in h for h in heads)
+    assert any("TRAIN default -> 'flash_fused:full'" in h for h in heads)
 
     p = hw.parse([train("flash", 32, 82.0),
                   train("flash_fused", 32, 79.0)])
     heads = [h for h, _ in hw.decide(p)]
     assert any("TRAIN default stays 'flash'" in h for h in heads)
+
+
+def test_train_remat_none_variant_wins():
+    # The impl x remat cross product: a fused no-remat row beating the
+    # flash:full baseline must name BOTH halves of the winning combo.
+    p = hw.parse([train("flash", 32, 82.0),
+                  train("flash_fused_mlp", 32, 84.0),
+                  train("flash_fused_mlp", 32, 97.0, remat="none")])
+    heads = [h for h, _ in hw.decide(p)]
+    assert any("TRAIN default -> 'flash_fused_mlp:none'" in h
+               for h in heads)
 
 
 def test_quant_flip_gated_on_mosaic_parity():
