@@ -136,6 +136,30 @@ def test_remat_train_step_matches_flash(attn_impl):
                                    atol=5e-4)
 
 
+@pytest.mark.parametrize("attn_impl", ["flash_fused", "flash_fused_mlp",
+                                       "flash_fused_block"])
+def test_no_remat_train_step_matches_flash(attn_impl):
+    """The step-6 HW A/B rows 'impl:none': dropping the outer
+    jax.checkpoint must not change the training math — the fused
+    custom_vjp layers rematerialize internally from the stored block
+    inputs either way."""
+    batch = _batch()
+    rng = jax.random.PRNGKey(7)
+
+    base_state, base_step = _tiny_setup("flash", "full")
+    base_state2, base_metrics = base_step(base_state, batch, rng)
+
+    state, step = _tiny_setup(attn_impl, "none")
+    state2, metrics = step(state, batch, rng)
+
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(base_metrics["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(state2.params),
+                    jax.tree_util.tree_leaves(base_state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4)
+
+
 def test_attn_out_remat_policy_with_block_impl():
     """remat='attn_out' must still compile/run when the checkpoint
     name lands on the post-residual block output."""
