@@ -48,13 +48,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pigeon_tpu.kernels.flash_attention import _layer_norm_f32
 
-#: Intermediate-dimension chunk width (env-tunable: PIGEON_MLP_CHUNK).
-#: 512 keeps the per-step weight blocks at 2 x 1 MB bf16; the full
-#: VMEM budget at the flagship shape (double-buffered x/out/weights +
-#: (S, D) xn + f32 accumulator scratch) is ~14-16 MB — near the
-#: ~16 MB/core limit, so 256 is the first fallback if the server-side
-#: compile rejects 512.
-DEFAULT_CHUNK = int(os.environ.get("PIGEON_MLP_CHUNK", "512"))
+
+def _default_chunk() -> int:
+    """Intermediate-dimension chunk width (env-tunable:
+    PIGEON_MLP_CHUNK, read at CALL time so a VMEM-reject retry in the
+    same process takes effect). 512 keeps the per-step weight blocks at
+    2 x 1 MB bf16; the full VMEM budget at the flagship shape
+    (double-buffered x/out/weights + (S, D) xn + f32 accumulator
+    scratch) is ~14-16 MB — near the ~16 MB/core limit, so 256 is the
+    first fallback if the server-side compile rejects 512."""
+    return int(os.environ.get("PIGEON_MLP_CHUNK", "512"))
 
 
 def _quick_gelu_f32(y):
@@ -97,7 +100,8 @@ def _fused_ln_mlp_forward(x, ln_scale, ln_bias, w1, b1, w2, b2,
                           eps: float):
     b, s, d = x.shape
     inter = w1.shape[1]
-    ck = DEFAULT_CHUNK if inter % DEFAULT_CHUNK == 0 else inter
+    chunk = _default_chunk()
+    ck = chunk if inter % chunk == 0 else inter
     chunks = inter // ck
 
     return pl.pallas_call(
@@ -200,7 +204,8 @@ def fused_ln_mlp_int8(x, ln_scale, ln_bias, a1, w1, s1, b1, a2, w2, s2,
     """
     b, s, d = x.shape
     inter = w1.shape[1]
-    ck = DEFAULT_CHUNK if inter % DEFAULT_CHUNK == 0 else inter
+    chunk = _default_chunk()
+    ck = chunk if inter % chunk == 0 else inter
     chunks = inter // ck
 
     a1 = jnp.asarray(a1, jnp.float32).reshape(1, 1)

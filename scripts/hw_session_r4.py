@@ -82,35 +82,51 @@ def s3():
     _script("bench_mlp_fused.py").main()
 
 
+def _e2e_sweep(tag, module_name, variants):
+    """One bench.py run per attention impl; a variant that uses the
+    fused MLP (chunk-512 VMEM budget is ~14-16 of ~16 MB, docs/PERF.md)
+    retries ONCE at the documented PIGEON_MLP_CHUNK=256 fallback before
+    being dropped, so a VMEM reject doesn't lose the whole variant."""
+    bench = _load(os.path.join(ROOT, "bench.py"), module_name)
+    for attn in variants:
+        os.environ["BENCH_ATTN"] = attn
+        attempts = [None]
+        if attn in ("flash_fused_mlp", "flash_fused_block"):
+            attempts.append("256")
+        for chunk in attempts:
+            if chunk is not None:
+                os.environ["PIGEON_MLP_CHUNK"] = chunk
+                print(f"## {tag} {attn}: retry with MLP chunk {chunk}",
+                      flush=True)
+            try:
+                bench.main()
+                break
+            except Exception:  # noqa: BLE001 — e.g. VMEM compile reject
+                traceback.print_exc()
+                print(f"## {tag} {attn}"
+                      f"{' (chunk ' + chunk + ')' if chunk else ''} "
+                      "FAILED", flush=True)
+            finally:
+                os.environ.pop("PIGEON_MLP_CHUNK", None)
+    os.environ.pop("BENCH_ATTN", None)
+
+
 @step(4, "e2e bf16 attn sweep")
 def s4():
-    bench = _load(os.path.join(ROOT, "bench.py"), "bench_e2e")
-    for attn in ("flash_fused", "flash_fused_ln", "flash_fused_mlp",
-                 "flash_fused_block"):
-        os.environ["BENCH_ATTN"] = attn
-        try:
-            bench.main()
-        except Exception:  # noqa: BLE001 — e.g. VMEM compile reject
-            traceback.print_exc()
-            print(f"## e2e {attn} FAILED — next variant", flush=True)
-    os.environ.pop("BENCH_ATTN", None)
+    _e2e_sweep("e2e", "bench_e2e",
+               ("flash_fused", "flash_fused_ln", "flash_fused_mlp",
+                "flash_fused_block"))
 
 
 @step(5, "e2e int8: flash vs fused")
 def s5():
-    bench = _load(os.path.join(ROOT, "bench.py"), "bench_e2e_int8")
     os.environ["BENCH_QUANT"] = "1"
-    for attn in ("flash", "flash_fused", "flash_fused_mlp",
-                 "flash_fused_block"):
-        os.environ["BENCH_ATTN"] = attn
-        try:
-            bench.main()
-        except Exception:  # noqa: BLE001
-            traceback.print_exc()
-            print(f"## int8 e2e {attn} FAILED — next variant",
-                  flush=True)
-    os.environ.pop("BENCH_QUANT", None)
-    os.environ.pop("BENCH_ATTN", None)
+    try:
+        _e2e_sweep("int8 e2e", "bench_e2e_int8",
+                   ("flash", "flash_fused", "flash_fused_mlp",
+                    "flash_fused_block"))
+    finally:
+        os.environ.pop("BENCH_QUANT", None)
 
 
 @step(6, "training attn A/B (impl x remat)")

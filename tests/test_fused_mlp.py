@@ -59,6 +59,19 @@ class TestFusedLNMLP:
         want = np.asarray(_reference(*args))
         np.testing.assert_allclose(got, want, atol=2e-4)
 
+    def test_env_chunk_read_at_call_time(self, monkeypatch):
+        # The VMEM-reject retry in scripts/hw_session_r4.py sets
+        # PIGEON_MLP_CHUNK after pigeon_tpu is imported — the override
+        # must apply to the NEXT call, and the resulting multi-chunk
+        # sweep (192/64 = 3 chunks) must accumulate exactly.
+        from pigeon_tpu.kernels.fused_mlp import fused_ln_mlp
+
+        args = _setup(inter=192)
+        monkeypatch.setenv("PIGEON_MLP_CHUNK", "64")
+        got = np.asarray(fused_ln_mlp(*args))
+        want = np.asarray(_reference(*args))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
     def test_grads_match_separate_path(self):
         from pigeon_tpu.kernels.fused_mlp import fused_ln_mlp
 
