@@ -121,21 +121,31 @@ def main() -> None:
                 "int8_block": int8_block}
 
     scalarize = jax.jit(lambda a: a.astype(jnp.float32).sum())
-    base_out = None
+    base_out = None  # ONLY ever int8_sep_flash's output (the XLA
+    # QuantDense reference): if the baseline variant fails, downstream
+    # parity simply cannot be claimed — a fused variant must never be
+    # silently promoted to baseline, because hw_decide_r4.py treats an
+    # int8_fused record WITH max_err_vs_int8_sep as "the Mosaic parity
+    # assert held on real hardware".
     for name, fn in variants.items():
         jitted = jax.jit(fn)
         try:
             out = jitted(x, packs, act_scale)
             float(scalarize(out))
             err = None
-            if base_out is None:
+            if name == "int8_sep_flash":
                 base_out = np.asarray(out[:4], np.float32)
             # bf16 differs by quant error; int8_block adds LN +
             # out-proj + residual (timing-only row, parity in tests).
             elif name not in ("bf16_fused", "int8_block"):
-                err = float(np.abs(np.asarray(out[:4], np.float32)
-                                   - base_out).max())
-                assert err < 5e-2, f"{name} parity {err}"
+                if base_out is None:
+                    print(f"# {name}: baseline int8_sep_flash missing —"
+                          " timing only, NO parity claim",
+                          file=sys.stderr)
+                else:
+                    err = float(np.abs(np.asarray(out[:4], np.float32)
+                                       - base_out).max())
+                    assert err < 5e-2, f"{name} parity {err}"
         except Exception as e:  # noqa: BLE001
             print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:300]}",
                   file=sys.stderr)

@@ -113,7 +113,10 @@ def main() -> None:
                 "fused_int8_ln_mlp": (fused_int8, iargs)}
 
     scalarize = jax.jit(lambda a: a.astype(jnp.float32).sum())
-    family_base = {}
+    family_base = {}  # family -> the XLA reference's output ONLY — a
+    # fused variant must never be silently promoted to baseline when
+    # the XLA row fails (a max_err_vs_xla-free record is a timing row,
+    # not a hardware parity claim).
     for name, (fn, vargs) in variants.items():
         family = "int8" if "int8" in name else "bf16"
         jitted = jax.jit(fn)
@@ -121,8 +124,11 @@ def main() -> None:
             out = jitted(*vargs)
             float(scalarize(out))
             err = None
-            if family not in family_base:
+            if name.startswith("xla_"):
                 family_base[family] = np.asarray(out[:4], np.float32)
+            elif family not in family_base:
+                print(f"# {name}: baseline xla row missing — timing "
+                      "only, NO parity claim", file=sys.stderr)
             else:
                 err = float(np.abs(np.asarray(out[:4], np.float32)
                                    - family_base[family]).max())

@@ -11,10 +11,14 @@ pins so acting on a recovered tunnel is mechanical:
   2. TRAIN default: flip only if a fused custom_vjp variant beats
      'flash' in the step-6 A/B.
   3. QUANT route (`cli/run.py::_quantize_for_inference` + bench
-     default): flip to a fused int8 impl only if BOTH the step-1
-     Mosaic parity gate passed (an `int8_fused` record implies the
-     in-script assert held on real hardware) AND the step-5 int8 e2e
-     beats 'flash'.
+     default): flip to a fused int8 impl only if BOTH the step-5 int8
+     e2e beats 'flash' AND every int8 kernel that impl routes through
+     has a hardware parity record WITH an error bound (a record
+     missing its max_err key is a timing row whose XLA reference
+     failed — no parity claim). flash_fused needs the step-1
+     int8_fused row; flash_fused_mlp additionally the step-3
+     fused_int8_ln_mlp row; flash_fused_block can never pass (its
+     int8_block row is timing-only by design).
   4. BENCH_BATCH: step-7 re-optimum for the winning bf16 impl
      (bs32 comes from step 4's flash_fused row).
 
@@ -75,15 +79,23 @@ def decide(parsed):
     if best_bf16:
         (impl, _), rate = best_bf16
         cur = bf16.get(("flash_fused", 32))
-        if impl != "flash_fused" and cur:
+        if impl == "flash_fused":
+            decisions.append((
+                "INFERENCE default stays 'flash_fused'",
+                f"{rate:.1f} img/s is the best validated bs32 impl"))
+        elif cur:
             decisions.append((
                 f"INFERENCE default -> '{impl}'",
                 f"{rate:.1f} img/s vs flash_fused {cur:.1f} "
                 f"(+{100 * (rate / cur - 1):.1f}%)"))
         else:
+            # The rule is "fastest VALIDATED impl" — a crashed/absent
+            # flash_fused row cannot keep the default.
             decisions.append((
-                "INFERENCE default stays 'flash_fused'",
-                f"{rate:.1f} img/s is the best validated bs32 impl"))
+                f"INFERENCE default -> '{impl}'",
+                f"{rate:.1f} img/s; current default flash_fused has "
+                "NO bs32 row this session (crashed or skipped) — "
+                "fastest validated impl wins"))
 
     train = parsed["train"]
     best_train = _best(train)
@@ -103,27 +115,55 @@ def decide(parsed):
                 "flash:full baseline row — investigate before flipping"))
 
     int8 = parsed["int8"]
-    gate = any(r.get("variant") == "int8_fused"
-               for r in parsed["component"])
+
+    def _parity(variant, err_key):
+        """True iff the component bench recorded variant WITH a parity
+        error bound — an err-free record is a timing row (its XLA
+        reference may have failed), never a hardware parity claim."""
+        return any(r.get("variant") == variant and err_key in r
+                   for r in parsed["component"])
+
+    # Which int8 kernels each e2e impl routes through, and the
+    # hardware parity evidence each kernel requires. flash_fused_block
+    # routes to fused_block_attention_int8, whose component row
+    # (int8_block) is explicitly timing-only — it can NEVER pass this
+    # gate until a dedicated parity check exists.
+    qkv_ok = _parity("int8_fused", "max_err_vs_int8_sep")
+    mlp_ok = _parity("fused_int8_ln_mlp", "max_err_vs_xla")
+    impl_gates = {
+        "flash_fused": (qkv_ok, "step-1 int8_fused parity record"),
+        "flash_fused_mlp": (
+            qkv_ok and mlp_ok,
+            "step-1 int8_fused + step-3 fused_int8_ln_mlp parity"),
+        "flash_fused_block": (
+            False, "fused_block_attention_int8 has NO hardware parity "
+            "check (int8_block row is timing-only)"),
+    }
     best_int8 = _best(int8)
     if best_int8:
-        (impl, bs), rate = best_int8
         base = max((v for (i, _), v in int8.items() if i == "flash"),
                    default=None)
-        if impl != "flash" and base and rate > base:
-            if gate:
+        # Among int8 rows beating flash, prefer the fastest GATED impl;
+        # report any faster-but-ungated row as blocked.
+        beating = sorted(
+            ((v, k) for k, v in int8.items()
+             if k[0] != "flash" and base and v > base), reverse=True)
+        flipped = False
+        for rate, (impl, bs) in beating:
+            ok, why = impl_gates.get(impl, (False, "unknown impl"))
+            if ok:
                 decisions.append((
                     f"QUANT route -> '{impl}' (bs{bs})",
                     f"{rate:.1f} img/s vs flash {base:.1f} "
                     f"(+{100 * (rate / base - 1):.1f}%); Mosaic int8 "
-                    "parity gate PASSED (step-1 int8_fused record)"))
-            else:
-                decisions.append((
-                    "QUANT route BLOCKED despite win",
-                    f"'{impl}' {rate:.1f} beats flash {base:.1f} but "
-                    "the step-1 Mosaic parity gate has no int8_fused "
-                    "record — do not flip"))
-        else:
+                    f"parity gate PASSED ({why})"))
+                flipped = True
+                break
+            decisions.append((
+                f"QUANT candidate '{impl}' BLOCKED despite win",
+                f"{rate:.1f} beats flash {base:.1f} but {why} — do "
+                "not flip"))
+        if not flipped and not beating:
             decisions.append((
                 "QUANT route stays 'flash'",
                 "no fused int8 impl beat the flash baseline"))

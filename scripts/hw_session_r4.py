@@ -5,17 +5,25 @@ within one tunnel session (docs/PERF.md). This driver runs every
 pending round-4 measurement in priority order IN-PROCESS so the
 variants share a session, flushing results as it goes:
 
+  0. fast headline smoke: one 2-window bench.py run at the current
+     default (flash_fused) so a flapping tunnel still yields a
+     driver-comparable e2e number in the first minutes;
   1. int8 fused QKV component bench (validates Mosaic int8 dot
      lowering — the one thing interpret mode can't check);
   2. QKV-fusion component bench incl. the LN-fusion A/B pair;
   3. fused LN+MLP component bench (validates scratch persistence +
-     cross-chunk accumulation on real Mosaic);
+     cross-chunk accumulation on real Mosaic, bf16 + int8 pairs);
   4. e2e bf16 bench sweep: flash_fused vs flash_fused_ln vs
-     flash_fused_mlp;
+     flash_fused_mlp vs flash_fused_block (mlp/block VMEM rejects
+     retry once at PIGEON_MLP_CHUNK=256);
   5. e2e int8 bench: flash (current quant default) vs flash_fused
-     (routes into fused_qkv_mha_int8);
-  6. training A/B: flash vs flash_fused (vs LN/MLP variants) through
-     the custom_vjp backward under full remat.
+     (fused_qkv_mha_int8) vs flash_fused_mlp vs flash_fused_block;
+  6. training A/B: flash vs the fused custom_vjp impls, crossed with
+     remat='none' rows for the fused-mlp/block variants;
+  7. e2e bf16 batch-size re-optimum for flash_fused (bs24/48/64).
+
+Afterwards run `python scripts/hw_decide_r4.py` on the log — it
+applies the ROADMAP decision rule mechanically.
 
 Env: HW_BUDGET_S (default 9000) — steps are skipped once the budget is
 exhausted; HW_STEPS (comma list of step numbers to run, default all).
@@ -23,6 +31,7 @@ exhausted; HW_STEPS (comma list of step numbers to run, default all).
 
 from __future__ import annotations
 
+import contextlib
 import importlib.util
 import os
 import sys
@@ -55,16 +64,35 @@ def step(num, title):
     return deco
 
 
+@contextlib.contextmanager
+def _env(**kv):
+    """Set env vars for a block, RESTORING prior values on exit — a
+    plain pop() would delete an operator-set override (e.g. an
+    exported PIGEON_MLP_CHUNK=256) after the first use and silently
+    change the config mid-session."""
+    prior = {k: os.environ.get(k) for k in kv}
+    for k, v in kv.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
+    try:
+        yield
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
 @step(0, "fast headline smoke (flash_fused, 2 windows)")
 def s0():
     # The tunnel flaps: secure a driver-comparable headline number in
     # the first minutes of a recovered session, before the long sweeps.
     bench = _load(os.path.join(ROOT, "bench.py"), "bench_smoke")
-    os.environ["BENCH_WINDOWS"] = "2"
-    try:
+    with _env(BENCH_WINDOWS="2"):
         bench.main()
-    finally:
-        os.environ.pop("BENCH_WINDOWS", None)
 
 
 @step(1, "int8 fused QKV component")
@@ -89,26 +117,26 @@ def _e2e_sweep(tag, module_name, variants):
     being dropped, so a VMEM reject doesn't lose the whole variant."""
     bench = _load(os.path.join(ROOT, "bench.py"), module_name)
     for attn in variants:
-        os.environ["BENCH_ATTN"] = attn
         attempts = [None]
-        if attn in ("flash_fused_mlp", "flash_fused_block"):
+        if (attn in ("flash_fused_mlp", "flash_fused_block")
+                and os.environ.get("PIGEON_MLP_CHUNK") != "256"):
             attempts.append("256")
         for chunk in attempts:
             if chunk is not None:
-                os.environ["PIGEON_MLP_CHUNK"] = chunk
                 print(f"## {tag} {attn}: retry with MLP chunk {chunk}",
                       flush=True)
+            overrides = {"BENCH_ATTN": attn}
+            if chunk is not None:
+                overrides["PIGEON_MLP_CHUNK"] = chunk
             try:
-                bench.main()
+                with _env(**overrides):
+                    bench.main()
                 break
             except Exception:  # noqa: BLE001 — e.g. VMEM compile reject
                 traceback.print_exc()
                 print(f"## {tag} {attn}"
                       f"{' (chunk ' + chunk + ')' if chunk else ''} "
                       "FAILED", flush=True)
-            finally:
-                os.environ.pop("PIGEON_MLP_CHUNK", None)
-    os.environ.pop("BENCH_ATTN", None)
 
 
 @step(4, "e2e bf16 attn sweep")
@@ -120,13 +148,10 @@ def s4():
 
 @step(5, "e2e int8: flash vs fused")
 def s5():
-    os.environ["BENCH_QUANT"] = "1"
-    try:
+    with _env(BENCH_QUANT="1"):
         _e2e_sweep("int8 e2e", "bench_e2e_int8",
                    ("flash", "flash_fused", "flash_fused_mlp",
                     "flash_fused_block"))
-    finally:
-        os.environ.pop("BENCH_QUANT", None)
 
 
 @step(6, "training attn A/B (impl x remat)")
@@ -137,12 +162,11 @@ def s6():
     # and removes a third forward-equivalent pass. 'flash:none' is NOT
     # listed (XLA MLP + separate projections under no-remat failed
     # remote compile in r2 — docs/PERF.md); failures skip per-variant.
-    os.environ["BENCH_ATTN"] = (
-        "flash,flash_fused,flash_fused_ln,flash_fused_mlp,"
-        "flash_fused_block,flash_fused:none,flash_fused_mlp:none,"
-        "flash_fused_block:none")
-    _script("bench_train.py").main()
-    os.environ.pop("BENCH_ATTN", None)
+    with _env(BENCH_ATTN=(
+            "flash,flash_fused,flash_fused_ln,flash_fused_mlp,"
+            "flash_fused_block,flash_fused:none,flash_fused_mlp:none,"
+            "flash_fused_block:none")):
+        _script("bench_train.py").main()
 
 
 @step(7, "e2e bf16 batch-size re-optimum (flash_fused)")
@@ -151,16 +175,13 @@ def s7():
     # weakened once the projections moved in-kernel — re-find the
     # optimum for the validated default impl.
     bench = _load(os.path.join(ROOT, "bench.py"), "bench_e2e_bs")
-    os.environ["BENCH_ATTN"] = "flash_fused"
     for bs in ("24", "48", "64"):
-        os.environ["BENCH_BATCH"] = bs
         try:
-            bench.main()
+            with _env(BENCH_ATTN="flash_fused", BENCH_BATCH=bs):
+                bench.main()
         except Exception:  # noqa: BLE001
             traceback.print_exc()
             print(f"## bs{bs} FAILED — next", flush=True)
-    os.environ.pop("BENCH_BATCH", None)
-    os.environ.pop("BENCH_ATTN", None)
 
 
 def main() -> None:

@@ -96,10 +96,61 @@ def test_quant_flip_gated_on_mosaic_parity():
     # Without the step-1 int8_fused component record: blocked.
     heads = [h for h, _ in hw.decide(hw.parse(rows))]
     assert any("BLOCKED" in h for h in heads)
-    # With it: flip.
+    # A record WITHOUT the parity-error key is a timing-only row (its
+    # XLA reference failed) — still blocked.
     rows.append(json.dumps({"variant": "int8_fused", "ms_per_call": 1.0}))
     heads = [h for h, _ in hw.decide(hw.parse(rows))]
+    assert any("BLOCKED" in h for h in heads)
+    # With the parity bound recorded: flip.
+    rows[-1] = json.dumps({"variant": "int8_fused", "ms_per_call": 1.0,
+                           "max_err_vs_int8_sep": 0.001})
+    heads = [h for h, _ in hw.decide(hw.parse(rows))]
     assert any("QUANT route -> 'flash_fused'" in h for h in heads)
+
+
+def test_quant_block_impl_never_passes_gate():
+    # fused_block_attention_int8 has no hardware parity check anywhere
+    # (the int8_block component row is timing-only): even a big win
+    # with every component record present must not flip onto it.
+    rows = [e2e("flash", 24, 450.0, quant=True),
+            e2e("flash_fused_block", 24, 520.0, quant=True),
+            e2e("flash_fused", 24, 500.0, quant=True),
+            json.dumps({"variant": "int8_fused", "ms_per_call": 1.0,
+                        "max_err_vs_int8_sep": 0.001}),
+            json.dumps({"variant": "int8_block", "ms_per_call": 0.9})]
+    decs = hw.decide(hw.parse(rows))
+    heads = [h for h, _ in decs]
+    assert any("QUANT candidate 'flash_fused_block' BLOCKED" in h
+               for h in heads)
+    # ...and the flip falls through to the fastest GATED impl.
+    assert any("QUANT route -> 'flash_fused'" in h for h in heads)
+
+
+def test_quant_mlp_impl_needs_both_parity_records():
+    rows = [e2e("flash", 24, 450.0, quant=True),
+            e2e("flash_fused_mlp", 24, 505.0, quant=True),
+            json.dumps({"variant": "int8_fused", "ms_per_call": 1.0,
+                        "max_err_vs_int8_sep": 0.001})]
+    heads = [h for h, _ in hw.decide(hw.parse(rows))]
+    assert any("BLOCKED" in h for h in heads)
+    rows.append(json.dumps({"variant": "fused_int8_ln_mlp",
+                            "ms_per_call": 2.0,
+                            "max_err_vs_xla": 0.002}))
+    heads = [h for h, _ in hw.decide(hw.parse(rows))]
+    assert any("QUANT route -> 'flash_fused_mlp'" in h for h in heads)
+
+
+def test_inference_flips_when_default_row_missing():
+    # "Fastest VALIDATED impl": if flash_fused crashed (no row), the
+    # best surviving impl wins — it must not "stay" on a default that
+    # failed validation.
+    p = hw.parse([e2e("flash_fused_mlp", 32, 390.0)])
+    decs = hw.decide(p)
+    heads = [h for h, _ in decs]
+    assert any("INFERENCE default -> 'flash_fused_mlp'" in h
+               for h in heads)
+    detail = dict(decs)["INFERENCE default -> 'flash_fused_mlp'"]
+    assert "NO bs32 row" in detail
 
 
 def test_batch_sweep_reports_optimum():
