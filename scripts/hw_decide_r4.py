@@ -17,8 +17,9 @@ pins so acting on a recovered tunnel is mechanical:
      missing its max_err key is a timing row whose XLA reference
      failed — no parity claim). flash_fused needs the step-1
      int8_fused row; flash_fused_mlp additionally the step-3
-     fused_int8_ln_mlp row; flash_fused_block can never pass (its
-     int8_block row is timing-only by design).
+     fused_int8_ln_mlp row; flash_fused_block needs its step-1
+     int8_block row (parity vs the int8_block_xla twin) plus the
+     fused_int8_ln_mlp row.
   4. BENCH_BATCH: step-7 re-optimum for the winning bf16 impl
      (bs32 comes from step 4's flash_fused row).
 
@@ -123,21 +124,23 @@ def decide(parsed):
         return any(r.get("variant") == variant and err_key in r
                    for r in parsed["component"])
 
-    # Which int8 kernels each e2e impl routes through, and the
-    # hardware parity evidence each kernel requires. flash_fused_block
-    # routes to fused_block_attention_int8, whose component row
-    # (int8_block) is explicitly timing-only — it can NEVER pass this
-    # gate until a dedicated parity check exists.
+    # Which int8 kernels each e2e impl routes through (models/clip.py
+    # static routing), and the hardware parity evidence each requires:
+    #   flash_fused       -> fused_qkv_mha_int8          (int8_fused)
+    #   flash_fused_mlp   -> fused_qkv_mha_int8 + fused_ln_mlp_int8
+    #   flash_fused_block -> fused_block_attention_int8 + fused_ln_mlp_int8
     qkv_ok = _parity("int8_fused", "max_err_vs_int8_sep")
     mlp_ok = _parity("fused_int8_ln_mlp", "max_err_vs_xla")
+    blk_ok = _parity("int8_block", "max_err_vs_xla")
     impl_gates = {
         "flash_fused": (qkv_ok, "step-1 int8_fused parity record"),
         "flash_fused_mlp": (
             qkv_ok and mlp_ok,
             "step-1 int8_fused + step-3 fused_int8_ln_mlp parity"),
         "flash_fused_block": (
-            False, "fused_block_attention_int8 has NO hardware parity "
-            "check (int8_block row is timing-only)"),
+            blk_ok and mlp_ok,
+            "step-1 int8_block (vs int8_block_xla) + step-3 "
+            "fused_int8_ln_mlp parity"),
     }
     best_int8 = _best(int8)
     if best_int8:

@@ -108,10 +108,10 @@ def test_quant_flip_gated_on_mosaic_parity():
     assert any("QUANT route -> 'flash_fused'" in h for h in heads)
 
 
-def test_quant_block_impl_never_passes_gate():
-    # fused_block_attention_int8 has no hardware parity check anywhere
-    # (the int8_block component row is timing-only): even a big win
-    # with every component record present must not flip onto it.
+def test_quant_block_impl_gated_on_its_own_kernel_parity():
+    # fused_block_attention_int8's evidence is the int8_block row WITH
+    # max_err_vs_xla (vs the int8_block_xla twin) plus the fused int8
+    # MLP row: a timing-only int8_block record must not pass.
     rows = [e2e("flash", 24, 450.0, quant=True),
             e2e("flash_fused_block", 24, 520.0, quant=True),
             e2e("flash_fused", 24, 500.0, quant=True),
@@ -124,6 +124,15 @@ def test_quant_block_impl_never_passes_gate():
                for h in heads)
     # ...and the flip falls through to the fastest GATED impl.
     assert any("QUANT route -> 'flash_fused'" in h for h in heads)
+
+    # With the parity bound + the fused int8 MLP row, the block wins.
+    rows[-1] = json.dumps({"variant": "int8_block", "ms_per_call": 0.9,
+                           "max_err_vs_xla": 0.002})
+    rows.append(json.dumps({"variant": "fused_int8_ln_mlp",
+                            "ms_per_call": 2.0,
+                            "max_err_vs_xla": 0.001}))
+    heads = [h for h, _ in hw.decide(hw.parse(rows))]
+    assert any("QUANT route -> 'flash_fused_block'" in h for h in heads)
 
 
 def test_quant_mlp_impl_needs_both_parity_records():
@@ -151,6 +160,39 @@ def test_inference_flips_when_default_row_missing():
                for h in heads)
     detail = dict(decs)["INFERENCE default -> 'flash_fused_mlp'"]
     assert "NO bs32 row" in detail
+
+
+def test_int8_component_bench_emits_parity_records(monkeypatch, capsys):
+    """Run the REAL step-1 component bench end-to-end at a tiny shape
+    (interpret mode) and check every parity record the decision gate
+    relies on is emitted with its error bound — i.e. the XLA twins in
+    the script really do match the kernels' math, so the HW asserts
+    won't fail for transcription reasons."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    spec2 = importlib.util.spec_from_file_location(
+        "bench_int8_tiny",
+        os.path.join(ROOT, "scripts", "bench_attn_qkv_fused_int8.py"))
+    bench = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(bench)
+
+    for k, v in {"BENCH_BATCH": "2", "BENCH_HEADS": "4",
+                 "BENCH_SEQ": "16", "BENCH_HEAD_DIM": "8",
+                 "BENCH_ITERS": "1", "BENCH_WINDOWS": "1"}.items():
+        monkeypatch.setenv(k, v)
+    with pltpu.force_tpu_interpret_mode():
+        bench.main()
+
+    recs = {}
+    for line in capsys.readouterr().out.splitlines():
+        if line.startswith("{"):
+            r = json.loads(line)
+            recs[r["variant"]] = r
+    assert "max_err_vs_int8_sep" in recs["int8_fused"]
+    assert recs["int8_fused"]["max_err_vs_int8_sep"] < 5e-2
+    assert "max_err_vs_xla" in recs["int8_block"]
+    assert recs["int8_block"]["max_err_vs_xla"] < 5e-2
+    assert "int8_block_xla" in recs and "bf16_fused" in recs
 
 
 def test_batch_sweep_reports_optimum():
