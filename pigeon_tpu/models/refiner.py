@@ -13,7 +13,13 @@ whole refinement is ONE jitted function:
     step a batched gather + distance + masked argmin — MXU/VPU work instead
     of Python;
   * the within-cluster "best training image" lookup is a second batched
-    gather into the training embedding bank.
+    gather into the training embedding bank — deferred to the SELECTED
+    candidate columns (at most two: the refined guess for the cancel
+    gate, then the final pick) instead of all K, since the selection
+    depends on member coordinates only through those columns. At
+    production sizes (M=256, P=64, K=40) this removes ~80% of the
+    refiner's HBM gather traffic; with hedging enabled all K columns
+    are refined (hedging weighs every candidate's location).
 
 Pipeline parity (reference `proto_refiner.py:176-231`):
   temperature-softmax over best-cluster distances, multiplied with geocell
@@ -176,7 +182,14 @@ def make_refine_fn(bank: ProtoBank, cfg: RefinerConfig,
     max_ref = cfg.max_refinement_km
 
     def per_candidate(carry, cell_idx):
-        """One candidate column: cell_idx (B,) -> best-cluster results."""
+        """One candidate column: cell_idx (B,) -> best-CLUSTER results.
+
+        Prototype-level only: the (B, M, D) member-embedding gather —
+        ~80% of the refiner's HBM traffic at production sizes (M=256
+        vs P=64) — is DEFERRED to `member_refined_lla` below, which
+        the non-hedging path runs for at most two candidate columns
+        instead of all K (the selection depends on member coordinates
+        only through the chosen column's cancel-gate distance)."""
         bank, emb = carry  # bank arrays ride the carry (jit ARGUMENTS —
         # a closed-over bank would embed ~GBs of constants; docs/PERF.md)
         protos = bank.proto_emb[cell_idx]         # (B, P, D) gather
@@ -197,10 +210,17 @@ def make_refine_fn(bank: ProtoBank, cfg: RefinerConfig,
         rows = jnp.arange(cell_idx.shape[0])
         best_lla = bank.proto_lla[cell_idx, best_p]        # (B, 2)
         best_count = counts[rows, best_p]
-        members = bank.member_idx[cell_idx, best_p]        # (B, M)
+        return carry, (best_logit, best_lla, best_count, best_p,
+                       has_proto)
 
-        # Within-cluster refinement: pick one training image's exact coords
-        # (`proto_refiner.py:233-255`); only when the cluster has >1 member.
+    def member_refined_lla(bank, emb, cell_idx, best_p, best_lla,
+                           best_count, has_proto):
+        """Within-cluster refinement for ONE candidate column: pick one
+        training image's exact coords (`proto_refiner.py:233-255`);
+        only when the cluster has >1 member. Identical math to the
+        pre-split per-candidate body — the oracle/twin tests pin it."""
+        rows = jnp.arange(cell_idx.shape[0])
+        members = bank.member_idx[cell_idx, best_p]        # (B, M)
         m_valid = members >= 0
         m_emb = bank.bank_emb[jnp.maximum(members, 0)]     # (B, M, D)
         m_d2 = jnp.sum((m_emb - emb[:, None, :]) ** 2, axis=-1)
@@ -213,10 +233,10 @@ def make_refine_fn(bank: ProtoBank, cfg: RefinerConfig,
         picked = members[rows, pick]
         member_lla = bank.bank_lla[jnp.maximum(picked, 0)]
 
-        pred_lla = jnp.where((best_count > 1)[:, None], member_lla, best_lla)
-        pred_lla = jnp.where(has_proto[:, None], pred_lla,
-                             jnp.zeros_like(pred_lla))
-        return carry, (best_logit, pred_lla)
+        pred_lla = jnp.where((best_count > 1)[:, None], member_lla,
+                             best_lla)
+        return jnp.where(has_proto[:, None], pred_lla,
+                         jnp.zeros_like(pred_lla))
 
     @jax.jit
     def refine_jit(bank, embedding, initial_preds, candidate_cells,
@@ -243,10 +263,24 @@ def make_refine_fn(bank: ProtoBank, cfg: RefinerConfig,
         else:
             probs_k = candidate_probs[:, :k]
 
-        _, (logits, cand_lla) = jax.lax.scan(
+        _, (logits, blla, bcount, bp, hp) = jax.lax.scan(
             per_candidate, (bank, embedding), cells.T)
         logits = logits.T                         # (B, K)
-        cand_lla = jnp.swapaxes(cand_lla, 0, 1)   # (B, K, 2)
+        blla = jnp.swapaxes(blla, 0, 1)           # (B, K, 2)
+        bcount, bp, hp = bcount.T, bp.T, hp.T     # (B, K)
+
+        def col(a, idx):
+            """Select one candidate column per row: (B, K[, 2]) -> (B[, 2])."""
+            if a.ndim == 3:
+                return jnp.take_along_axis(a, idx[:, None, None], 1)[:, 0]
+            return jnp.take_along_axis(a, idx[:, None], 1)[:, 0]
+
+        def refined_for(idx):
+            """Member-refined (lon, lat) of candidate column `idx` —
+            ONE (B, M, D) gather instead of K of them."""
+            return member_refined_lla(
+                bank, embedding, col(cells, idx), col(bp, idx),
+                col(blla, idx), col(bcount, idx), col(hp, idx))
 
         # Temperature softmax over candidates (reference :186-188).
         proto_probs = jax.nn.softmax(logits / temp, axis=-1)
@@ -255,9 +289,24 @@ def make_refine_fn(bank: ProtoBank, cfg: RefinerConfig,
         initial_guess = jnp.argmax(probs_k, axis=-1)
         refined_guess = jnp.argmax(final_probs, axis=-1)
 
+        if cfg.hedge:
+            # Hedging weighs ALL candidate locations — compute the
+            # member-refined coords per candidate (the full path).
+            def member_col(carry, xs):
+                bank, emb = carry
+                return carry, member_refined_lla(bank, emb, *xs)
+
+            _, cand_lla = jax.lax.scan(
+                member_col, (bank, embedding),
+                (cells.T, bp.T, jnp.swapaxes(blla, 0, 1), bcount.T,
+                 hp.T))
+            cand_lla = jnp.swapaxes(cand_lla, 0, 1)    # (B, K, 2)
+            refined_lla = col(cand_lla, refined_guess)
+        else:
+            cand_lla = None
+            refined_lla = refined_for(refined_guess)
+
         # Cancel cross-cell refinement beyond max_refinement km (:197-205).
-        refined_lla = jnp.take_along_axis(
-            cand_lla, refined_guess[:, None, None], axis=1)[:, 0]
         moved = haversine(initial_preds, refined_lla)
         final_probs = jnp.where((moved > max_ref)[:, None], probs_k,
                                 final_probs)
@@ -267,8 +316,8 @@ def make_refine_fn(bank: ProtoBank, cfg: RefinerConfig,
                                       cfg.hedge_temperature)
 
         final_idx = jnp.argmax(final_probs, axis=-1)
-        pred_lla = jnp.take_along_axis(
-            cand_lla, final_idx[:, None, None], axis=1)[:, 0]
+        pred_lla = (col(cand_lla, final_idx) if cand_lla is not None
+                    else refined_for(final_idx))
         pred_cell = jnp.take_along_axis(cells, final_idx[:, None], 1)[:, 0]
         return {
             "pred_lla": pred_lla,
