@@ -20,7 +20,9 @@ variants share a session, flushing results as it goes:
      (fused_qkv_mha_int8) vs flash_fused_mlp vs flash_fused_block;
   6. training A/B: flash vs the fused custom_vjp impls, crossed with
      remat='none' rows for the fused-mlp/block variants;
-  7. e2e bf16 batch-size re-optimum for flash_fused (bs24/48/64).
+  7. e2e bf16 batch-size re-optimum for flash_fused (bs24/48/64);
+  8. product eval path with the lazy-member refiner (bf16 bs32
+     flash_fused + int8 bs24) vs the standing 304/418 img/s.
 
 Afterwards run `python scripts/hw_decide_r4.py` on the log — it
 applies the ROADMAP decision rule mechanically.
@@ -167,6 +169,23 @@ def s6():
             "flash_fused_block,flash_fused:none,flash_fused_mlp:none,"
             "flash_fused_block:none")):
         _script("bench_train.py").main()
+
+
+@step(8, "product eval (lazy refiner): bf16 bs32 + int8 bs24")
+def s8():
+    # The refiner's member gathers are now deferred to the selected
+    # candidate columns (models/refiner.py) — re-measure the product
+    # eval path (standing numbers: 304 bf16 bs32 / 418 int8 bs24).
+    bench = _load(os.path.join(ROOT, "scripts", "bench_eval.py"),
+                  "bench_eval_r4")
+    for env in ({"BENCH_ATTN": "flash_fused"},
+                {"BENCH_QUANT": "1", "BENCH_BATCH": "24"}):
+        try:
+            with _env(**env):
+                bench.main()
+        except Exception:  # noqa: BLE001
+            traceback.print_exc()
+            print(f"## eval {env} FAILED — next", flush=True)
 
 
 @step(7, "e2e bf16 batch-size re-optimum (flash_fused)")
