@@ -248,3 +248,75 @@ class TestLandmarksConcat:
                      jnp.asarray([[0.9, 0.1]], jnp.float32))
         np.testing.assert_allclose(np.asarray(out["pred_lla"])[0],
                                    lla_b[1], atol=1e-5)
+
+
+class TestManySeedHunt:
+    """Randomized bank/query hunt vs the numpy oracle — exercises the
+    lazy member-refinement path (refined-guess column + cancel gate +
+    final pick) across bank shapes the fixed fixture cannot. Crank
+    REFINER_HUNT_SEEDS (default 6, ~8 s) for deep hunts; 60 seeds x
+    both within modes x loose/tight cancel gates ran clean when the
+    lazy path landed."""
+
+    def test_random_banks_match_oracle(self):
+        import os
+
+        n_seeds = int(os.environ.get("REFINER_HUNT_SEEDS", "6"))
+        for seed in range(n_seeds):
+            rng = np.random.default_rng(seed)
+            num_cells = int(rng.integers(4, 12))
+            n_bank = int(rng.integers(20, 80))
+            bank_emb = rng.normal(size=(n_bank, D)).astype(np.float32)
+            bank_lla = np.stack(
+                [rng.uniform(-170, 170, n_bank),
+                 rng.uniform(-60, 60, n_bank)], -1).astype(np.float32)
+            rows, next_idx = [], 0
+            for cell in range(num_cells - 1):
+                for _ in range(int(rng.integers(0, 4))):
+                    size = int(rng.integers(1, 7))
+                    idx = list(range(next_idx,
+                                     min(next_idx + size, n_bank)))
+                    next_idx += size
+                    if not idx:
+                        continue
+                    rows.append({"geocell_idx": cell,
+                                 "lng": float(bank_lla[idx, 0].mean()),
+                                 "lat": float(bank_lla[idx, 1].mean()),
+                                 "count": len(idx), "indices": idx})
+            if not rows:
+                continue
+            bank = build_proto_bank(rows, bank_emb, bank_lla, num_cells,
+                                    max_protos=4, max_members=8)
+            b = int(rng.integers(1, 16))
+            k = int(rng.integers(2, min(6, num_cells) + 1))
+            emb = rng.normal(size=(b, D)).astype(np.float32)
+            cells = np.stack([rng.permutation(num_cells)[:k]
+                              for _ in range(b)]).astype(np.int32)
+            probs = rng.uniform(0.01, 1, size=(b, k)).astype(np.float32)
+            initial = np.stack([rng.uniform(-170, 170, b),
+                                rng.uniform(-60, 60, b)], -1) \
+                .astype(np.float32)
+
+            for within in ("reference", "nearest"):
+                for max_ref in (1.0e9, float(rng.uniform(50, 3000))):
+                    cfg = RefinerConfig(topk=k, temperature=1.6,
+                                        max_refinement_km=max_ref)
+                    refine = make_refine_fn(bank, cfg,
+                                            within_cluster=within)
+                    got = refine(jnp.asarray(emb), jnp.asarray(initial),
+                                 jnp.asarray(cells), jnp.asarray(probs))
+                    want_lla, want_cell, want_idx = \
+                        numpy_reference_refine(
+                            rows, bank_emb, bank_lla, emb, initial,
+                            cells, probs, topk=k, temp=1.6,
+                            max_ref=max_ref, within=within)
+                    tag = f"seed={seed} within={within} ref={max_ref}"
+                    np.testing.assert_array_equal(
+                        np.asarray(got["refine_index"]), want_idx,
+                        err_msg=tag)
+                    np.testing.assert_array_equal(
+                        np.asarray(got["pred_cell"]), want_cell,
+                        err_msg=tag)
+                    np.testing.assert_allclose(
+                        np.asarray(got["pred_lla"]), want_lla,
+                        atol=1e-4, err_msg=tag)
