@@ -55,16 +55,29 @@ def as_ring(poly) -> np.ndarray:
 
 
 def polygon_area(poly: Polygon) -> float:
-    """Signed shoelace area (positive for counter-clockwise rings)."""
+    """Signed shoelace area (positive for counter-clockwise rings).
+
+    Computed about the first vertex: the shoelace's cross products
+    cancel catastrophically for sliver rings far from the origin
+    (condition ~ |coord|^2 / area — hypothesis-found at 1500 examples:
+    a near-degenerate triangle at (89, 34) broke area scaling at
+    rel 1e-9). Translation changes nothing mathematically; error now
+    scales with the ring's EXTENT, not its coordinate magnitude."""
     r = as_ring(poly)
-    x, y = r[:, 0], r[:, 1]
+    if len(r) == 0:
+        return 0.0
+    x, y = r[:, 0] - r[0, 0], r[:, 1] - r[0, 1]
     return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
 
 
 def polygon_centroid(poly: Polygon) -> np.ndarray:
-    """Area centroid of a ring (vertex mean fallback for degenerate rings)."""
+    """Area centroid of a ring (vertex mean fallback for degenerate
+    rings). Computed in first-vertex-local coordinates for the same
+    conditioning reason as `polygon_area`."""
     r = as_ring(poly)
-    x, y = r[:, 0], r[:, 1]
+    if len(r) == 0:
+        return np.array([np.nan, np.nan])
+    x, y = r[:, 0] - r[0, 0], r[:, 1] - r[0, 1]
     xn, yn = np.roll(x, -1), np.roll(y, -1)
     cross = x * yn - xn * y
     a = cross.sum() / 2.0
@@ -72,7 +85,7 @@ def polygon_centroid(poly: Polygon) -> np.ndarray:
         return r.mean(axis=0)
     cx = np.sum((x + xn) * cross) / (6.0 * a)
     cy = np.sum((y + yn) * cross) / (6.0 * a)
-    return np.array([cx, cy])
+    return np.array([cx + r[0, 0], cy + r[0, 1]])
 
 
 def bbox(poly: Polygon) -> np.ndarray:

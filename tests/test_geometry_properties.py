@@ -37,13 +37,23 @@ def convex_polygon(draw, max_radius=50.0):
 
 @st.composite
 def simple_polygon(draw):
-    """Random star-shaped (simple, possibly concave) ring."""
+    """Random star-shaped (simple, possibly concave) ring.
+
+    Simplicity requires EVERY consecutive angular gap (wraparound
+    included) to stay below pi: with a gap > pi the chord between the
+    two vertices passes on the far side of the center and can cross
+    other edges (hypothesis-found at 3000 examples — sorted-unique
+    angles alone generated a self-intersecting 'simple' ring whose
+    clipped area exceeded the subject's). Gaps are drawn in [0.7, 1]
+    and normalized, so the largest fraction is 1/(1 + 0.7(n-1)) < 1/2
+    for all n >= 3."""
     n = draw(st.integers(3, 12))
     cx = draw(st.floats(-100, 100))
     cy = draw(st.floats(-50, 50))
-    angles = np.sort(np.asarray(
-        draw(st.lists(st.floats(0, 2 * np.pi - 1e-3), min_size=n,
-                      max_size=n, unique=True))))
+    rot = draw(st.floats(0, 2 * np.pi))
+    gaps = np.asarray(draw(st.lists(st.floats(0.7, 1.0), min_size=n,
+                                    max_size=n)))
+    angles = rot + 2 * np.pi * np.cumsum(gaps) / gaps.sum()
     radii = np.asarray(draw(st.lists(st.floats(0.5, 40.0), min_size=n,
                                      max_size=n)))
     return np.stack([cx + radii * np.cos(angles),
@@ -210,7 +220,16 @@ class TestAreaProperties:
 
     @given(poly=simple_polygon())
     def test_wkt_roundtrip_preserves_area(self, poly):
-        back = geom.from_wkt(geom.to_wkt(poly))[0]
+        parsed = geom.from_wkt(geom.to_wkt(poly))
+        if not parsed:
+            # A ring whose extent underflows as_ring's 1e-12-degree
+            # closure floor (~0.1 um) serializes as POLYGON EMPTY —
+            # legitimate only for (numerically) zero-area input, and
+            # production callers (geocell/assignment.py:49) handle the
+            # empty parse by nearest-centroid fallback.
+            assert abs(geom.polygon_area(poly)) < 1e-20
+            return
+        back = parsed[0]
         # WKT uses 6 decimal places; compare accordingly.
         assert abs(geom.polygon_area(back)) == pytest.approx(
             abs(geom.polygon_area(poly)), rel=1e-3, abs=1e-4)
