@@ -115,7 +115,7 @@ def _sample_dataset(ds, n: int):
 
 
 def _attn_impl(train: bool = False) -> str:
-    """Pallas attention on real TPU backends, XLA elsewhere.
+    """Pallas attention on SINGLE-chip TPU backends, XLA elsewhere.
 
     Inference defaults to the QKV-projection+attention fusion
     (`flash_fused`, r3: 374 vs 316 img/s same-session; under masks or
@@ -123,7 +123,16 @@ def _attn_impl(train: bool = False) -> str:
     Training keeps the separate-projection 'flash' kernels until the
     fused custom_vjp path is measured on hardware (docs/PERF.md).
 
-    ``PIGEON_ATTN_IMPL`` overrides both (e.g. 'flash_fused_ln' /
+    Multi-chip: `pallas_call` under a plain GSPMD jit REQUIRES Manual
+    (shard_map) mesh axes — with sharded operand avals it raises
+    "pallas_call requires all mesh axes to be Manual"
+    (jax/_src/pallas/pallas_call.py abstract-eval check). The
+    shard_map'd pipeline path can host Pallas kernels; the GSPMD
+    DP/TP/FSDP steps cannot, so on >1 device the default drops to XLA
+    attention (docs/SHARDING.md). ``PIGEON_ATTN_IMPL`` still overrides
+    for shard_map-wrapped deployments that know what they're doing.
+
+    ``PIGEON_ATTN_IMPL`` overrides (e.g. 'flash_fused_ln' /
     'flash_fused_mlp', the r4 LN/MLP-fusion opt-ins) — TPU only, so a
     CPU run never lands on a Pallas path it cannot execute."""
     import jax
@@ -133,6 +142,8 @@ def _attn_impl(train: bool = False) -> str:
     override = os.environ.get("PIGEON_ATTN_IMPL")
     if override:
         return override
+    if jax.device_count() > 1:
+        return "xla"
     return "flash" if train else "flash_fused"
 
 

@@ -643,3 +643,36 @@ class TestAttnImplSelection:
     def test_quant_env_is_the_explicit_opt_in(self, monkeypatch):
         got = self._sel(monkeypatch, quant_env="flash_fused_block")
         assert got == "flash_fused_block"
+
+
+class TestAttnImplMultiChipGuard:
+    """On >1 device the REAL `_attn_impl` must fall back to XLA
+    attention: `pallas_call` under a plain GSPMD jit raises
+    'pallas_call requires all mesh axes to be Manual' (jax 0.9
+    pallas_call.py abstract-eval check), so the DP/TP/FSDP steps
+    cannot host the Pallas kernels. PIGEON_ATTN_IMPL still overrides
+    for shard_map-wrapped deployments."""
+
+    def _impl(self, monkeypatch, n_devices, override=None, train=False):
+        import jax
+
+        from pigeon_tpu.cli import run as cli
+
+        monkeypatch.delenv("PIGEON_ATTN_IMPL", raising=False)
+        if override:
+            monkeypatch.setenv("PIGEON_ATTN_IMPL", override)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(jax, "device_count", lambda: n_devices)
+        return cli._attn_impl(train=train)
+
+    def test_single_chip_keeps_pallas(self, monkeypatch):
+        assert self._impl(monkeypatch, 1) == "flash_fused"
+        assert self._impl(monkeypatch, 1, train=True) == "flash"
+
+    def test_multi_chip_falls_back_to_xla(self, monkeypatch):
+        assert self._impl(monkeypatch, 8) == "xla"
+        assert self._impl(monkeypatch, 8, train=True) == "xla"
+
+    def test_override_wins_on_multi_chip(self, monkeypatch):
+        assert self._impl(monkeypatch, 8,
+                          override="flash_fused") == "flash_fused"
