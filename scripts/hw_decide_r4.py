@@ -166,10 +166,11 @@ def decide(parsed):
                 f"QUANT candidate '{impl}' BLOCKED despite win",
                 f"{rate:.1f} beats flash {base:.1f} but {why} — do "
                 "not flip"))
-        if not flipped and not beating:
+        if not flipped:
             decisions.append((
                 "QUANT route stays 'flash'",
-                "no fused int8 impl beat the flash baseline"))
+                "all faster fused impls are parity-blocked" if beating
+                else "no fused int8 impl beat the flash baseline"))
 
     sweep = {bs: v for (i, bs), v in bf16.items() if i == "flash_fused"}
     if len(sweep) > 1:

@@ -178,8 +178,13 @@ def s8():
     # eval path (standing numbers: 304 bf16 bs32 / 418 int8 bs24).
     bench = _load(os.path.join(ROOT, "scripts", "bench_eval.py"),
                   "bench_eval_r4")
-    for env in ({"BENCH_ATTN": "flash_fused"},
-                {"BENCH_QUANT": "1", "BENCH_BATCH": "24"}):
+    # Pin BOTH knobs per leg — an ambient BENCH_BATCH/BENCH_ATTN from a
+    # manual run must not leak in, or the rows stop being comparable to
+    # the standing numbers.
+    for env in ({"BENCH_ATTN": "flash_fused", "BENCH_BATCH": "32",
+                 "BENCH_QUANT": None},
+                {"BENCH_QUANT": "1", "BENCH_BATCH": "24",
+                 "BENCH_ATTN": "flash"}):
         try:
             with _env(**env):
                 bench.main()

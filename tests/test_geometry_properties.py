@@ -44,16 +44,23 @@ def simple_polygon(draw):
     two vertices passes on the far side of the center and can cross
     other edges (hypothesis-found at 3000 examples — sorted-unique
     angles alone generated a self-intersecting 'simple' ring whose
-    clipped area exceeded the subject's). Gaps are drawn in [0.7, 1]
-    and normalized, so the largest fraction is 1/(1 + 0.7(n-1)) < 1/2
-    for all n >= 3."""
+    clipped area exceeded the subject's). Gaps are drawn over a wide
+    ratio ([0.01, 1] — SMALL gaps make the near-collinear sliver
+    vertices that found the polygon_area conditioning bug and must
+    stay generatable); only when the largest fraction reaches 0.45 is
+    the vector blended toward uniform just enough to cap it — a
+    deterministic transform, so hypothesis shrinking stays valid."""
     n = draw(st.integers(3, 12))
     cx = draw(st.floats(-100, 100))
     cy = draw(st.floats(-50, 50))
     rot = draw(st.floats(0, 2 * np.pi))
-    gaps = np.asarray(draw(st.lists(st.floats(0.7, 1.0), min_size=n,
+    gaps = np.asarray(draw(st.lists(st.floats(0.01, 1.0), min_size=n,
                                     max_size=n)))
-    angles = rot + 2 * np.pi * np.cumsum(gaps) / gaps.sum()
+    f = gaps / gaps.sum()
+    if f.max() > 0.45:
+        lam = (0.45 - 1.0 / n) / (f.max() - 1.0 / n)
+        f = lam * f + (1 - lam) / n
+    angles = rot + 2 * np.pi * np.cumsum(f)
     radii = np.asarray(draw(st.lists(st.floats(0.5, 40.0), min_size=n,
                                      max_size=n)))
     return np.stack([cx + radii * np.cos(angles),
