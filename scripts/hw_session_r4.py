@@ -22,7 +22,9 @@ variants share a session, flushing results as it goes:
      remat='none' rows for the fused-mlp/block variants;
   7. e2e bf16 batch-size re-optimum for flash_fused (bs24/48/64);
   8. product eval path with the lazy-member refiner (bf16 bs32
-     flash_fused + int8 bs24) vs the standing 304/418 img/s.
+     flash_fused + int8 bs24) vs the standing 304/418 img/s;
+  9. pretrain bench with the step-6 training winner (parses this
+     process's own log, HW_LOG overridable) vs the standing 77.4.
 
 Afterwards run `python scripts/hw_decide_r4.py` on the log — it
 applies the ROADMAP decision rule mechanically.
@@ -191,6 +193,27 @@ def s8():
         except Exception:  # noqa: BLE001
             traceback.print_exc()
             print(f"## eval {env} FAILED — next", flush=True)
+
+
+@step(9, "pretrain with the step-6 training winner")
+def s9():
+    # Pretrain shares the tower: if a fused impl/remat combo won the
+    # training A/B, confirm it carries to the contrastive step
+    # (standing number 77.4 img/s with flash:full). Reads this
+    # process's own accumulated log via the decision parser.
+    impl, remat = "flash", "full"
+    try:
+        decider = _script("hw_decide_r4.py")
+        with open(os.environ.get("HW_LOG", "/tmp/hw_session_r4.log")) as f:
+            train = decider.parse(f)["train"]
+        if train:
+            best_key = max(train, key=train.get)  # ("impl:remat", bs)
+            impl, remat = best_key[0].split(":")
+    except Exception:  # noqa: BLE001 — no log (manual run): baseline
+        traceback.print_exc()
+    print(f"## pretrain winner: {impl}:{remat}", flush=True)
+    with _env(BENCH_ATTN=impl, BENCH_REMAT=remat, BENCH_BATCH="32"):
+        _script("bench_pretrain.py").main()
 
 
 @step(7, "e2e bf16 batch-size re-optimum (flash_fused)")
