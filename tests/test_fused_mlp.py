@@ -51,7 +51,7 @@ class TestFusedLNMLP:
         np.testing.assert_allclose(got, want, atol=2e-4)
 
     def test_indivisible_intermediate_single_chunk(self):
-        # inter=192 not divisible by DEFAULT_CHUNK=512 -> one chunk.
+        # inter=192 not divisible by the default chunk (512) -> one chunk.
         from pigeon_tpu.kernels.fused_mlp import fused_ln_mlp
 
         args = _setup(inter=192)
