@@ -850,3 +850,35 @@ def mha(q, k, v):
 
     out = _mha_bh(fold(q), fold(k), fold(v))
     return jnp.swapaxes(out.reshape(b, h, s, dh), 1, 2)
+
+
+def sharded_mha(q, k, v, mesh, batch_axis="data", head_axis="model"):
+    """`mha` under `jax.shard_map` for multi-chip meshes.
+
+    `pallas_call` cannot live under a plain GSPMD jit with sharded
+    operand avals (jax 0.9 raises "requires all mesh axes to be
+    Manual" — docs/SHARDING.md), which is why `_attn_impl` drops to
+    XLA attention on >1 device. Attention is embarrassingly parallel
+    over (batch, head), so the Manual wrapping needs NO collectives:
+    shard B over ``batch_axis`` and H over ``head_axis`` and run the
+    single-chip kernel on each local block. Per-shard shapes must keep
+    B*H divisible by the kernel's pack (the fold stays intact).
+
+    Deployment hook for shard_map-wrapped steps; the stock GSPMD
+    train/eval steps keep the XLA fallback until the model threads a
+    mesh through (tests/test_flash_attention.py pins this wrapper vs
+    XLA attention on an 8-device DP x TP mesh).
+
+    Args:
+        q, k, v: ``(B, S, H, Dh)`` — B divisible by the mesh's
+            ``batch_axis`` size, H by ``head_axis`` size.
+        mesh: `jax.sharding.Mesh` containing both axes.
+        batch_axis / head_axis: mesh-axis names (pass ``None`` to
+            leave that dimension unsharded).
+    Returns:
+        ``(B, S, H, Dh)`` attention output, sharded like q.
+    """
+    spec = jax.sharding.PartitionSpec(batch_axis, None, head_axis, None)
+    return jax.shard_map(
+        mha, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False)(q, k, v)

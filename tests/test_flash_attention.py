@@ -593,3 +593,44 @@ class TestModelIntegration:
                                    atol=5e-5)
         np.testing.assert_allclose(np.asarray(pooled_f),
                                    np.asarray(pooled_x), atol=5e-5)
+
+
+class TestShardedMha:
+    """`sharded_mha` — the Manual-mesh (shard_map) hosting of the
+    Pallas attention kernel that a multi-chip deployment needs (a
+    plain GSPMD jit rejects pallas_call with sharded avals; see
+    docs/SHARDING.md). Attention is embarrassingly parallel over
+    (batch, head), so the wrapper must match XLA attention exactly
+    with NO collectives on a DP x TP mesh."""
+
+    def test_matches_xla_on_dp_tp_mesh(self):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from pigeon_tpu.kernels.flash_attention import (
+            _xla_attention_bshd,
+            sharded_mha,
+        )
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        B, S, H, Dh = 8, 32, 4, 16
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(k1, (B, S, H, Dh), jnp.float32)
+        k = jax.random.normal(k2, (B, S, H, Dh), jnp.float32)
+        v = jax.random.normal(k3, (B, S, H, Dh), jnp.float32)
+
+        mesh = Mesh(np.array(jax.devices()).reshape(4, 2),
+                    ("data", "model"))
+        spec = P("data", None, "model", None)
+        args = [jax.device_put(t, NamedSharding(mesh, spec))
+                for t in (q, k, v)]
+        out = np.asarray(jax.jit(
+            lambda a, b, c: sharded_mha(a, b, c, mesh))(*args))
+
+        def fold(x):
+            return jnp.swapaxes(x, 1, 2).reshape(B * H, S, Dh)
+
+        want = np.asarray(jnp.swapaxes(
+            _xla_attention_bshd(fold(q), fold(k), fold(v))
+            .reshape(B, H, S, Dh), 1, 2))
+        np.testing.assert_allclose(out, want, atol=2e-5)
