@@ -126,11 +126,13 @@ def _attn_impl(train: bool = False) -> str:
     Multi-chip: `pallas_call` under a plain GSPMD jit REQUIRES Manual
     (shard_map) mesh axes — with sharded operand avals it raises
     "pallas_call requires all mesh axes to be Manual"
-    (jax/_src/pallas/pallas_call.py abstract-eval check). The
-    shard_map'd pipeline path can host Pallas kernels; the GSPMD
-    DP/TP/FSDP steps cannot, so on >1 device the default drops to XLA
-    attention (docs/SHARDING.md). ``PIGEON_ATTN_IMPL`` still overrides
-    for shard_map-wrapped deployments that know what they're doing.
+    (jax/_src/pallas/pallas_call.py abstract-eval check). On >1 device
+    the default is 'flash': `create_mesh` registers the mesh and the
+    model hosts the attention kernel under shard_map
+    (`kernels/flash_attention.sharded_mha`, no collectives —
+    docs/SHARDING.md); the FUSED impls stay single-chip (their
+    projection kernels are not shard_map-wrapped), so 'flash_fused'
+    never auto-selects on a pod. ``PIGEON_ATTN_IMPL`` still overrides.
 
     ``PIGEON_ATTN_IMPL`` overrides (e.g. 'flash_fused_ln' /
     'flash_fused_mlp', the r4 LN/MLP-fusion opt-ins) — TPU only, so a
@@ -143,7 +145,7 @@ def _attn_impl(train: bool = False) -> str:
     if override:
         return override
     if jax.device_count() > 1:
-        return "xla"
+        return "flash"
     return "flash" if train else "flash_fused"
 
 

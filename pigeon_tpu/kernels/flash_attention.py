@@ -19,6 +19,7 @@ Non-causal, no attention mask (the vision tower's case; the text tower's
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -857,28 +858,65 @@ def sharded_mha(q, k, v, mesh, batch_axis="data", head_axis="model"):
 
     `pallas_call` cannot live under a plain GSPMD jit with sharded
     operand avals (jax 0.9 raises "requires all mesh axes to be
-    Manual" — docs/SHARDING.md), which is why `_attn_impl` drops to
-    XLA attention on >1 device. Attention is embarrassingly parallel
+    Manual" — docs/SHARDING.md). Attention is embarrassingly parallel
     over (batch, head), so the Manual wrapping needs NO collectives:
     shard B over ``batch_axis`` and H over ``head_axis`` and run the
-    single-chip kernel on each local block. Per-shard shapes must keep
-    B*H divisible by the kernel's pack (the fold stays intact).
-
-    Deployment hook for shard_map-wrapped steps; the stock GSPMD
-    train/eval steps keep the XLA fallback until the model threads a
-    mesh through (tests/test_flash_attention.py pins this wrapper vs
-    XLA attention on an 8-device DP x TP mesh).
+    single-chip kernel on each local block. An axis whose size does
+    not divide the corresponding dimension (e.g. evaluate's ragged
+    tail batch) is dropped to replicated — correct, just not
+    partitioned. `models/clip.py` routes its 'flash' attention here
+    whenever a mesh is registered (`set_attention_mesh`, called by
+    `train/mesh.py::create_mesh` on multi-chip TPU backends).
 
     Args:
-        q, k, v: ``(B, S, H, Dh)`` — B divisible by the mesh's
-            ``batch_axis`` size, H by ``head_axis`` size.
-        mesh: `jax.sharding.Mesh` containing both axes.
+        q, k, v: ``(B, S, H, Dh)``.
+        mesh: `jax.sharding.Mesh`.
         batch_axis / head_axis: mesh-axis names (pass ``None`` to
-            leave that dimension unsharded).
+            leave that dimension unsharded; unknown names count as
+            size 1).
     Returns:
         ``(B, S, H, Dh)`` attention output, sharded like q.
     """
+    b, _, h, _ = q.shape
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if batch_axis is not None and b % sizes.get(batch_axis, 1) != 0:
+        batch_axis = None
+    if head_axis is not None and h % sizes.get(head_axis, 1) != 0:
+        head_axis = None
     spec = jax.sharding.PartitionSpec(batch_axis, None, head_axis, None)
     return jax.shard_map(
         mha, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False)(q, k, v)
+
+
+#: (mesh, batch_axis, head_axis) registered by `set_attention_mesh` —
+#: when present, the model's 'flash' attention path runs `sharded_mha`
+#: instead of the bare kernel so multi-chip GSPMD steps keep Pallas
+#: attention (read at TRACE time; single-chip and CPU runs leave it
+#: unset).
+_ATTENTION_MESH = None
+
+
+def set_attention_mesh(mesh, batch_axis: str = "data",
+                       head_axis: str = "model") -> None:
+    """Register (None to clear) the mesh hosting `mha` via shard_map."""
+    global _ATTENTION_MESH
+    _ATTENTION_MESH = (None if mesh is None
+                       else (mesh, batch_axis, head_axis))
+
+
+def get_attention_mesh():
+    return _ATTENTION_MESH
+
+
+@contextlib.contextmanager
+def attention_mesh(mesh, batch_axis: str = "data",
+                   head_axis: str = "model"):
+    """Scoped `set_attention_mesh` (tests / explicit deployments)."""
+    global _ATTENTION_MESH
+    prev = _ATTENTION_MESH
+    set_attention_mesh(mesh, batch_axis, head_axis)
+    try:
+        yield
+    finally:
+        _ATTENTION_MESH = prev

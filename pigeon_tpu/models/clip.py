@@ -263,7 +263,15 @@ class MultiHeadAttention(nn.Module):
 
         if self.attn_impl in ("flash", "flash_fused") and mask is None:
             from pigeon_tpu.kernels import flash_attention
-            out = flash_attention.mha(q, k, v)
+            mesh_info = flash_attention.get_attention_mesh()
+            if mesh_info is not None:
+                # Multi-chip: pallas_call rejects sharded avals under
+                # GSPMD jit — host the kernel under shard_map on the
+                # registered mesh (set by create_mesh on multi-chip
+                # TPU backends; docs/SHARDING.md).
+                out = flash_attention.sharded_mha(q, k, v, *mesh_info)
+            else:
+                out = flash_attention.mha(q, k, v)
         else:
             out = xla_attention(q, k, v, mask, self.dtype)
 

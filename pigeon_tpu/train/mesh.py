@@ -37,7 +37,18 @@ def create_mesh(num_devices: Optional[int] = None, tp: int = 1,
     if n % tp != 0:
         raise ValueError(f"tp={tp} must divide device count {n}")
     grid = np.array(devices[:n]).reshape(n // tp, tp)
-    return Mesh(grid, axis_names)
+    mesh = Mesh(grid, axis_names)
+    if n > 1 and devices[0].platform == "tpu":
+        # Multi-chip TPU: register the mesh so the model's 'flash'
+        # attention runs under shard_map (pallas_call rejects sharded
+        # avals under GSPMD jit; docs/SHARDING.md). CPU test meshes
+        # stay unregistered — their towers run attn_impl='xla', and a
+        # process-global registration would leak across tests.
+        from pigeon_tpu.kernels import flash_attention
+
+        flash_attention.set_attention_mesh(mesh, axis_names[0],
+                                           axis_names[1])
+    return mesh
 
 
 #: (regex over '/'-joined param path, PartitionSpec) — first match wins.

@@ -646,12 +646,13 @@ class TestAttnImplSelection:
 
 
 class TestAttnImplMultiChipGuard:
-    """On >1 device the REAL `_attn_impl` must fall back to XLA
-    attention: `pallas_call` under a plain GSPMD jit raises
-    'pallas_call requires all mesh axes to be Manual' (jax 0.9
-    pallas_call.py abstract-eval check), so the DP/TP/FSDP steps
-    cannot host the Pallas kernels. PIGEON_ATTN_IMPL still overrides
-    for shard_map-wrapped deployments."""
+    """On >1 device the REAL `_attn_impl` must select 'flash' (hosted
+    under shard_map via the attention-mesh registry — docs/SHARDING.md)
+    and never a FUSED impl: the fused projection kernels are not
+    shard_map-wrapped, and `pallas_call` under a plain GSPMD jit
+    raises 'pallas_call requires all mesh axes to be Manual' (jax 0.9
+    pallas_call.py abstract-eval check). PIGEON_ATTN_IMPL still
+    overrides."""
 
     def _impl(self, monkeypatch, n_devices, override=None, train=False):
         import jax
@@ -669,9 +670,9 @@ class TestAttnImplMultiChipGuard:
         assert self._impl(monkeypatch, 1) == "flash_fused"
         assert self._impl(monkeypatch, 1, train=True) == "flash"
 
-    def test_multi_chip_falls_back_to_xla(self, monkeypatch):
-        assert self._impl(monkeypatch, 8) == "xla"
-        assert self._impl(monkeypatch, 8, train=True) == "xla"
+    def test_multi_chip_selects_flash_never_fused(self, monkeypatch):
+        assert self._impl(monkeypatch, 8) == "flash"
+        assert self._impl(monkeypatch, 8, train=True) == "flash"
 
     def test_override_wins_on_multi_chip(self, monkeypatch):
         assert self._impl(monkeypatch, 8,

@@ -634,3 +634,67 @@ class TestShardedMha:
             _xla_attention_bshd(fold(q), fold(k), fold(v))
             .reshape(B, H, S, Dh), 1, 2))
         np.testing.assert_allclose(out, want, atol=2e-5)
+
+    def test_ragged_batch_drops_batch_axis(self):
+        # evaluate's tail batch (B=3 on a dp=4 mesh) must not error:
+        # the wrapper replicates the non-divisible dimension instead.
+        from jax.sharding import Mesh
+
+        from pigeon_tpu.kernels.flash_attention import (
+            _xla_attention_bshd,
+            sharded_mha,
+        )
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        B, S, H, Dh = 3, 16, 4, 8
+        ks = jax.random.split(jax.random.PRNGKey(1), 3)
+        q, k, v = (jax.random.normal(kk, (B, S, H, Dh), jnp.float32)
+                   for kk in ks)
+        mesh = Mesh(np.array(jax.devices()).reshape(4, 2),
+                    ("data", "model"))
+        out = np.asarray(jax.jit(
+            lambda a, b, c: sharded_mha(a, b, c, mesh))(q, k, v))
+
+        def fold(x):
+            return jnp.swapaxes(x, 1, 2).reshape(B * H, S, Dh)
+
+        want = np.asarray(jnp.swapaxes(
+            _xla_attention_bshd(fold(q), fold(k), fold(v))
+            .reshape(B, H, S, Dh), 1, 2))
+        np.testing.assert_allclose(out, want, atol=2e-5)
+
+    def test_flash_tower_under_registered_mesh_matches_xla(self):
+        """The production multi-chip path: attn_impl='flash' with the
+        attention mesh registered (as `create_mesh` does on multi-chip
+        TPU) and GSPMD-sharded pixel inputs — the tower must match the
+        XLA tower. This is exactly the configuration a pod runs."""
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from pigeon_tpu.config import VisionConfig
+        from pigeon_tpu.kernels import flash_attention as fa
+        from pigeon_tpu.models.clip import CLIPVisionTower
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        cfg = VisionConfig(image_size=32, patch_size=8, hidden_size=32,
+                           intermediate_size=64, num_layers=2,
+                           num_heads=4)
+        x = jnp.asarray(RNG.normal(size=(8, 32, 32, 3))
+                        .astype(np.float32))
+        tower_xla = CLIPVisionTower(cfg, attn_impl="xla")
+        params = jax.jit(tower_xla.init)(jax.random.PRNGKey(0), x)
+        last_x, pooled_x = jax.jit(tower_xla.apply)(params, x)
+
+        mesh = Mesh(np.array(jax.devices()).reshape(4, 2),
+                    ("data", "model"))
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        tower_flash = CLIPVisionTower(cfg, attn_impl="flash")
+        with fa.attention_mesh(mesh):
+            last_f, pooled_f = jax.jit(tower_flash.apply)(params, xs)
+        assert fa.get_attention_mesh() is None  # context restored
+        np.testing.assert_allclose(np.asarray(last_f),
+                                   np.asarray(last_x), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(pooled_f),
+                                   np.asarray(pooled_x), atol=5e-5)
