@@ -187,8 +187,26 @@ def smoothed_targets(labels_lla, geocells, tau_km: float):
     import jax
 
     if jax.default_backend() == "tpu":
+        # Same GSPMD constraint as attention (docs/SHARDING.md):
+        # pallas_call rejects sharded avals, so on a registered
+        # multi-chip mesh the kernel runs under shard_map — rows are
+        # independent (batch-parallel), the geocell table replicates.
+        from pigeon_tpu.kernels import flash_attention
         from pigeon_tpu.kernels.geodesy import smooth_labels_from_points
 
+        mesh_info = flash_attention.get_attention_mesh()
+        if mesh_info is not None:
+            from jax.sharding import PartitionSpec as P
+
+            mesh, batch_axis, _ = mesh_info
+            sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            if labels_lla.shape[0] % sizes.get(batch_axis, 1) != 0:
+                batch_axis = None
+            spec = P(batch_axis, None)
+            return jax.shard_map(
+                lambda l, g: smooth_labels_from_points(l, g, tau_km),
+                mesh=mesh, in_specs=(spec, P(None, None)),
+                out_specs=spec, check_vma=False)(labels_lla, geocells)
         return smooth_labels_from_points(labels_lla, geocells, tau_km)
     distances = haversine_matrix(labels_lla, geocells)
     return smooth_labels(distances, tau_km=tau_km)

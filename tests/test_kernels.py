@@ -56,3 +56,45 @@ class TestSmoothLabelsKernel:
             want = np.asarray(smooth_labels_reference(
                 jnp.asarray(labels), jnp.asarray(cells), tau_km=tau))
             np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_sharded_smoothing_under_registered_mesh(self, monkeypatch):
+        """Multi-chip train step: with the attention mesh registered
+        (as create_mesh does on a pod) and batch-sharded labels, the
+        TPU dispatch in `models/geocell_head.smoothed_targets` must
+        run the Pallas kernel under shard_map and match the XLA
+        composition — including a ragged batch that drops the data
+        axis to replicated."""
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from pigeon_tpu.kernels import flash_attention as fa
+        from pigeon_tpu.models import geocell_head
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        # The dispatch checks the backend — force the TPU branch; the
+        # autouse interpret fixture makes the kernel runnable on CPU.
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        mesh = Mesh(np.array(jax.devices()).reshape(4, 2),
+                    ("data", "model"))
+        cells = jnp.asarray(np.stack(
+            [RNG.uniform(-180, 180, 24), RNG.uniform(-65, 70, 24)],
+            -1).astype(np.float32))
+        for b in (8, 5):  # divisible and ragged
+            labels = jnp.asarray(np.stack(
+                [RNG.uniform(-180, 180, b), RNG.uniform(-65, 70, b)],
+                -1).astype(np.float32))
+            # Ragged tails arrive UNSHARDED in production (evaluate
+            # falls back to single-device placement) — the dispatch's
+            # divisibility guard must still route them safely.
+            ls = (jax.device_put(labels, NamedSharding(mesh, P("data")))
+                  if b % 4 == 0 else labels)
+            with fa.attention_mesh(mesh):
+                got = np.asarray(geocell_head.smoothed_targets(
+                    ls, cells, tau_km=75.0))
+            from pigeon_tpu.core.geodesy import haversine_matrix
+            from pigeon_tpu.core.scoring import smooth_labels
+            want = np.asarray(smooth_labels(
+                haversine_matrix(labels, cells), tau_km=75.0))
+            np.testing.assert_allclose(got, want, atol=2e-5,
+                                       err_msg=f"b={b}")
