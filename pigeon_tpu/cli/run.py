@@ -126,13 +126,14 @@ def _attn_impl(train: bool = False) -> str:
     Multi-chip: `pallas_call` under a plain GSPMD jit REQUIRES Manual
     (shard_map) mesh axes — with sharded operand avals it raises
     "pallas_call requires all mesh axes to be Manual"
-    (jax/_src/pallas/pallas_call.py abstract-eval check). On >1 device
-    the default is 'flash': `create_mesh` registers the mesh and the
-    model hosts the attention kernel under shard_map
-    (`kernels/flash_attention.sharded_mha`, no collectives —
-    docs/SHARDING.md); the FUSED impls stay single-chip (their
-    projection kernels are not shard_map-wrapped), so 'flash_fused'
-    never auto-selects on a pod. ``PIGEON_ATTN_IMPL`` still overrides.
+    (jax/_src/pallas/pallas_call.py abstract-eval check). `create_mesh`
+    registers the mesh on multi-chip TPU backends and the model hosts
+    'flash' / 'flash_fused' under shard_map (`sharded_mha` /
+    `sharded_fused_qkv_mha` — forward collective-free, Megatron
+    head-split; docs/SHARDING.md), so the defaults are uniform across
+    chip counts. The r4 LN/MLP/block fusion OVERRIDES have no sharded
+    wrappers yet — on a pod `PIGEON_ATTN_IMPL=flash_fused_mlp` etc.
+    is the operator's responsibility.
 
     ``PIGEON_ATTN_IMPL`` overrides (e.g. 'flash_fused_ln' /
     'flash_fused_mlp', the r4 LN/MLP-fusion opt-ins) — TPU only, so a
@@ -144,8 +145,6 @@ def _attn_impl(train: bool = False) -> str:
     override = os.environ.get("PIGEON_ATTN_IMPL")
     if override:
         return override
-    if jax.device_count() > 1:
-        return "flash"
     return "flash" if train else "flash_fused"
 
 

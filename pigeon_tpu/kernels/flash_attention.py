@@ -284,11 +284,18 @@ def _fused_qkv_kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
                            scale=scale)
 
 
-def _fused_qkv_forward(x, wq, wk, wv, bq, bk, bv, num_heads: int):
-    """x: (B, S, D); w*: (D, D); b*: (D,) -> (B, S, D) attention output
-    (heads concatenated in natural order, pre-output-projection)."""
+def _fused_qkv_forward(x, wq, wk, wv, bq, bk, bv, num_heads: int,
+                       head_dim=None):
+    """x: (B, S, D); w*: (D, P); b*: (P,) -> (B, S, P) attention output
+    (heads concatenated in natural order, pre-output-projection).
+
+    ``head_dim`` defaults to ``D // num_heads`` (P == D, the
+    single-chip case). Under tensor parallelism the projection width P
+    is a HEAD-dim shard of D (Megatron column split), so the caller
+    passes ``num_heads`` = local heads and the TRUE ``head_dim`` —
+    everything in the kernel derives from (num_heads, head_dim)."""
     b, s, d = x.shape
-    dh = d // num_heads
+    dh = head_dim or d // num_heads
     groups = next(g for g in (FUSED_GROUPS, 2, 1) if num_heads % g == 0)
     hg = num_heads // groups
     gw = hg * dh
@@ -300,7 +307,7 @@ def _fused_qkv_forward(x, wq, wk, wv, bq, bk, bv, num_heads: int):
     return pl.pallas_call(
         functools.partial(_fused_qkv_kernel, hg=hg, dh=dh,
                           scale=dh ** -0.5),
-        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, s, num_heads * dh), x.dtype),
         grid=(groups, b),
         in_specs=[
             pl.BlockSpec((1, s, d), lambda g, bb: (bb, 0, 0),
@@ -312,34 +319,41 @@ def _fused_qkv_forward(x, wq, wk, wv, bq, bk, bv, num_heads: int):
     )(x, wq, bq[None, :], wk, bk[None, :], wv, bv[None, :])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def fused_qkv_mha(x, wq, wk, wv, bq, bk, bv, num_heads):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_qkv_mha(x, wq, wk, wv, bq, bk, bv, num_heads, head_dim=None):
     """Fused QKV projection + attention: (B, S, D) -> (B, S, D).
 
     Forward runs the Pallas fusion; backward rematerializes q/k/v with
     XLA einsums and reuses the fused attention backward kernel, then
     projects the gradients (dx, dW*, db*). Exact same math as the
-    Dense-projections + `mha` path (parity-tested)."""
-    return _fused_qkv_forward(x, wq, wk, wv, bq, bk, bv, num_heads)
+    Dense-projections + `mha` path (parity-tested).
+
+    ``head_dim``: see `_fused_qkv_forward` — pass it (with
+    ``num_heads`` = LOCAL heads) when the weights are a head-dim shard
+    of the full projection (tensor parallelism)."""
+    return _fused_qkv_forward(x, wq, wk, wv, bq, bk, bv, num_heads,
+                              head_dim)
 
 
-def _fused_qkv_fwd(x, wq, wk, wv, bq, bk, bv, num_heads):
-    out = _fused_qkv_forward(x, wq, wk, wv, bq, bk, bv, num_heads)
+def _fused_qkv_fwd(x, wq, wk, wv, bq, bk, bv, num_heads, head_dim=None):
+    out = _fused_qkv_forward(x, wq, wk, wv, bq, bk, bv, num_heads,
+                             head_dim)
     return out, (x, wq, wk, wv, bq, bk, bv)
 
 
-def _fused_qkv_bwd(num_heads, res, g):
+def _fused_qkv_bwd(num_heads, head_dim, res, g):
     x, wq, wk, wv, bq, bk, bv = res
     b, s, d = x.shape
-    dh = d // num_heads
+    dh = head_dim or d // num_heads
+    p = num_heads * dh                                 # projection width
 
-    def fold(t):                                       # (B,S,D)->(BH,S,Dh)
+    def fold(t):                                       # (B,S,P)->(BH,S,Dh)
         return jnp.swapaxes(t.reshape(b, s, num_heads, dh), 1, 2) \
             .reshape(b * num_heads, s, dh)
 
-    def unfold(t):                                     # (BH,S,Dh)->(B,S,D)
+    def unfold(t):                                     # (BH,S,Dh)->(B,S,P)
         return jnp.swapaxes(t.reshape(b, num_heads, s, dh), 1, 2) \
-            .reshape(b, s, d)
+            .reshape(b, s, p)
 
     q = fold((x @ wq + bq).astype(x.dtype))
     k = fold((x @ wk + bk).astype(x.dtype))
@@ -352,7 +366,7 @@ def _fused_qkv_bwd(num_heads, res, g):
 
     def wgrad(dt):
         return jax.lax.dot_general(
-            flat_x, dt.reshape(b * s, d), (((0,), (0,)), ((), ())),
+            flat_x, dt.reshape(b * s, p), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(wq.dtype)
 
     return (dx.astype(x.dtype), wgrad(dq_u), wgrad(dk_u), wgrad(dv_u),
@@ -469,7 +483,8 @@ def _fused_ln_qkv_bwd(num_heads, eps, res, g):
         return _layer_norm_f32(x, s, b, eps).astype(x.dtype)
 
     xn, ln_vjp = jax.vjp(ln, x, ln_scale, ln_bias)
-    grads = _fused_qkv_bwd(num_heads, (xn, wq, wk, wv, bq, bk, bv), g)
+    grads = _fused_qkv_bwd(num_heads, None, (xn, wq, wk, wv, bq, bk, bv),
+                           g)
     dx, dls, dlb = ln_vjp(grads[0])
     return (dx, dls.astype(ln_scale.dtype),
             dlb.astype(ln_bias.dtype)) + grads[1:]
@@ -887,6 +902,50 @@ def sharded_mha(q, k, v, mesh, batch_axis="data", head_axis="model"):
     return jax.shard_map(
         mha, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False)(q, k, v)
+
+
+def sharded_fused_qkv_mha(x, wq, wk, wv, bq, bk, bv, num_heads, mesh,
+                          batch_axis="data", head_axis="model"):
+    """`fused_qkv_mha` under `jax.shard_map` for multi-chip meshes.
+
+    The QKV projection weights carry Megatron column sharding
+    (`train/mesh.py` DEFAULT_RULES: kernels P(None, 'model'), biases
+    P('model')) — a head-dim split, so each shard projects and attends
+    its LOCAL heads against the replicated x block with NO collectives
+    in the forward (the backward's dx psum over ``head_axis`` is
+    inserted by shard_map's transpose of the replicated-x spec). An
+    axis that does not divide its dimension drops to replicated, which
+    for ``head_axis`` means falling back to fully local compute.
+
+    Args:
+        x: ``(B, S, D)``; wq/wk/wv: ``(D, D)`` (GLOBAL shapes — GSPMD
+            supplies shards); bq/bk/bv: ``(D,)``; num_heads: GLOBAL
+            head count.
+    Returns:
+        ``(B, S, D)`` fused attention output, head-sharded like the
+        projections.
+    """
+    b, _, d = x.shape
+    dh = d // num_heads
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if batch_axis is not None and b % sizes.get(batch_axis, 1) != 0:
+        batch_axis = None
+    tp = sizes.get(head_axis, 1) if head_axis is not None else 1
+    if num_heads % max(tp, 1) != 0:
+        head_axis, tp = None, 1
+    local_heads = num_heads // max(tp, 1)
+
+    P = jax.sharding.PartitionSpec
+    xspec = P(batch_axis, None, None)
+    wspec = P(None, head_axis)
+    bspec = P(head_axis)
+    ospec = P(batch_axis, None, head_axis)
+    return jax.shard_map(
+        lambda xx, a, c, e, f, g, h: fused_qkv_mha(
+            xx, a, c, e, f, g, h, local_heads, dh),
+        mesh=mesh,
+        in_specs=(xspec, wspec, wspec, wspec, bspec, bspec, bspec),
+        out_specs=ospec, check_vma=False)(x, wq, wk, wv, bq, bk, bv)
 
 
 #: (mesh, batch_axis, head_axis) registered by `set_attention_mesh` —

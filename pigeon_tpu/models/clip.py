@@ -202,9 +202,18 @@ class MultiHeadAttention(nn.Module):
                     cast(wv), cast(bq), cast(bk), cast(bv),
                     self.num_heads, eps)
             else:
-                out = flash_attention.fused_qkv_mha(
-                    x, cast(wq), cast(wk), cast(wv), cast(bq), cast(bk),
-                    cast(bv), self.num_heads)
+                mesh_info = flash_attention.get_attention_mesh()
+                if mesh_info is not None:
+                    # Multi-chip: the fused kernel runs per-shard on
+                    # its LOCAL (Megatron column-split) heads under
+                    # shard_map (docs/SHARDING.md).
+                    out = flash_attention.sharded_fused_qkv_mha(
+                        x, cast(wq), cast(wk), cast(wv), cast(bq),
+                        cast(bk), cast(bv), self.num_heads, *mesh_info)
+                else:
+                    out = flash_attention.fused_qkv_mha(
+                        x, cast(wq), cast(wk), cast(wv), cast(bq),
+                        cast(bk), cast(bv), self.num_heads)
             return dense("out_proj")(out)
 
         if (self.attn_impl == "flash_fused_block" and mask is None

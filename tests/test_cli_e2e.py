@@ -646,13 +646,11 @@ class TestAttnImplSelection:
 
 
 class TestAttnImplMultiChipGuard:
-    """On >1 device the REAL `_attn_impl` must select 'flash' (hosted
-    under shard_map via the attention-mesh registry — docs/SHARDING.md)
-    and never a FUSED impl: the fused projection kernels are not
-    shard_map-wrapped, and `pallas_call` under a plain GSPMD jit
-    raises 'pallas_call requires all mesh axes to be Manual' (jax 0.9
-    pallas_call.py abstract-eval check). PIGEON_ATTN_IMPL still
-    overrides."""
+    """Defaults are UNIFORM across chip counts: both 'flash' and
+    'flash_fused' have shard_map hostings (`sharded_mha` /
+    `sharded_fused_qkv_mha`) picked up via the attention-mesh registry
+    that `create_mesh` fills on multi-chip TPU backends, so
+    `_attn_impl` never needs to downgrade (docs/SHARDING.md)."""
 
     def _impl(self, monkeypatch, n_devices, override=None, train=False):
         import jax
@@ -666,14 +664,14 @@ class TestAttnImplMultiChipGuard:
         monkeypatch.setattr(jax, "device_count", lambda: n_devices)
         return cli._attn_impl(train=train)
 
-    def test_single_chip_keeps_pallas(self, monkeypatch):
+    def test_single_chip_defaults(self, monkeypatch):
         assert self._impl(monkeypatch, 1) == "flash_fused"
         assert self._impl(monkeypatch, 1, train=True) == "flash"
 
-    def test_multi_chip_selects_flash_never_fused(self, monkeypatch):
-        assert self._impl(monkeypatch, 8) == "flash"
+    def test_multi_chip_defaults_match_single_chip(self, monkeypatch):
+        assert self._impl(monkeypatch, 8) == "flash_fused"
         assert self._impl(monkeypatch, 8, train=True) == "flash"
 
     def test_override_wins_on_multi_chip(self, monkeypatch):
         assert self._impl(monkeypatch, 8,
-                          override="flash_fused") == "flash_fused"
+                          override="flash_fused_mlp") == "flash_fused_mlp"

@@ -698,3 +698,47 @@ class TestShardedMha:
                                    np.asarray(last_x), atol=5e-5)
         np.testing.assert_allclose(np.asarray(pooled_f),
                                    np.asarray(pooled_x), atol=5e-5)
+
+    def test_fused_tower_under_registered_mesh_matches_xla(self):
+        """flash_fused under the registry: the fused QKV kernel runs
+        per-shard on its local Megatron-split heads (sharded_fused_
+        qkv_mha). Forward AND gradients must match the XLA tower —
+        the grad check exercises shard_map's transpose psum of the
+        replicated x block."""
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from pigeon_tpu.config import VisionConfig
+        from pigeon_tpu.kernels import flash_attention as fa
+        from pigeon_tpu.models.clip import CLIPVisionTower
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        cfg = VisionConfig(image_size=32, patch_size=8, hidden_size=32,
+                           intermediate_size=64, num_layers=2,
+                           num_heads=4)
+        x = jnp.asarray(RNG.normal(size=(8, 32, 32, 3))
+                        .astype(np.float32))
+        tower_xla = CLIPVisionTower(cfg, attn_impl="xla")
+        params = jax.jit(tower_xla.init)(jax.random.PRNGKey(0), x)
+
+        def loss_of(tower, p, px):
+            _, pooled = tower.apply(p, px)
+            return jnp.sum(pooled.astype(jnp.float32) ** 2)
+
+        want_l, want_g = jax.value_and_grad(
+            lambda p: loss_of(tower_xla, p, x))(params)
+
+        mesh = Mesh(np.array(jax.devices()).reshape(4, 2),
+                    ("data", "model"))
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        tower_fused = CLIPVisionTower(cfg, attn_impl="flash_fused")
+        with fa.attention_mesh(mesh):
+            got_l, got_g = jax.jit(jax.value_and_grad(
+                lambda p: loss_of(tower_fused, p, xs)))(params)
+        np.testing.assert_allclose(float(got_l), float(want_l),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(got_g),
+                        jax.tree_util.tree_leaves(want_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)

@@ -36,9 +36,9 @@ def xla_twins(monkeypatch):
         _, vjp = jax.vjp(fa._xla_attention_bshd, q, k, v)
         return vjp(g)
 
-    def fused_qkv(x, wq, wk, wv, bq, bk, bv, num_heads):
+    def fused_qkv(x, wq, wk, wv, bq, bk, bv, num_heads, head_dim=None):
         b, s, d = x.shape
-        dh = d // num_heads
+        dh = head_dim or d // num_heads
 
         def fold(t):
             return jnp.swapaxes(
