@@ -27,16 +27,18 @@ Variance control: the timing loop runs BENCH_WINDOWS (default 5)
 independent windows and reports the MEDIAN rate (all windows on stderr) —
 single-window numbers on this shared tunnel vary ~10%.
 
-Env knobs: BENCH_BATCH (32 — measured optimum for BOTH bf16 (317 vs
-313 at bs64 pre-fusion) and int8 (440 vs 403); larger batches grow the
-serial VPU share's VMEM working set), BENCH_ITERS (16 — at bs32 a
-window is ~1.6 s, long enough to drown scheduling jitter),
-BENCH_SEGMENTS (1), BENCH_WINDOWS (5), BENCH_ATTN (flash_fused — the
-QKV-projection+attention fusion, measured 374 vs 316 img/s for 'flash'
-same-session; docs/PERF.md), BENCH_QUANT (0; 1 = the int8
-W8A8 serving path, `models/quant.py` — separate metric name, default
-headline stays bf16; the int8 optimum is bs24 (450 img/s, 440 at bs32)
-— 32 is the shared bf16/int8 default, see docs/PERF.md).
+Env knobs: BENCH_BATCH (route-specific default — bf16 48, the r4
+flash_fused re-optimum: 374.8 vs 368.4 bs32 / 364.1 bs64 / 352.1 bs24
+same-session (the pre-fusion serial-VPU-share argument that picked 32
+no longer binds once the projections run in-kernel); int8 32: 565.9
+vs 553.7 bs24, and bs48 VMEM-spills to 408.3), BENCH_ITERS (16 — at bs32 a window is
+~1.6 s, long enough to drown scheduling jitter), BENCH_SEGMENTS (1),
+BENCH_WINDOWS (5), BENCH_ATTN (flash_fused — the QKV-projection+
+attention fusion, measured 374 vs 316 img/s for 'flash' same-session;
+docs/PERF.md), BENCH_QUANT (0; 1 = the int8 W8A8 serving path,
+`models/quant.py` — separate metric name, default headline stays
+bf16; the int8 route is flash_fused (`fused_qkv_mha_int8`, r4: 565.9
+vs 434.1 img/s for 'flash' at bs32, Mosaic parity err 0.0)).
 """
 
 from __future__ import annotations
@@ -72,15 +74,19 @@ def main() -> None:
         run_segmented,
     )
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # Measured optima differ per route (r4): bf16 flash_fused peaks at
+    # bs48 (374.8 vs 368.4 bs32), int8 flash_fused at bs32 (565.9 vs
+    # 553.7 bs24 — and bs48 drops to 408.3, VMEM spill).
+    default_batch = ("32" if os.environ.get("BENCH_QUANT", "0") == "1"
+                     else "48")
+    batch = int(os.environ.get("BENCH_BATCH", default_batch))
     iters = int(os.environ.get("BENCH_ITERS", "16"))
     segments = int(os.environ.get("BENCH_SEGMENTS", "1"))
-    # int8 towers quantize the projections separately, so the fused
-    # QKV branch falls back to 'flash' semantics there — name the int8
-    # metric by the impl that actually runs.
-    default_attn = ("flash" if os.environ.get("BENCH_QUANT", "0") == "1"
-                    else "flash_fused")
-    attn_impl = os.environ.get("BENCH_ATTN", default_attn)
+    # Both the bf16 and int8 routes default to the fused QKV kernels
+    # (`fused_qkv_mha` / `fused_qkv_mha_int8`) — the int8 fusion was
+    # hardware-validated in the r4 session (parity err 0.0, 565.9 vs
+    # 434.1 img/s for the separate-projection 'flash' route).
+    attn_impl = os.environ.get("BENCH_ATTN", "flash_fused")
 
     vision_cfg = vit_l14_336_vision()
     head_cfg = HeadConfig(num_cells=2203, embed_dim=1024, panorama=False,

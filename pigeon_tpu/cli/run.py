@@ -151,20 +151,22 @@ def _attn_impl(train: bool = False) -> str:
 def _quant_attn_impl() -> str:
     """Attention impl for the int8 (quant='static') serving path.
 
-    Static towers route every fused impl into the int8 fused kernels
-    (`fused_qkv_mha_int8` / `fused_ln_mlp_int8` /
-    `fused_block_attention_int8`) — exact-parity-tested on CPU but NOT
-    yet validated on real TPU (Mosaic int8 dot lowering is exactly
-    what interpret mode can't catch; CLAUDE.md rule 4). So this
-    downgrades ALL fused impls to 'flash' — including values arriving
-    via PIGEON_ATTN_IMPL — until a hardware run confirms.
-    PIGEON_QUANT_ATTN_IMPL is the explicit opt-in for that validation
-    run."""
+    'flash_fused' routes static towers into `fused_qkv_mha_int8` —
+    VALIDATED on real Mosaic in the r4 HW session (step-1 parity
+    max_err 0.0 vs the separate int8 projections; e2e 565.9 vs 434.1
+    img/s for the old 'flash' route at bs32, +30%) — so it is the
+    default. The LN/MLP/block fused variants remain DOWNGRADED to
+    'flash_fused': `fused_ln_mlp_int8` FAILED hardware parity
+    (0.051 > bound, r4 step 3; Mosaic int8 dot lowering is exactly
+    what interpret mode can't catch — CLAUDE.md rule 4), and both
+    'flash_fused_mlp' and 'flash_fused_block' route their MLP through
+    it. PIGEON_QUANT_ATTN_IMPL is the explicit opt-in for validation
+    runs of the blocked impls."""
     override = os.environ.get("PIGEON_QUANT_ATTN_IMPL")
     if override:
         return override
     impl = _attn_impl()
-    return "flash" if impl.startswith("flash_fused") else impl
+    return "flash_fused" if impl.startswith("flash_fused") else impl
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -241,7 +243,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=None,
                    help="per-device batch (default: mode-specific; "
                         "evaluate/predict use the measured optimum — "
-                        "32 bf16, 24 with --quant)")
+                        "48 bf16, 32 with --quant)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--port", type=int, default=5000)
     p.add_argument("--host", default="127.0.0.1")
@@ -880,11 +882,13 @@ def cmd_evaluate(args) -> int:
         logger.warning("evaluating on %d devices (mesh %s)",
                        jax.device_count(), dict(mesh.shape))
 
-    # Measured eval-pipeline optima (docs/PERF.md): int8 peaks at bs24
-    # (417.6 vs 407.4 img/s at bs32 through the full refined path) —
-    # the int8 matmuls finish fast enough that the serial bf16/VPU share
-    # dominates at larger batches; bf16 stays at bs32.
-    default_batch = 24 if getattr(args, "quant", False) else 32
+    # Measured eval-pipeline optima (docs/PERF.md, r4): on the
+    # validated flash_fused int8 route the optimum moved to bs32
+    # (530.3 img/s refined vs 416.3 for the old flash bs24 route;
+    # bench forward 565.9 bs32 / 553.7 bs24 / 408.3 bs48 — bs48 spills
+    # VMEM on the int8 kernel). bf16 follows the step-7 re-optimum to
+    # bs48 (eval 361.8 vs 350.6 at bs32).
+    default_batch = 32 if getattr(args, "quant", False) else 48
     for benchmark in names:
         ds = get_ds(benchmark)
         metrics = evaluate_benchmark(
@@ -959,8 +963,9 @@ def cmd_predict(args) -> int:
                              image_size=size, panorama=cfg.head.panorama,
                              normalize=False)
 
-    # int8 forward peaks at bs24 (450 vs 440 img/s at bs32, docs/PERF.md).
-    batch = args.batch_size or (24 if getattr(args, "quant", False) else 32)
+    # r4 optima (docs/PERF.md): int8 flash_fused peaks at bs32 (565.9
+    # vs 553.7 bs24 / 408.3 bs48); bf16 flash_fused at bs48 (374.8).
+    batch = args.batch_size or (32 if getattr(args, "quant", False) else 48)
 
     def pixel_batches():
         """Threaded decode + prefetch (`data/pipeline.iter_batches`),

@@ -769,7 +769,7 @@ def _fused_qkv_int8_kernel(xq_ref, wq_ref, sq_ref, bq_ref, wk_ref,
 
 
 def fused_qkv_mha_int8(x, act_scale, wq, sq, bq, wk, sk, bk, wv, sv, bv,
-                       num_heads: int):
+                       num_heads: int, head_dim=None):
     """Int8 fused QKV projection + attention (serving path, fwd-only).
 
     Args:
@@ -777,10 +777,14 @@ def fused_qkv_mha_int8(x, act_scale, wq, sq, bq, wk, sk, bk, wv, sv, bv,
         act_scale: f32 scalar — the SHARED per-tensor input scale
             (`models/quant.py` static mode; q/k/v observe the same
             input so calibration freezes identical scales).
-        wq/wk/wv: int8 (D, D) kernels; sq/sk/sv: f32 (D,)
-            per-output-channel weight scales; bq/bk/bv: f32 (D,).
+        wq/wk/wv: int8 (D, P) kernels; sq/sk/sv: f32 (P,)
+            per-output-channel weight scales; bq/bk/bv: f32 (P,).
+        head_dim: defaults to ``D // num_heads`` (P == D, single chip).
+            Under tensor parallelism P is a HEAD-dim shard of D
+            (Megatron column split) — pass ``num_heads`` = LOCAL heads
+            and the TRUE head_dim, exactly like `fused_qkv_mha`.
     Returns:
-        (B, S, D) attention output in ``x.dtype`` (heads concatenated,
+        (B, S, P) attention output in ``x.dtype`` (heads concatenated,
         pre-output-projection).
 
     Matches QuantDense(static) projections + `mha` exactly:
@@ -791,7 +795,8 @@ def fused_qkv_mha_int8(x, act_scale, wq, sq, bq, wk, sk, bk, wv, sv, bv,
     needs no scalar operand.
     """
     b, s, d = x.shape
-    dh = d // num_heads
+    dh = head_dim or d // num_heads
+    p = num_heads * dh
     groups = next(g for g in (FUSED_GROUPS, 2, 1) if num_heads % g == 0)
     hg = num_heads // groups
     gw = hg * dh
@@ -810,7 +815,7 @@ def fused_qkv_mha_int8(x, act_scale, wq, sq, bq, wk, sk, bk, wv, sv, bv,
     out = pl.pallas_call(
         functools.partial(_fused_qkv_int8_kernel, hg=hg, dh=dh,
                           scale=dh ** -0.5),
-        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, s, p), x.dtype),
         grid=(groups, b),
         in_specs=[
             pl.BlockSpec((1, s, d), lambda g, bb: (bb, 0, 0),
@@ -946,6 +951,57 @@ def sharded_fused_qkv_mha(x, wq, wk, wv, bq, bk, bv, num_heads, mesh,
         mesh=mesh,
         in_specs=(xspec, wspec, wspec, wspec, bspec, bspec, bspec),
         out_specs=ospec, check_vma=False)(x, wq, wk, wv, bq, bk, bv)
+
+
+def sharded_fused_qkv_mha_int8(x, act_scale, wq, sq, bq, wk, sk, bk,
+                               wv, sv, bv, num_heads, mesh,
+                               batch_axis="data", head_axis="model"):
+    """`fused_qkv_mha_int8` under `jax.shard_map` for multi-chip meshes.
+
+    Same Megatron head-split layout as `sharded_fused_qkv_mha`: int8
+    kernels are column-sharded P(None, head_axis); the per-output-
+    channel weight scales and biases follow the columns P(head_axis);
+    the per-tensor activation scale is a replicated scalar; x is
+    replicated over ``head_axis`` so each shard quantizes it locally
+    (identical x_q on every shard — the round/clip is deterministic)
+    and projects+attends its LOCAL heads with no forward collectives.
+    This is what keeps the validated int8 serving route
+    (`_quant_attn_impl` -> 'flash_fused', r4: 565.9 vs 434.1 img/s)
+    uniform across chip counts.
+
+    Args:
+        x: ``(B, S, D)``; wq/wk/wv: int8 ``(D, D)`` GLOBAL shapes;
+        sq/sk/sv, bq/bk/bv: ``(D,)``; act_scale: f32 scalar;
+        num_heads: GLOBAL head count.
+    Returns:
+        ``(B, S, D)`` attention output, head-sharded like the weights.
+    """
+    b, _, d = x.shape
+    dh = d // num_heads
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if batch_axis is not None and b % sizes.get(batch_axis, 1) != 0:
+        batch_axis = None
+    tp = sizes.get(head_axis, 1) if head_axis is not None else 1
+    if num_heads % max(tp, 1) != 0:
+        head_axis, tp = None, 1
+    local_heads = num_heads // max(tp, 1)
+
+    P = jax.sharding.PartitionSpec
+    xspec = P(batch_axis, None, None)
+    sscale = P()
+    wspec = P(None, head_axis)
+    vspec = P(head_axis)
+    ospec = P(batch_axis, None, head_axis)
+    return jax.shard_map(
+        lambda xx, a, w1, s1, b1, w2, s2, b2, w3, s3, b3:
+        fused_qkv_mha_int8(xx, a, w1, s1, b1, w2, s2, b2, w3, s3, b3,
+                           local_heads, dh),
+        mesh=mesh,
+        in_specs=(xspec, sscale, wspec, vspec, vspec, wspec, vspec,
+                  vspec, wspec, vspec, vspec),
+        out_specs=ospec, check_vma=False)(
+            x, jnp.asarray(act_scale, jnp.float32), wq, sq, bq,
+            wk, sk, bk, wv, sv, bv)
 
 
 #: (mesh, batch_axis, head_axis) registered by `set_attention_mesh` —

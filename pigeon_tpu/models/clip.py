@@ -261,9 +261,18 @@ class MultiHeadAttention(nn.Module):
             wk, sk, ak, bk = _QuantDenseParams(d, d, name="k_proj")()
             wv, sv, av, bv = _QuantDenseParams(d, d, name="v_proj")()
             a_scale = jnp.maximum(jnp.maximum(aq, ak), av)
-            out = flash_attention.fused_qkv_mha_int8(
-                x.astype(self.dtype), a_scale, wq, sq, bq, wk, sk, bk,
-                wv, sv, bv, self.num_heads)
+            mesh_info = flash_attention.get_attention_mesh()
+            if mesh_info is not None:
+                # Multi-chip: host the int8 kernel under shard_map on
+                # its local (Megatron column-split) heads, exactly
+                # like the bf16 fused path (docs/SHARDING.md).
+                out = flash_attention.sharded_fused_qkv_mha_int8(
+                    x.astype(self.dtype), a_scale, wq, sq, bq, wk, sk,
+                    bk, wv, sv, bv, self.num_heads, *mesh_info)
+            else:
+                out = flash_attention.fused_qkv_mha_int8(
+                    x.astype(self.dtype), a_scale, wq, sq, bq, wk, sk,
+                    bk, wv, sv, bv, self.num_heads)
             return dense("out_proj")(out)
 
         q = dense("q_proj")(x).reshape(*x.shape[:-1], self.num_heads, head_dim)

@@ -36,7 +36,11 @@ import sys
 E2E_RE = re.compile(
     r"embed_classify_images_per_sec_per_chip_bs(\d+)_(\w+?)(_int8)?$")
 TRAIN_RE = re.compile(
-    r"train_images_per_sec_bs(\d+)_(\w+?)_remat-(\w+)$")
+    # (?<!pre): the step-9 PRETRAIN metric
+    # (clip_..._pretrain_images_per_sec_bs32_flash_remat-full) contains
+    # 'train_images_per_sec...' as a substring and must not overwrite
+    # the step-6 finetune row for the same (impl, bs) key.
+    r"(?<!pre)train_images_per_sec_bs(\d+)_(\w+?)_remat-(\w+)$")
 
 
 def parse(lines):

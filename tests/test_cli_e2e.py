@@ -609,9 +609,10 @@ def test_evaluate_holdout_comma_metadata(tiny_world, monkeypatch):
 
 class TestAttnImplSelection:
     """The quant path's attention-impl guard (cli/run.py) must hold
-    regardless of the PIGEON_ATTN_IMPL override: every fused impl
-    routes into the int8 fused kernels on static towers, which stay
-    off until hardware-validated (docs/PERF.md r4)."""
+    regardless of the PIGEON_ATTN_IMPL override: 'flash_fused' is the
+    hardware-VALIDATED int8 route (r4 step-1 parity err 0.0; 565.9 vs
+    434.1 img/s), while the LN/MLP/block variants stay downgraded —
+    `fused_ln_mlp_int8` FAILED Mosaic parity (0.051, r4 step 3)."""
 
     def _sel(self, monkeypatch, attn_env=None, quant_env=None):
         from pigeon_tpu.cli import run as cli
@@ -628,14 +629,18 @@ class TestAttnImplSelection:
                                 or "flash_fused"))
         return cli._quant_attn_impl()
 
-    def test_default_downgrades_to_flash(self, monkeypatch):
-        assert self._sel(monkeypatch) == "flash"
+    def test_default_is_validated_fused_route(self, monkeypatch):
+        assert self._sel(monkeypatch) == "flash_fused"
 
-    @pytest.mark.parametrize("impl", ["flash_fused", "flash_fused_ln",
+    @pytest.mark.parametrize("impl", ["flash_fused_ln",
                                       "flash_fused_mlp",
                                       "flash_fused_block"])
-    def test_every_fused_override_downgrades(self, monkeypatch, impl):
-        assert self._sel(monkeypatch, attn_env=impl) == "flash"
+    def test_unvalidated_fused_overrides_downgrade(self, monkeypatch,
+                                                   impl):
+        assert self._sel(monkeypatch, attn_env=impl) == "flash_fused"
+
+    def test_plain_flash_override_passes_through(self, monkeypatch):
+        assert self._sel(monkeypatch, attn_env="flash") == "flash"
 
     def test_non_fused_override_passes_through(self, monkeypatch):
         assert self._sel(monkeypatch, attn_env="xla") == "xla"

@@ -742,3 +742,109 @@ class TestShardedMha:
                         jax.tree_util.tree_leaves(want_g)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4)
+
+
+class TestShardedFusedQKVInt8:
+    """`sharded_fused_qkv_mha_int8` — the shard_map hosting that keeps
+    the VALIDATED int8 serving route (`_quant_attn_impl` ->
+    'flash_fused', r4: 565.9 vs 434.1 img/s, Mosaic parity err 0.0)
+    uniform across chip counts. Same Megatron head-split layout as the
+    bf16 hosting; the per-tensor act quantize is recomputed per shard
+    on the replicated x (deterministic round/clip -> identical x_q)."""
+
+    def _setup(self, b=8, s=32, h=4, dh=16):
+        from pigeon_tpu.models.quant import quantize_channelwise
+
+        d = h * dh
+        x = jnp.asarray(RNG.normal(size=(b, s, d)).astype(np.float32)
+                        * .5)
+        packs = []
+        for _ in range(3):
+            w = RNG.normal(size=(d, d)).astype(np.float32) * .1
+            w_q, s_w = quantize_channelwise(jnp.asarray(w))
+            bias = jnp.asarray(
+                RNG.normal(size=(d,)).astype(np.float32) * .1)
+            packs.append((w_q, s_w, bias))
+        act_scale = jnp.float32(float(jnp.abs(x).max()) / 127.0)
+        return x, packs, act_scale, h, dh
+
+    def test_matches_single_kernel_on_dp_tp_mesh(self):
+        from jax.sharding import Mesh
+
+        from pigeon_tpu.kernels.flash_attention import (
+            fused_qkv_mha_int8,
+            sharded_fused_qkv_mha_int8,
+        )
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        x, packs, act_scale, h, dh = self._setup()
+        args = [a for p in packs for a in p]
+        want = np.asarray(fused_qkv_mha_int8(x, act_scale, *args, h))
+        mesh = Mesh(np.array(jax.devices()).reshape(4, 2),
+                    ("data", "model"))
+        got = np.asarray(jax.jit(
+            lambda xx, *rest: sharded_fused_qkv_mha_int8(
+                xx, act_scale, *rest, h, mesh))(x, *args))
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+    def test_ragged_batch_and_odd_heads_drop_axes(self):
+        # B=3 on dp=4 and h=3 on tp=2: both axes must degrade to
+        # replicated instead of erroring (evaluate's tail batch).
+        from jax.sharding import Mesh
+
+        from pigeon_tpu.kernels.flash_attention import (
+            fused_qkv_mha_int8,
+            sharded_fused_qkv_mha_int8,
+        )
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        x, packs, act_scale, h, dh = self._setup(b=3, h=3, dh=16)
+        args = [a for p in packs for a in p]
+        want = np.asarray(fused_qkv_mha_int8(x, act_scale, *args, h))
+        mesh = Mesh(np.array(jax.devices()).reshape(4, 2),
+                    ("data", "model"))
+        got = np.asarray(jax.jit(
+            lambda xx, *rest: sharded_fused_qkv_mha_int8(
+                xx, act_scale, *rest, h, mesh))(x, *args))
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+    def test_static_int8_tower_under_registered_mesh(self):
+        """The production multi-chip serving path: quant='static' +
+        attn_impl='flash_fused' with the attention mesh registered and
+        GSPMD-sharded pixels must match the unregistered tower."""
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from pigeon_tpu.config import VisionConfig
+        from pigeon_tpu.kernels import flash_attention as fa
+        from pigeon_tpu.models.clip import CLIPVisionTower
+        from pigeon_tpu.models.quant import quantize_and_calibrate
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        cfg = VisionConfig(image_size=32, patch_size=8, hidden_size=64,
+                           intermediate_size=128, num_layers=2,
+                           num_heads=4, projection_dim=32)
+        px = jnp.asarray(RNG.normal(size=(8, 32, 32, 3))
+                         .astype(np.float32))
+        f32 = CLIPVisionTower(cfg, dtype=jnp.float32)
+        params = jax.jit(f32.init)(jax.random.PRNGKey(1), px)["params"]
+        dyn = CLIPVisionTower(cfg, dtype=jnp.float32, quant=True)
+        qparams = quantize_and_calibrate(dyn, params, px)
+
+        tower = CLIPVisionTower(cfg, dtype=jnp.float32, quant="static",
+                                attn_impl="flash_fused")
+        want_h, want_p = jax.jit(tower.apply)({"params": qparams}, px)
+
+        mesh = Mesh(np.array(jax.devices()).reshape(4, 2),
+                    ("data", "model"))
+        pxs = jax.device_put(px, NamedSharding(mesh, P("data")))
+        with fa.attention_mesh(mesh):
+            got_h, got_p = jax.jit(tower.apply)({"params": qparams},
+                                                pxs)
+        np.testing.assert_allclose(np.asarray(got_h),
+                                   np.asarray(want_h), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(got_p),
+                                   np.asarray(want_p), atol=5e-5)

@@ -201,3 +201,21 @@ def test_batch_sweep_reports_optimum():
                   e2e("flash_fused", 64, 377.0)])
     decs = dict(hw.decide(p))
     assert "BENCH_BATCH optimum: bs48" in decs
+
+
+def test_pretrain_row_does_not_overwrite_train_baseline():
+    """Regression: the step-9 PRETRAIN metric name contains
+    'train_images_per_sec_..._remat-full' as a substring; in the real
+    r4 session it overwrote the step-6 flash:full row (81.69 -> 77.08)
+    and flipped the TRAIN decision to a variant that actually LOST."""
+    pretrain = json.dumps({
+        "metric": "clip_l14_336_pretrain_images_per_sec_bs32_flash"
+                  "_remat-full",
+        "value": 77.08, "unit": "images/sec", "loss": 1.958})
+    p = hw.parse([train("flash", 32, 81.69),
+                  train("flash_fused_mlp", 32, 79.6, remat="none"),
+                  pretrain])
+    assert p["train"][("flash:full", 32)] == 81.69
+    heads = [h for h, _ in hw.decide(p)]
+    assert any("TRAIN default stays 'flash' + full remat" in h
+               for h in heads)
