@@ -74,19 +74,24 @@ def main() -> None:
         run_segmented,
     )
 
-    # Measured optima differ per route (r4): bf16 flash_fused peaks at
-    # bs48 (374.8 vs 368.4 bs32), int8 flash_fused at bs32 (565.9 vs
-    # 553.7 bs24 — and bs48 drops to 408.3, VMEM spill).
-    default_batch = ("32" if os.environ.get("BENCH_QUANT", "0") == "1"
-                     else "48")
-    batch = int(os.environ.get("BENCH_BATCH", default_batch))
-    iters = int(os.environ.get("BENCH_ITERS", "16"))
-    segments = int(os.environ.get("BENCH_SEGMENTS", "1"))
     # Both the bf16 and int8 routes default to the fused QKV kernels
     # (`fused_qkv_mha` / `fused_qkv_mha_int8`) — the int8 fusion was
     # hardware-validated in the r4 session (parity err 0.0, 565.9 vs
     # 434.1 img/s for the separate-projection 'flash' route).
     attn_impl = os.environ.get("BENCH_ATTN", "flash_fused")
+    # Measured optima differ per ROUTE (r4): bf16 flash_fused peaks at
+    # bs48 (374.8 vs 368.4 bs32) but plain 'flash' at bs32 (317 vs 313
+    # bs48); int8 flash_fused at bs32 (565.9; bs48 VMEM-spills to
+    # 408.3) but the old separate-projection route at bs24 (450). The
+    # default follows the selected impl (advisor r3).
+    fused = attn_impl.startswith("flash_fused")
+    if os.environ.get("BENCH_QUANT", "0") == "1":
+        default_batch = "32" if fused else "24"
+    else:
+        default_batch = "48" if fused else "32"
+    batch = int(os.environ.get("BENCH_BATCH", default_batch))
+    iters = int(os.environ.get("BENCH_ITERS", "16"))
+    segments = int(os.environ.get("BENCH_SEGMENTS", "1"))
 
     vision_cfg = vit_l14_336_vision()
     head_cfg = HeadConfig(num_cells=2203, embed_dim=1024, panorama=False,

@@ -148,6 +148,20 @@ def _attn_impl(train: bool = False) -> str:
     return "flash" if train else "flash_fused"
 
 
+def _default_batch(quant: bool) -> int:
+    """Measured batch optima are ROUTE-specific (docs/PERF.md, r4):
+    int8 `flash_fused` peaks at bs32 (565.9 img/s; bs48 VMEM-spills to
+    408) while the separate-projection 'flash' route peaked at bs24
+    (450); bf16 `flash_fused` peaks at bs48 (374.8) but plain 'flash'
+    measured 313 at bs48 vs 317 at bs32. The default therefore follows
+    the RESOLVED attention impl so a PIGEON_ATTN_IMPL /
+    PIGEON_QUANT_ATTN_IMPL override doesn't silently land on the wrong
+    batch curve (advisor r3)."""
+    if quant:
+        return 32 if _quant_attn_impl().startswith("flash_fused") else 24
+    return 48 if _attn_impl().startswith("flash_fused") else 32
+
+
 def _quant_attn_impl() -> str:
     """Attention impl for the int8 (quant='static') serving path.
 
@@ -242,8 +256,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", default=None, help="output path")
     p.add_argument("--batch-size", type=int, default=None,
                    help="per-device batch (default: mode-specific; "
-                        "evaluate/predict use the measured optimum — "
-                        "48 bf16, 32 with --quant)")
+                        "evaluate/predict use the measured optimum of "
+                        "the RESOLVED attention impl — 48 bf16 / 32 "
+                        "--quant on the default flash_fused routes, "
+                        "32 / 24 under a PIGEON_ATTN_IMPL override to "
+                        "a non-fused impl)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--port", type=int, default=5000)
     p.add_argument("--host", default="127.0.0.1")
@@ -887,8 +904,8 @@ def cmd_evaluate(args) -> int:
     # (530.3 img/s refined vs 416.3 for the old flash bs24 route;
     # bench forward 565.9 bs32 / 553.7 bs24 / 408.3 bs48 — bs48 spills
     # VMEM on the int8 kernel). bf16 follows the step-7 re-optimum to
-    # bs48 (eval 361.8 vs 350.6 at bs32).
-    default_batch = 32 if getattr(args, "quant", False) else 48
+    # bs48. Route-aware: an impl override shifts the default with it.
+    default_batch = _default_batch(getattr(args, "quant", False))
     for benchmark in names:
         ds = get_ds(benchmark)
         metrics = evaluate_benchmark(
@@ -965,7 +982,8 @@ def cmd_predict(args) -> int:
 
     # r4 optima (docs/PERF.md): int8 flash_fused peaks at bs32 (565.9
     # vs 553.7 bs24 / 408.3 bs48); bf16 flash_fused at bs48 (374.8).
-    batch = args.batch_size or (32 if getattr(args, "quant", False) else 48)
+    batch = args.batch_size or _default_batch(getattr(args, "quant",
+                                                      False))
 
     def pixel_batches():
         """Threaded decode + prefetch (`data/pipeline.iter_batches`),

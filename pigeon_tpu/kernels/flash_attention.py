@@ -295,7 +295,12 @@ def _fused_qkv_forward(x, wq, wk, wv, bq, bk, bv, num_heads: int,
     passes ``num_heads`` = local heads and the TRUE ``head_dim`` —
     everything in the kernel derives from (num_heads, head_dim)."""
     b, s, d = x.shape
-    dh = head_dim or d // num_heads
+    dh = head_dim if head_dim is not None else d // num_heads
+    p = num_heads * dh
+    if wq.shape != (d, p):
+        raise ValueError(
+            f"fused_qkv_mha: weight shape {wq.shape} != (D={d}, "
+            f"num_heads*head_dim={p}) — mis-sharded operands?")
     groups = next(g for g in (FUSED_GROUPS, 2, 1) if num_heads % g == 0)
     hg = num_heads // groups
     gw = hg * dh
@@ -344,7 +349,7 @@ def _fused_qkv_fwd(x, wq, wk, wv, bq, bk, bv, num_heads, head_dim=None):
 def _fused_qkv_bwd(num_heads, head_dim, res, g):
     x, wq, wk, wv, bq, bk, bv = res
     b, s, d = x.shape
-    dh = head_dim or d // num_heads
+    dh = head_dim if head_dim is not None else d // num_heads
     p = num_heads * dh                                 # projection width
 
     def fold(t):                                       # (B,S,P)->(BH,S,Dh)
@@ -795,8 +800,12 @@ def fused_qkv_mha_int8(x, act_scale, wq, sq, bq, wk, sk, bk, wv, sv, bv,
     needs no scalar operand.
     """
     b, s, d = x.shape
-    dh = head_dim or d // num_heads
+    dh = head_dim if head_dim is not None else d // num_heads
     p = num_heads * dh
+    if wq.shape != (d, p):
+        raise ValueError(
+            f"fused_qkv_mha_int8: weight shape {wq.shape} != (D={d}, "
+            f"num_heads*head_dim={p}) — mis-sharded operands?")
     groups = next(g for g in (FUSED_GROUPS, 2, 1) if num_heads % g == 0)
     hg = num_heads // groups
     gw = hg * dh

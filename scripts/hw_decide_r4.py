@@ -36,11 +36,13 @@ import sys
 E2E_RE = re.compile(
     r"embed_classify_images_per_sec_per_chip_bs(\d+)_(\w+?)(_int8)?$")
 TRAIN_RE = re.compile(
-    # (?<!pre): the step-9 PRETRAIN metric
-    # (clip_..._pretrain_images_per_sec_bs32_flash_remat-full) contains
-    # 'train_images_per_sec...' as a substring and must not overwrite
-    # the step-6 finetune row for the same (impl, bs) key.
-    r"(?<!pre)train_images_per_sec_bs(\d+)_(\w+?)_remat-(\w+)$")
+    # (?:^|_): the finetune metric's 'train' token is underscore-
+    # delimited (vit_l14_336_train_images_per_sec_...), while the
+    # step-9 PRETRAIN metric embeds 'train...' inside the word
+    # 'pretrain' — anchoring on the token boundary excludes it and any
+    # future compound ('retrain', ...) instead of special-casing the
+    # 'pre' prefix (advisor r3).
+    r"(?:^|_)train_images_per_sec_bs(\d+)_(\w+?)_remat-(\w+)$")
 
 
 def parse(lines):
