@@ -189,7 +189,8 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native PIGEON: planet-scale image geolocation.")
     p.add_argument("function",
                    choices=["pretrain", "finetune", "embed", "evaluate",
-                            "predict", "serve", "geocells", "export"],
+                            "predict", "serve", "geocells", "prototypes",
+                            "augment", "export"],
                    help="operation to run")
     p.add_argument("name", nargs="?", default="pigeon",
                    help="model/run name or checkpoint path")
@@ -306,6 +307,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "#1's zero-shot model)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (smoke tests)")
+    p.add_argument("--aux-dir", default="data",
+                   help="auxiliary geo-data root for `augment` and the "
+                        "finetune auto-augmentation (layout per "
+                        "scripts/get_auxiliary_data.sh: boundaries/, "
+                        "koppen_geiger/, elevation/, pop_density/, "
+                        "worldclim/{tavg,prec}/, driving_side.json)")
     return p
 
 
@@ -401,6 +408,139 @@ def cmd_geocells(args) -> int:
                              cfg.geocell.max_cell_size,
                              optics_params=ladder, output_csv=out)
     logger.warning("wrote %d geocells to %s", len(cells), out)
+    return 0
+
+
+def cmd_prototypes(args) -> int:
+    """Prototype CSV builder: training metadata -> per-cluster prototype
+    table (reference `dataset_creation/prototype/prototype.py:69-95`,
+    which only ran as a bare script — its package `__init__` is
+    misnamed, SURVEY C18). Closes the artifact-regeneration ladder
+    geocells -> embed -> prototypes -> evaluate as a pure-CLI path.
+
+    ``--metadata`` (and ``--output``) accept the --landmarks
+    comma-pair convention: one prototype CSV per dataset, member
+    ``indices`` being per-dataset train-row positions — evaluate's
+    `_load_refine_assets` applies the bank offsets when it
+    concatenates (`models/proto_refiner.py:53-64` semantics).
+
+    A metadata frame without a ``geocell_idx`` column is labeled from
+    ``--geocells`` (covers + nearest fallback, `geocell/assignment.py`
+    — the reference assumes `preprocess` already labeled the frame).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pigeon_tpu.geocell.prototypes import build_prototypes
+
+    if args.metadata is None:
+        raise SystemExit("--metadata CSV is required")
+    metas = args.metadata.split(",")
+    if args.output:
+        outs = args.output.split(",")
+    elif len(metas) == 1:
+        outs = ["data/prototypes.csv"]
+    else:
+        outs = [f"data/prototypes_{i}.csv" for i in range(len(metas))]
+    if len(outs) != len(metas):
+        raise SystemExit("--output must list one CSV per --metadata "
+                         "entry (comma-separated, --landmarks pairing)")
+
+    assigner = None
+    for meta_path, out in zip(metas, outs):
+        df = pd.read_csv(meta_path)
+        if "geocell_idx" not in df.columns:
+            if args.geocells is None:
+                raise SystemExit(
+                    f"{meta_path} has no geocell_idx column — pass "
+                    "--geocells CSV to assign cells")
+            from pigeon_tpu.geocell.assignment import CellAssigner
+
+            if assigner is None:
+                assigner = CellAssigner.from_csv(args.geocells)
+            df = df.copy()
+            df["geocell_idx"] = assigner.assign(
+                df[["lng", "lat"]].to_numpy(np.float64))
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        table = build_prototypes(df, output_csv=out)
+        logger.warning("wrote %d prototype clusters across %d cells to "
+                       "%s", len(table),
+                       table["geocell_idx"].nunique() if len(table) else 0,
+                       out)
+    return 0
+
+
+def _augment_frame(df, args, source: str):
+    """Run the GeoAugmentor over a metadata frame (gated on auxiliary
+    data presence). Returns the enriched frame, or the original when no
+    auxiliary source exists under ``--aux-dir``."""
+    from pigeon_tpu.geocell.augmentor import build_augmentor
+
+    aug = build_augmentor(args.aux_dir)
+    if aug is None:
+        logger.warning(
+            "no auxiliary data under %s — %s is NOT augmented (fetch "
+            "with scripts/get_auxiliary_data.sh, or pass --aux-dir)",
+            args.aux_dir, source)
+        return df
+    return aug.augment(df)
+
+
+def _maybe_augment_multitask(df, args, source: str):
+    """Auto-augment a finetune metadata frame whose multi-task columns
+    are missing — the reference runs its GeoAugmentor inside the
+    finetune dataset build exactly when those columns are absent
+    (`dataset_creation/finetune/finetune_dataset.py:135-137`). Gated on
+    --multitask (no point paying raster sampling the heads won't read)
+    and on auxiliary-data presence."""
+    if not getattr(args, "multitask", False):
+        return df
+    from pigeon_tpu.data.pipeline import MT_COLUMNS
+
+    missing = [c for c in (*MT_COLUMNS, "climate_zone_idx")
+               if c not in df.columns]
+    if not missing:
+        return df
+    logger.warning("%s lacks multi-task columns %s — running the "
+                   "GeoAugmentor (reference finetune_dataset.py:135-137)",
+                   source, missing)
+    df = _augment_frame(df, args, source)
+    still = [c for c in missing if c not in df.columns]
+    if still:
+        # -m without the label columns would crash inside the loss;
+        # fail with the fix instead.
+        raise SystemExit(
+            f"--multitask needs columns {still} that {source} lacks and "
+            f"augmentation could not supply from --aux-dir={args.aux_dir} "
+            "(fetch sources with scripts/get_auxiliary_data.sh or run "
+            "`pigeon_tpu augment` with the needed rasters), or drop -m")
+    return df
+
+
+def cmd_augment(args) -> int:
+    """Offline metadata enrichment (reference
+    `preprocessing/geo_augmentor.py:301-353`, which ships as a bare
+    script): (lng, lat) CSV in -> CSV with country/admin-1 names,
+    Köppen climate zone + index, elevation, population, WorldClim
+    temperature/precipitation stats — the multi-task label and caption
+    ingredient columns `data/pipeline.py` reads. Sources are discovered
+    under ``--aux-dir`` (layout per `scripts/get_auxiliary_data.sh`);
+    missing sources skip their columns."""
+    import pandas as pd
+
+    if args.metadata is None:
+        raise SystemExit("--metadata CSV is required")
+    df = pd.read_csv(args.metadata)
+    if not {"lng", "lat"} <= set(df.columns):
+        raise SystemExit(f"{args.metadata} needs lng/lat columns")
+    before = set(df.columns)
+    out_df = _augment_frame(df, args, args.metadata)
+    out = args.output or (os.path.splitext(args.metadata)[0]
+                          + "_augmented.csv")
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    out_df.to_csv(out, index=False)
+    logger.warning("wrote %s (+%s)", out,
+                   sorted(set(out_df.columns) - before) or "no columns")
     return 0
 
 
@@ -540,8 +680,16 @@ def _finetune_on_pixels(args) -> int:
     kw = dict(image_dir=args.images, image_size=cfg.vision.image_size,
               panorama=cfg.head.panorama, normalize=False)
     train_frames = []
-    for path in meta_paths:
-        df = pd.read_csv(path)
+    val_frame = None
+    for i, path in enumerate(meta_paths):
+        df = _maybe_augment_multitask(pd.read_csv(path), args, path)
+        if i == 0:
+            # val comes from the FIRST dataset; slice it from the same
+            # (possibly augmented) frame so both splits carry the
+            # multi-task columns.
+            val_frame = (df[df["selection"] == "val"]
+                         if "selection" in df.columns else df) \
+                .reset_index(drop=True)
         if "selection" in df.columns:
             df = df[df["selection"] == "train"]
         train_frames.append(df)
@@ -551,7 +699,7 @@ def _finetune_on_pixels(args) -> int:
         logger.warning("training on %d concatenated datasets "
                        "(%d rows); val from %s", len(meta_paths),
                        len(train), meta_paths[0])
-    val = TabularImageDataset.from_csv(meta_paths[0], "val", **kw)
+    val = TabularImageDataset(val_frame, **kw)
     if args.sample:
         train = _sample_dataset(train, args.sample)
 
@@ -1438,8 +1586,16 @@ COMMANDS = {
     "predict": cmd_predict,
     "serve": cmd_serve,
     "geocells": cmd_geocells,
+    "prototypes": cmd_prototypes,
+    "augment": cmd_augment,
     "export": cmd_export,
 }
+
+#: Pure-CPU offline commands: never enable the XLA compile cache for
+#: these — the cache setup probes jax.default_backend(), which would
+#: hold the shared TPU tunnel open for an hours-long geospatial run
+#: (CLAUDE.md rule 2) with zero benefit.
+_OFFLINE_COMMANDS = frozenset({"geocells", "prototypes", "augment"})
 
 
 def main(argv=None) -> int:
@@ -1447,11 +1603,9 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     # Persistent XLA compile cache: the remote compile service's cold
     # compiles cost 60-380 s; a warm workspace re-loads in milliseconds
-    # (core/compile_cache.py). NOT for `geocells` — enabling the cache
-    # probes jax.default_backend(), which would connect the pure-CPU
-    # OPTICS run to the shared TPU tunnel for its whole (hours-long)
-    # lifetime and collide with any real TPU process (CLAUDE.md rule 2).
-    if args.function != "geocells":
+    # (core/compile_cache.py). NOT for the offline CPU commands — see
+    # _OFFLINE_COMMANDS.
+    if args.function not in _OFFLINE_COMMANDS:
         from pigeon_tpu.core.compile_cache import enable_persistent_cache
 
         enable_persistent_cache()

@@ -248,3 +248,101 @@ class GeoAugmentor:
             df["prec_diff"] = monthly.max(0) - monthly.min(0)
 
         return df
+
+
+#: GeoJSON property keys tried (in order) for a feature's display name:
+#: geoBoundaries CGAZ uses ``shapeName``, GADM ``COUNTRY``/``NAME_*``,
+#: Natural Earth ``ADMIN``/``name``.
+NAME_KEYS = ("shapeName", "name", "NAME", "COUNTRY", "NAME_0", "NAME_1",
+             "ADMIN", "admin")
+
+
+def load_boundaries_with_names(path: str):
+    """GeoJSON -> (`BoundarySet`, feature names).
+
+    `BoundarySet.from_geojson` drops properties; the augmentor needs the
+    parallel name list (reference reads GADM ``NAME_0``/``NAME_1``
+    columns, `preprocessing/geo_augmentor.py:97-169`). Features without
+    a recognized name key fall back to their index as a string.
+    """
+    import json
+
+    from pigeon_tpu.geocell.creation import BoundarySet
+
+    bs = BoundarySet.from_geojson(path)
+    with open(path) as f:
+        feats = json.load(f)["features"]
+    names = []
+    for i, feat in enumerate(feats):
+        props = feat.get("properties") or {}
+        names.append(next((str(props[k]) for k in NAME_KEYS
+                           if props.get(k)), str(i)))
+    return bs, names
+
+
+def _tif_glob(directory: str):
+    """Sorted GeoTIFF paths under ``directory`` ([] when absent)."""
+    import glob
+    import os
+
+    hits = []
+    for pat in ("*.tif", "*.tiff"):
+        hits += glob.glob(os.path.join(directory, pat))
+    return sorted(hits)
+
+
+def build_augmentor(aux_dir: str) -> Optional[GeoAugmentor]:
+    """Construct a `GeoAugmentor` from the conventional auxiliary-data
+    layout that `scripts/get_auxiliary_data.sh` fetches:
+
+    ``<aux>/boundaries/geoBoundariesCGAZ_ADM0.geojson`` (countries),
+    ``.../ADM1`` (admin-1 areas), ``<aux>/koppen_geiger/*.tif``,
+    ``<aux>/elevation/*.tif``, ``<aux>/pop_density/*.tif``,
+    ``<aux>/worldclim/tavg/*.tif`` + ``.../prec/*.tif`` (12 monthly),
+    ``<aux>/driving_side.json`` ({country name: 'left'|'right'}).
+
+    Every source is optional; returns None when NOTHING is present so
+    callers can gate auto-augmentation on data availability (the
+    reference augments unconditionally and crashes without its GADM
+    files — `finetune_dataset.py:135-137`, `geo_augmentor.py:301-348`).
+    """
+    import json
+    import os
+
+    kw: Dict = {}
+    adm0 = os.path.join(aux_dir, "boundaries",
+                        "geoBoundariesCGAZ_ADM0.geojson")
+    if os.path.exists(adm0):
+        kw["countries"], kw["country_names"] = \
+            load_boundaries_with_names(adm0)
+    adm1 = os.path.join(aux_dir, "boundaries",
+                        "geoBoundariesCGAZ_ADM1.geojson")
+    if os.path.exists(adm1):
+        kw["admin_1"], kw["admin_1_names"] = \
+            load_boundaries_with_names(adm1)
+
+    koppen = _tif_glob(os.path.join(aux_dir, "koppen_geiger"))
+    if koppen:
+        kw["koppen_raster"] = koppen[0]
+    elev = _tif_glob(os.path.join(aux_dir, "elevation"))
+    if elev:
+        kw["elevation_raster"] = elev[0]
+    pop = _tif_glob(os.path.join(aux_dir, "pop_density"))
+    if pop:
+        kw["population_raster"] = pop[0]
+    tavg = _tif_glob(os.path.join(aux_dir, "worldclim", "tavg"))
+    if tavg:
+        kw["worldclim_tavg"] = tavg
+    prec = _tif_glob(os.path.join(aux_dir, "worldclim", "prec"))
+    if prec:
+        kw["worldclim_prec"] = prec
+    driving = os.path.join(aux_dir, "driving_side.json")
+    if os.path.exists(driving):
+        with open(driving) as f:
+            kw["driving_side"] = json.load(f)
+
+    if not kw:
+        return None
+    logger.info("augmentor sources under %s: %s", aux_dir,
+                sorted(kw.keys()))
+    return GeoAugmentor(**kw)

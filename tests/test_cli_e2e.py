@@ -607,6 +607,265 @@ def test_evaluate_holdout_comma_metadata(tiny_world, monkeypatch):
     assert n_test >= 2  # both files contribute test rows
 
 
+@pytest.fixture()
+def aux_world(tmp_path):
+    """Synthetic auxiliary-data tree in the `scripts/get_auxiliary_data.sh`
+    layout (boundaries + Köppen/elevation/population/WorldClim rasters +
+    driving sides) plus a 2-country image metadata CSV WITHOUT multi-task
+    columns — the exact input state that triggers the reference's
+    auto-augmentation (`finetune_dataset.py:135-137`)."""
+    import json
+
+    from test_augmentor import write_geotiff
+
+    aux = tmp_path / "aux"
+    (aux / "boundaries").mkdir(parents=True)
+    for level, names in (("ADM0", ["Westland", "Eastland"]),
+                         ("ADM1", ["West Province", "East Province"])):
+        fc = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"shapeName": names[0]},
+             "geometry": {"type": "Polygon", "coordinates": [
+                 [[-20, -10], [0, -10], [0, 10], [-20, 10], [-20, -10]]]}},
+            {"type": "Feature", "properties": {"shapeName": names[1]},
+             "geometry": {"type": "Polygon", "coordinates": [
+                 [[0, -10], [20, -10], [20, 10], [0, 10], [0, -10]]]}},
+        ]}
+        (aux / "boundaries" / f"geoBoundariesCGAZ_{level}.geojson") \
+            .write_text(json.dumps(fc))
+
+    # Degree-grid rasters covering the two-country world (lon -20..20,
+    # lat -10..10): Köppen 14 (Cfa) west / 15 (Cfb) east, elevation 100,
+    # WorldClim monthly pairs -> avg/diff are exactly computable.
+    grid = dict(origin=(-20.0, 10.0), scale=(1.0, 1.0))
+    clim = np.full((20, 40), 14, np.uint8)
+    clim[:, 20:] = 15
+    (aux / "koppen_geiger").mkdir()
+    write_geotiff(str(aux / "koppen_geiger" / "koppen.tif"), clim, **grid)
+    (aux / "elevation").mkdir()
+    write_geotiff(str(aux / "elevation" / "elev.tif"),
+                  np.full((20, 40), 100, np.int16), **grid)
+    for sub, vals in (("tavg", (10.0, 20.0)), ("prec", (50.0, 150.0))):
+        d = aux / "worldclim" / sub
+        d.mkdir(parents=True)
+        for m, v in enumerate(vals):
+            write_geotiff(str(d / f"m{m:02d}.tif"),
+                          np.full((20, 40), v, np.float32), **grid)
+    # Population raster georeferenced in Mollweide meters (GHSL's CRS,
+    # reference `geo_augmentor.py:273-274`): one world-covering grid.
+    (aux / "pop_density").mkdir()
+    write_geotiff(str(aux / "pop_density" / "pop.tif"),
+                  np.full((20, 40), 5.0, np.float32),
+                  origin=(-1.81e7, 9.03e6), scale=(9.05e5, 9.03e5))
+    (aux / "driving_side.json").write_text(json.dumps(
+        {"Westland": "left", "Eastland": "right"}))
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    centers = np.array([[-10.0, 0.0], [10.0, 0.0]])
+    rows = []
+    for i in range(24):
+        c = i % 2
+        color = np.zeros(3)
+        color[c] = 255
+        img = RNG.normal(color, 40, (64, 64, 3)).clip(0, 255)
+        Image.fromarray(img.astype(np.uint8)).save(img_dir / f"{i}.png")
+        lng, lat = centers[c] + RNG.normal(0, 1.5, 2)
+        rows.append({"image": f"{i}.png", "lng": lng, "lat": lat,
+                     "selection": "train" if i % 4 else "val",
+                     "geocell_idx": c})
+    pd.DataFrame(rows).to_csv(tmp_path / "meta.csv", index=False)
+    pd.DataFrame({"name": ["w", "e"], "lng": centers[:, 0],
+                  "lat": centers[:, 1]}).to_csv(tmp_path / "cells.csv",
+                                                index=False)
+    return tmp_path
+
+
+def test_augment_cli_produces_multitask_schema(aux_world, monkeypatch):
+    """`pigeon_tpu augment`: metadata + aux tree -> the exact multi-task
+    column schema `data/pipeline.py` reads (MT_COLUMNS +
+    climate_zone_idx), plus the caption ingredients (country/admin-1
+    names, driving side) — reference `geo_augmentor.py:301-353`."""
+    tmp = aux_world
+    monkeypatch.chdir(tmp)
+    out = tmp / "meta_aug.csv"
+    rc = main(["augment", "aug", "--metadata", str(tmp / "meta.csv"),
+               "--aux-dir", str(tmp / "aux"), "--output", str(out)])
+    assert rc == 0
+    df = pd.read_csv(out)
+
+    from pigeon_tpu.data.pipeline import MT_COLUMNS
+
+    assert set(MT_COLUMNS) <= set(df.columns)
+    assert {"climate_zone_idx", "country_name", "geo_area",
+            "driving_right"} <= set(df.columns)
+    west = df["lng"] < 0
+    assert (df.loc[west, "country_name"] == "Westland").all()
+    assert (df.loc[~west, "country_name"] == "Eastland").all()
+    assert (df.loc[west, "climate_zone_idx"] == 13).all()   # Cfa
+    assert (df.loc[~west, "climate_zone_idx"] == 14).all()  # Cfb
+    assert (df["elevation"] == 100).all()
+    assert (df["population"] == 5.0).all()
+    np.testing.assert_allclose(df["temp_avg"], 15.0)
+    np.testing.assert_allclose(df["temp_diff"], 10.0)
+    np.testing.assert_allclose(df["prec_avg"], 100.0)
+    np.testing.assert_allclose(df["prec_diff"], 100.0)
+
+    # The pipeline actually reads the schema: one sample must carry the
+    # multi-task + climate labels.
+    from pigeon_tpu.data import TabularImageDataset
+
+    ds = TabularImageDataset(df, str(tmp / "imgs"), image_size=64,
+                             normalize=False)
+    arrays = ds.sample_arrays(ds.df.iloc[0])
+    assert arrays["labels_multi_task"].shape == (6,)
+    assert arrays["labels_climate"] in (13, 14)
+
+
+def test_finetune_auto_augments_missing_multitask(aux_world, monkeypatch,
+                                                  caplog):
+    """`finetune -m` on metadata WITHOUT multi-task columns auto-runs the
+    GeoAugmentor from --aux-dir (reference `finetune_dataset.py:135-137`)
+    and trains to a checkpoint; without aux data it degrades with a
+    warning instead of crashing."""
+    tmp = aux_world
+    monkeypatch.chdir(tmp)
+
+    import logging as _logging
+
+    with caplog.at_level(_logging.WARNING, logger="pigeon_tpu.cli"):
+        rc = main(["finetune", "runaug", "--tiny", "-m",
+                   "--metadata", str(tmp / "meta.csv"),
+                   "--images", str(tmp / "imgs"),
+                   "--geocells", str(tmp / "cells.csv"),
+                   "--aux-dir", str(tmp / "aux"),
+                   "--batch-size", "6", "--epochs", "1"])
+    assert rc == 0
+    assert any("lacks multi-task columns" in r.message for r in
+               caplog.records)
+    from pigeon_tpu.train.checkpoints import latest_step
+
+    assert latest_step(str(tmp / "saved_models" / "runaug")) is not None
+
+    # No aux data: -m cannot be satisfied — fail loudly with the fix
+    # instead of crashing inside the multi-task loss.
+    with pytest.raises(SystemExit, match="augment"):
+        main(["finetune", "runaug2", "--tiny", "-m",
+              "--metadata", str(tmp / "meta.csv"),
+              "--images", str(tmp / "imgs"),
+              "--geocells", str(tmp / "cells.csv"),
+              "--aux-dir", str(tmp / "empty_aux"),
+              "--batch-size", "6", "--epochs", "1"])
+
+
+def test_cli_artifact_ladder_geocells_embed_prototypes_evaluate(
+        tmp_path, monkeypatch):
+    """The full artifact-regeneration ladder PURELY through the CLI:
+    geocells -> embed -> prototypes -> evaluate (the rung the reference
+    only offers as unconnected scripts; `prototype.py:69-95`)."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    centers = np.array([[-10.0, 0.0], [10.0, 0.0]])
+    rows = []
+    for i in range(96):
+        c = i % 2
+        color = np.zeros(3)
+        color[c] = 255
+        img = RNG.normal(color, 40, (64, 64, 3)).clip(0, 255)
+        Image.fromarray(img.astype(np.uint8)).save(img_dir / f"{i}.png")
+        lng, lat = centers[c] + RNG.normal(0, 1.5, 2)
+        # (i // 2) decorrelates the split from the i%2 cluster so BOTH
+        # cells keep 36 train points (inside the PIGEON 30..60 bounds).
+        rows.append({"image": f"{i}.png", "lng": lng, "lat": lat,
+                     "selection": "val" if (i // 2) % 4 == 0 else "train"})
+    pd.DataFrame(rows).to_csv(tmp_path / "meta.csv", index=False)
+    # Admin-2 boundaries seed one cell per box (-l GeoJSON, as
+    # `cmd_geocells` consumes it).
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"shapeName": n},
+         "geometry": {"type": "Polygon", "coordinates": [r]}}
+        for n, r in (
+            ("W", [[-20, -10], [0, -10], [0, 10], [-20, 10], [-20, -10]]),
+            ("E", [[0, -10], [20, -10], [20, 10], [0, 10], [0, -10]]))]}
+    (tmp_path / "admin2.geojson").write_text(json.dumps(fc))
+
+    # Rung 1: geocells. 36 train points/cell sits inside the PIGEON
+    # 30..60 bounds -> the two seeded admin cells survive balancing.
+    rc = main(["geocells", "lad", "--metadata", str(tmp_path / "meta.csv"),
+               "-l", str(tmp_path / "admin2.geojson"),
+               "--output", str(tmp_path / "cells.csv")])
+    assert rc == 0
+    cells = pd.read_csv(tmp_path / "cells.csv")
+    assert len(cells) == 2 and cells["size"].sum() == 72
+
+    # Rung 2: embed.
+    rc = main(["embed", "lad", "--tiny",
+               "--metadata", str(tmp_path / "meta.csv"),
+               "--images", str(img_dir),
+               "--output", str(tmp_path / "emb"), "--batch-size", "8"])
+    assert rc == 0
+
+    # Rung 3: prototypes — geocell_idx assigned from the cells CSV.
+    rc = main(["prototypes", "lad", "--metadata", str(tmp_path / "meta.csv"),
+               "--geocells", str(tmp_path / "cells.csv"),
+               "--output", str(tmp_path / "protos.csv")])
+    assert rc == 0
+    protos = pd.read_csv(tmp_path / "protos.csv")
+    assert {"geocell_idx", "cluster", "lng", "lat", "count",
+            "indices"} <= set(protos.columns)
+    assert protos["geocell_idx"].nunique() == 2
+    # Member indices address the train-filtered frame (the embedding
+    # bank's row order).
+    max_idx = max(max(json.loads(ix)) for ix in protos["indices"])
+    assert max_idx < 72
+
+    # Rung 4: evaluate with the regenerated assets.
+    meta = pd.read_csv(tmp_path / "meta.csv")
+    val = meta[meta["selection"] == "val"].reset_index(drop=True)
+    val.to_csv(tmp_path / "bench_meta.csv", index=False)
+    (tmp_path / "benchmarks.json").write_text(json.dumps(
+        {"ladbench": {"meta": str(tmp_path / "bench_meta.csv"),
+                      "images": str(img_dir)}}))
+    out = tmp_path / "ladder_results.json"
+    rc = main(["evaluate", "lad", "--tiny", "-l", "ladbench",
+               "--benchmarks", str(tmp_path / "benchmarks.json"),
+               "--metadata", str(tmp_path / "meta.csv"),
+               "--geocells", str(tmp_path / "cells.csv"),
+               "--prototypes", str(tmp_path / "protos.csv"),
+               "--embeddings", str(tmp_path / "emb"),
+               "--batch-size", "8", "--output", str(out)])
+    assert rc == 0
+    metrics = json.loads(out.read_text())["ladbench"]
+    assert "Median_km_error" in metrics and "Geoguessr_score" in metrics
+
+
+def test_prototypes_cli_landmarks_comma_pairs(tiny_world, monkeypatch):
+    """`prototypes` accepts the --landmarks comma-pair convention: one
+    prototype CSV per dataset with per-dataset member indices (evaluate
+    applies the bank offsets when concatenating)."""
+    tmp = tiny_world
+    monkeypatch.chdir(tmp)
+    meta = pd.read_csv(tmp / "meta.csv")
+    meta.iloc[:18].to_csv(tmp / "pm_a.csv", index=False)
+    meta.iloc[18:].reset_index(drop=True).to_csv(tmp / "pm_b.csv",
+                                                 index=False)
+    rc = main(["prototypes", "lm",
+               "--metadata", f"{tmp}/pm_a.csv,{tmp}/pm_b.csv",
+               "--output", f"{tmp}/pr_a.csv,{tmp}/pr_b.csv"])
+    assert rc == 0
+    import json
+
+    for tag, src in (("a", "pm_a.csv"), ("b", "pm_b.csv")):
+        protos = pd.read_csv(tmp / f"pr_{tag}.csv")
+        assert len(protos) > 0
+        sub = pd.read_csv(tmp / src)
+        n_train = int((sub["selection"] == "train").sum())
+        max_idx = max(max(json.loads(ix)) for ix in protos["indices"])
+        assert max_idx < n_train  # per-dataset positions, not global
+
+
 class TestAttnImplSelection:
     """The quant path's attention-impl guard (cli/run.py) must hold
     regardless of the PIGEON_ATTN_IMPL override: 'flash_fused' is the
