@@ -31,11 +31,20 @@ def make_embed_step(model, params):
     """Jitted pixels -> token-mean embeddings step.
 
     Params are a jit argument (closure constants balloon the program).
-    uint8 batches normalize on device (low-transfer wire format)."""
+    uint8 batches normalize on device (low-transfer wire format).
+    Panorama batches ``(B, V, S, S, 3)`` fold their views into the batch
+    axis for the tower (4x larger MXU batches — the model convention,
+    `models/embedder.py`) and unfold to ``(B, V, D)`` banks (the layout
+    `load_embeddings`/the reference's `.npy` join consume)."""
     from pigeon_tpu.train.train_loop import _maybe_normalize
 
     @jax.jit
     def step(p, pixels):
+        if pixels.ndim == 5:               # (B, V, S, S, 3) panorama
+            b, v = pixels.shape[:2]
+            flat = pixels.reshape(b * v, *pixels.shape[2:])
+            emb = model.apply({"params": p}, _maybe_normalize(flat))
+            return emb.reshape(b, v, emb.shape[-1])
         return model.apply({"params": p}, _maybe_normalize(pixels))
 
     return lambda pixels: step(params, pixels)

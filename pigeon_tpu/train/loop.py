@@ -151,6 +151,10 @@ def evaluate_model(eval_step: Callable, params, batches: Iterable[Dict],
     # compile per key/shape inside the eval).
     from pigeon_tpu.train.transfer import start_host_copies
 
+    if not acc:
+        raise ValueError(
+            "evaluate_model received no batches — empty eval split? "
+            "(check the metadata's `selection` column / --images dir)")
     start_host_copies((acc, losses))
 
     cat = {k: np.concatenate([np.asarray(x) for x in v])

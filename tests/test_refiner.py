@@ -250,6 +250,50 @@ class TestLandmarksConcat:
                                    lla_b[1], atol=1e-5)
 
 
+class TestRefinerOnMesh:
+    """The refiner under multi-device GSPMD (VERDICT r3 item 4): pure
+    jnp, so mesh-sharded query batches must reproduce the single-device
+    refinement bit-for-bit — this is what lets `evaluate --tp N` keep
+    refinement on the mesh (`train/evaluate.py:88-103` path)."""
+
+    @pytest.mark.parametrize("tp", [1, 2])
+    def test_sharded_batch_matches_single_device(self, bank_and_rows, tp):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from pigeon_tpu.train import create_mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs the 8-virtual-device conftest mesh")
+        bank, rows, bank_emb, bank_lla = bank_and_rows
+        cfg = RefinerConfig(topk=4, temperature=1.6,
+                            max_refinement_km=100000.0)
+        refine = make_refine_fn(bank, cfg)
+
+        b = 8
+        emb = jnp.asarray(RNG.normal(size=(b, D)).astype(np.float32))
+        cells = jnp.asarray(np.stack(
+            [RNG.permutation(NUM_CELLS)[:5] for _ in range(b)]
+        ).astype(np.int32))
+        probs = jnp.asarray(
+            RNG.uniform(0.01, 1, size=(b, 5)).astype(np.float32))
+        initial = jnp.asarray(np.stack(
+            [RNG.uniform(-170, 170, b), RNG.uniform(-60, 60, b)],
+            -1).astype(np.float32))
+
+        want = refine(emb, initial, cells, probs)
+
+        mesh = create_mesh(tp=tp)
+        shard = NamedSharding(mesh, PartitionSpec("data"))
+        got = refine(jax.device_put(emb, shard),
+                     jax.device_put(initial, shard),
+                     jax.device_put(cells, shard),
+                     jax.device_put(probs, shard))
+        for key in ("pred_lla", "pred_cell", "refine_index", "changed"):
+            np.testing.assert_array_equal(np.asarray(got[key]),
+                                          np.asarray(want[key]), err_msg=key)
+
+
 class TestManySeedHunt:
     """Randomized bank/query hunt vs the numpy oracle — exercises the
     lazy member-refinement path (refined-guess column + cancel gate +
