@@ -86,12 +86,12 @@ def make_world(tmp, n_regions=4, per_region=60):
     return df
 
 
-def main():
+def main(epochs: int = 6, per_region: int = 60):
     tmp = tempfile.mkdtemp()
     from pathlib import Path
 
     tmp = Path(tmp)
-    df = make_world(tmp)
+    df = make_world(tmp, per_region=per_region)
     # tp=2 on an even-sized mesh (the documented 8-device CPU recipe);
     # degrade to pure DP on a single chip so the example runs anywhere.
     mesh = create_mesh(tp=2 if len(jax.devices()) % 2 == 0 else 1)
@@ -121,7 +121,7 @@ def main():
     train_ds = TabularImageDataset.from_csv(str(tmp / "meta.csv"), "train",
                                             str(tmp / "imgs"), image_size=32)
     first = last = None
-    for epoch in range(6):
+    for epoch in range(epochs):
         for batch in iter_batches(train_ds, 16, shuffle=True, seed=epoch,
                                   drop_last=True, num_workers=4):
             dev = shard_batch({k: jnp.asarray(v) for k, v in batch.items()},
