@@ -170,12 +170,15 @@ def _quant_attn_impl() -> str:
     max_err 0.0 vs the separate int8 projections; e2e 565.9 vs 434.1
     img/s for the old 'flash' route at bs32, +30%) — so it is the
     default. The LN/MLP/block fused variants remain DOWNGRADED to
-    'flash_fused': `fused_ln_mlp_int8` FAILED hardware parity
-    (0.051 > bound, r4 step 3; Mosaic int8 dot lowering is exactly
-    what interpret mode can't catch — CLAUDE.md rule 4), and both
-    'flash_fused_mlp' and 'flash_fused_block' route their MLP through
-    it. PIGEON_QUANT_ATTN_IMPL is the explicit opt-in for validation
-    runs of the blocked impls."""
+    'flash_fused': `fused_ln_mlp_int8` FAILED hardware parity in r4
+    (0.051 > bound; Mosaic int8 lowering is exactly what interpret
+    mode can't catch — CLAUDE.md rule 4) and was DELETED in r5, so
+    under quant 'flash_fused_mlp' now computes exactly what
+    'flash_fused' does (int8 QKV kernel + XLA quant MLP) and
+    'flash_fused_block' stays blocked pending an e2e win for the int8
+    block kernel (its parity passed, 0.0156; the bf16 fusion ladder
+    measured slower e2e). PIGEON_QUANT_ATTN_IMPL is the explicit
+    opt-in for validation runs of the blocked impls."""
     override = os.environ.get("PIGEON_QUANT_ATTN_IMPL")
     if override:
         return override

@@ -136,119 +136,6 @@ def _fused_ln_mlp_forward(x, ln_scale, ln_bias, w1, b1, w2, b2,
       w2, b2.astype(jnp.float32)[None, :])
 
 
-def _quantize_i8(y, scale):
-    # Divide (not multiply-by-reciprocal): QuantDense divides, and the
-    # one-ulp difference flips round() exactly at quantization
-    # boundaries — the parity tests catch it at S=577.
-    return jnp.clip(jnp.round(y.astype(jnp.float32) / scale),
-                    -127, 127).astype(jnp.int8)
-
-
-def _fused_ln_mlp_int8_kernel(x_ref, ls_ref, lb_ref, a1_ref, w1_ref,
-                              sv1_ref, b1_ref, a2_ref, w2_ref, sv2_ref,
-                              b2_ref, o_ref, xq_ref, acc_ref, *,
-                              chunks: int, eps: float):
-    """Int8 twin of `_fused_ln_mlp_kernel`: LN(x) is quantized ONCE at
-    fc1's frozen per-tensor act scale into an int8 VMEM scratch (half
-    the bf16 footprint), both dots run int8 x int8 -> int32 on the
-    MXU's ~1.8x rate, and the per-chunk quick-GELU output re-quantizes
-    at fc2's act scale (elementwise, so per-chunk == whole-tensor).
-    Dequant scales (act x per-output-channel weight) land in the f32
-    epilogues; accumulation stays f32."""
-    c = pl.program_id(1)
-
-    @pl.when(c == 0)
-    def _():
-        # Cast the LN output through the I/O dtype BEFORE quantizing —
-        # the separate path quantizes the bf16 LayerNorm output, and
-        # round() can differ across the bf16 boundary otherwise.
-        xn = _layer_norm_f32(x_ref[0], ls_ref[...], lb_ref[...],
-                             eps).astype(o_ref.dtype)
-        xq_ref[...] = _quantize_i8(xn, a1_ref[0, 0])
-
-    h = jax.lax.dot_general(
-        xq_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    h = h.astype(jnp.float32) * sv1_ref[...] + b1_ref[...]
-    g = _quick_gelu_f32(h.astype(o_ref.dtype).astype(jnp.float32))
-    gq = _quantize_i8(g.astype(o_ref.dtype), a2_ref[0, 0])
-    p = jax.lax.dot_general(
-        gq, w2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    partial = p.astype(jnp.float32) * sv2_ref[...]
-
-    @pl.when(c == 0)
-    def _():
-        acc_ref[...] = (x_ref[0].astype(jnp.float32) + b2_ref[...]
-                        + partial)
-
-    @pl.when(c > 0)
-    def _():
-        acc_ref[...] += partial
-
-    @pl.when(c == chunks - 1)
-    def _():
-        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
-
-
-def fused_ln_mlp_int8(x, ln_scale, ln_bias, a1, w1, s1, b1, a2, w2, s2,
-                      b2, eps=1e-5):
-    """Int8 LayerNorm + quick-GELU MLP + residual (serving, fwd-only).
-
-    Matches LN -> QuantDense(static) -> quick_gelu -> QuantDense(static)
-    -> residual exactly (same quantize points and scales; dequant is
-    distributive over the chunked K sum). Args mirror `fused_ln_mlp`
-    plus the QuantDense param packs: ``a1/a2`` f32 scalar act scales,
-    ``w1/w2`` int8 kernels, ``s1/s2`` f32 per-output-channel weight
-    scales. See `models/quant.py` for the W8A8 scheme.
-    """
-    b, s, d = x.shape
-    inter = w1.shape[1]
-    chunk = _default_chunk()
-    ck = chunk if inter % chunk == 0 else inter
-    chunks = inter // ck
-
-    a1 = jnp.asarray(a1, jnp.float32).reshape(1, 1)
-    a2 = jnp.asarray(a2, jnp.float32).reshape(1, 1)
-    sv1 = (a1[0, 0] * s1.astype(jnp.float32))[None, :]   # (1, inter)
-    sv2 = (a2[0, 0] * s2.astype(jnp.float32))[None, :]   # (1, d)
-
-    vec = lambda idx: pl.BlockSpec((1, d), idx,  # noqa: E731
-                                   memory_space=pltpu.VMEM)
-    const = lambda bb, c: (0, 0)  # noqa: E731
-    scalar = pl.BlockSpec((1, 1), const, memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_fused_ln_mlp_int8_kernel, chunks=chunks,
-                          eps=eps),
-        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
-        grid=(b, chunks),
-        in_specs=[
-            pl.BlockSpec((1, s, d), lambda bb, c: (bb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            vec(const), vec(const), scalar,
-            pl.BlockSpec((d, ck), lambda bb, c: (0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ck), lambda bb, c: (0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ck), lambda bb, c: (0, c),
-                         memory_space=pltpu.VMEM),
-            scalar,
-            pl.BlockSpec((ck, d), lambda bb, c: (c, 0),
-                         memory_space=pltpu.VMEM),
-            vec(const), vec(const),
-        ],
-        out_specs=pl.BlockSpec((1, s, d), lambda bb, c: (bb, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((s, d), jnp.int8),      # quantized LN(x)
-            pltpu.VMEM((s, d), jnp.float32),   # f32 accumulator
-        ],
-    )(x, ln_scale.astype(jnp.float32)[None, :],
-      ln_bias.astype(jnp.float32)[None, :],
-      a1, w1, sv1, b1.astype(jnp.float32)[None, :],
-      a2, w2, sv2, b2.astype(jnp.float32)[None, :])
-
-
 def _reference_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float):
     """XLA reference composition (used by the custom_vjp backward)."""
     xn = _layer_norm_f32(x, ln_scale, ln_bias, eps).astype(x.dtype)

@@ -321,12 +321,14 @@ class TransformerLayer(nn.Module):
         # 'flash_fused_ln' folds LN1 into the fused QKV kernel (the
         # normalized tensor never round-trips HBM); 'flash_fused_mlp'
         # additionally folds LN2 + fc1 + quick-GELU + fc2 + residual
-        # into `kernels/fused_mlp.fused_ln_mlp` (int8 static towers:
-        # `fused_ln_mlp_int8`, with LN1 kept in XLA so the attention
-        # kernel's x DMA stays int8). Param tree is unchanged:
-        # `_LayerNormParams`/`_DenseParams`/`_QuantDenseParams` declare
-        # the same ln1/ln2/fc1/fc2 names. Under masks / dynamic-quant
+        # into `kernels/fused_mlp.fused_ln_mlp`. Param tree is
+        # unchanged: `_LayerNormParams`/`_DenseParams` declare the same
+        # ln1/ln2/fc1/fc2 names. Under masks / dynamic-quant
         # calibration both degrade to plain 'flash_fused' + XLA ops.
+        # Int8 static towers keep the MLP in XLA QuantDense ops: the
+        # in-kernel requantize of LN(x) FAILED hardware parity (r4,
+        # 0.051 > the one-LSB budget; docs/PERF.md) and the kernel was
+        # removed.
         ln_impls = ("flash_fused_ln", "flash_fused_mlp",
                     "flash_fused_block")
         fuse_ln = (self.attn_impl in ln_impls and mask is None
@@ -341,7 +343,7 @@ class TransformerLayer(nn.Module):
         fuse_mlp = (self.attn_impl in ("flash_fused_mlp",
                                        "flash_fused_block")
                     and mask is None
-                    and self.quant in (False, "static")
+                    and self.quant is False
                     and self.hidden_act == "quick_gelu")
         impl = ("flash_fused" if (self.attn_impl in ln_impls
                                   and not fuse_block)
@@ -371,21 +373,10 @@ class TransformerLayer(nn.Module):
                 attn_out = attn(ln("ln1")(x), mask)
             x = x + checkpoint_name(attn_out, "attn_out")
         if fuse_mlp:
-            from pigeon_tpu.kernels.fused_mlp import (
-                fused_ln_mlp,
-                fused_ln_mlp_int8,
-            )
+            from pigeon_tpu.kernels.fused_mlp import fused_ln_mlp
 
             d = x.shape[-1]
             ls2, lb2 = _LayerNormParams(d, name="ln2")()
-            if self.quant == "static":
-                w1, s1, a1, b1 = _QuantDenseParams(
-                    d, self.intermediate_size, name="fc1")()
-                w2, s2, a2, b2 = _QuantDenseParams(
-                    self.intermediate_size, d, name="fc2")()
-                return fused_ln_mlp_int8(
-                    x.astype(self.dtype), ls2, lb2, a1, w1, s1, b1,
-                    a2, w2, s2, b2, self.layer_norm_eps)
             w1, b1 = _DenseParams(d, self.intermediate_size,
                                   name="fc1")()
             w2, b2 = _DenseParams(self.intermediate_size, d,

@@ -69,10 +69,10 @@ def main() -> None:
     def fused_path(x, ls, lb, w1, b1, w2, b2):
         return fused_ln_mlp(x, ls, lb, w1, b1, w2, b2, 1e-5)
 
-    # Int8 pair: the current QuantDense(static) XLA composition vs
-    # `fused_ln_mlp_int8` (same math; parity within quantization-flip
-    # noise). Weights quantized from the bf16 ones.
-    from pigeon_tpu.kernels.fused_mlp import fused_ln_mlp_int8
+    # Int8 timing row: the QuantDense(static) XLA composition — the
+    # production static-quant MLP path. (Its fused twin
+    # `fused_ln_mlp_int8` FAILED r4 hardware parity, 0.051 > the
+    # one-LSB budget, and was deleted in r5.)
     from pigeon_tpu.models.quant import quantize_channelwise
 
     w1_q, s1 = quantize_channelwise(w1.astype(jnp.float32))
@@ -104,13 +104,9 @@ def main() -> None:
         return x + qdense(h, a2, w2_q, s2, b2).astype(jnp.float32) \
             .astype(x.dtype)
 
-    def fused_int8(*a):
-        return fused_ln_mlp_int8(*a, 1e-5)
-
     variants = {"xla_ln_mlp": (xla_path, args),
                 "fused_ln_mlp": (fused_path, args),
-                "xla_int8_ln_mlp": (xla_int8, iargs),
-                "fused_int8_ln_mlp": (fused_int8, iargs)}
+                "xla_int8_ln_mlp": (xla_int8, iargs)}
 
     scalarize = jax.jit(lambda a: a.astype(jnp.float32).sum())
     family_base = {}  # family -> the XLA reference's output ONLY — a

@@ -871,7 +871,9 @@ class TestAttnImplSelection:
     regardless of the PIGEON_ATTN_IMPL override: 'flash_fused' is the
     hardware-VALIDATED int8 route (r4 step-1 parity err 0.0; 565.9 vs
     434.1 img/s), while the LN/MLP/block variants stay downgraded —
-    `fused_ln_mlp_int8` FAILED Mosaic parity (0.051, r4 step 3)."""
+    the parity-failed `fused_ln_mlp_int8` was deleted in r5 (so the
+    _mlp downgrade is now also a no-op by construction) and the int8
+    block kernel has no e2e win yet."""
 
     def _sel(self, monkeypatch, attn_env=None, quant_env=None):
         from pigeon_tpu.cli import run as cli

@@ -90,66 +90,17 @@ class TestFusedLNMLP:
                                        atol=1e-3, rtol=1e-4)
 
 
-class TestFusedLNMLPInt8:
-    """`fused_ln_mlp_int8` must reproduce LN -> QuantDense(static) ->
-    quick_gelu -> QuantDense(static) -> residual exactly."""
-
-    def _setup(self, b=2, s=64, d=64, inter=256):
-        from pigeon_tpu.models.quant import quantize_channelwise
-
-        x = jnp.asarray(RNG.normal(size=(b, s, d)).astype(np.float32))
-        ls = jnp.asarray(1.0 + RNG.normal(size=(d,)).astype(np.float32)
-                         * .1)
-        lb = jnp.asarray(RNG.normal(size=(d,)).astype(np.float32) * .1)
-        w1, s1 = quantize_channelwise(jnp.asarray(
-            RNG.normal(size=(d, inter)).astype(np.float32) * .1))
-        b1 = jnp.asarray(RNG.normal(size=(inter,)).astype(np.float32)
-                         * .1)
-        w2, s2 = quantize_channelwise(jnp.asarray(
-            RNG.normal(size=(inter, d)).astype(np.float32) * .1))
-        b2 = jnp.asarray(RNG.normal(size=(d,)).astype(np.float32) * .1)
-        a1 = jnp.float32(0.03)
-        a2 = jnp.float32(0.02)
-        return x, ls, lb, a1, w1, s1, b1, a2, w2, s2, b2
-
-    @staticmethod
-    def _reference(x, ls, lb, a1, w1, s1, b1, a2, w2, s2, b2, eps=1e-5):
-        import flax.linen as nn
-
-        from pigeon_tpu.models.clip import quick_gelu
-
-        def qdense(y, a, w, s, bias):
-            y_q = jnp.clip(jnp.round(y / a), -127, 127)
-            return y_q @ w.astype(jnp.float32) * (a * s) + bias
-
-        xn = nn.LayerNorm(epsilon=eps).apply(
-            {"params": {"scale": ls, "bias": lb}}, x)
-        h = quick_gelu(qdense(xn, a1, w1, s1, b1))
-        return x + qdense(h, a2, w2, s2, b2)
-
-    @pytest.mark.parametrize("s,inter", [(64, 256), (577, 1024)])
-    def test_matches_quantdense_static_math(self, s, inter):
-        # Quantization makes the comparison discontinuous: a one-ulp
-        # sigmoid difference between the kernel and XLA can flip
-        # round() at a boundary, moving ONE output element by up to
-        # a2 * max(s2) * 127 (one dequantized LSB through a +-127
-        # weight). Bound by that LSB and cap the flip fraction — exact
-        # equality across backends is not a property int8 paths have.
-        from pigeon_tpu.kernels.fused_mlp import fused_ln_mlp_int8
-
-        args = self._setup(s=s, inter=inter)
-        a2, s2 = args[7], args[9]
-        got = np.asarray(fused_ln_mlp_int8(*args))
-        want = np.asarray(self._reference(*args))
-        lsb = float(a2 * jnp.max(s2) * 127)
-        err = np.abs(got - want)
-        assert err.max() <= 1.5 * lsb + 2e-4
-        assert (err > 2e-4).mean() < 5e-3  # <0.5% boundary flips
+class TestStaticTowerMLPImplRouting:
+    """quant='static' under 'flash_fused_mlp' must route the MLP to the
+    plain XLA QuantDense path — `fused_ln_mlp_int8` FAILED r4 hardware
+    parity (0.051 > the one-LSB budget) and was deleted; the attention
+    half still routes into the VALIDATED int8 fused QKV kernel."""
 
     def test_static_tower_fused_matches_separate(self):
         """quant='static' + 'flash_fused_mlp' must init the SAME tree
         as the QuantDense path and match its output (the attention
-        half routes into the int8 fused QKV kernel)."""
+        half routes into the int8 fused QKV kernel; the MLP is the
+        identical XLA path on both sides)."""
         from pigeon_tpu.config import VisionConfig
         from pigeon_tpu.models.clip import CLIPVisionTower
         from pigeon_tpu.models.quant import quantize_and_calibrate
@@ -174,10 +125,10 @@ class TestFusedLNMLPInt8:
                     jax.jit(sep.init)(jax.random.PRNGKey(2),
                                       px)["params"]))
 
-        # Tolerance: in-kernel sigmoid may differ from XLA by an ulp,
-        # flipping the fc2-input quantization at a boundary (one
-        # dequantized LSB per flip) — see
-        # test_matches_quantdense_static_math.
+        # Tolerance: the int8 fused QKV ATTENTION kernel may differ
+        # from the XLA QuantDense projections by an ulp at round()
+        # boundaries (one dequantized LSB per flip) — the standard
+        # cross-backend int8 bound (docs/PERF.md quant section).
         want_h, want_p = sep.apply({"params": qparams}, px)
         got_h, got_p = fused.apply({"params": qparams}, px)
         for got, want in ((got_h, want_h), (got_p, want_p)):
