@@ -10,8 +10,11 @@ the (B, H, S, S) probability tensor round-trip that the XLA path
 materializes when fusion fails, at exactly the model's hot shape.
 
 Backward: `mha` is a `jax.custom_vjp` — forward runs the Pallas kernel,
-backward recomputes attention with einsums (rematerialization: no saved
-probabilities, standard flash-attention memory trade).
+backward recomputes attention in a fused Pallas kernel
+(rematerialization: no saved probabilities, standard flash-attention
+memory trade). `fused_qkv_mha` additionally has a fused BACKWARD kernel
+(`_fused_qkv_bwd_kernel`, PIGEON_FUSED_BWD=kernel) that recomputes the
+projections in-kernel too — see its docstring.
 
 Non-causal, no attention mask (the vision tower's case; the text tower's
 577-free causal path stays on XLA — see `models/clip.py`).
@@ -231,6 +234,13 @@ def _flash_backward(q, k, v, g):
 #: best at the ViT-L shape (g2 fails server-side compile on VMEM).
 FUSED_GROUPS = 4
 
+#: Head groups for the fused QKV BACKWARD kernel. The backward carries
+#: more live VMEM than the forward (dx f32 accumulator + two (S, S)
+#: f32 buffers per head + three gradient output blocks), so it defaults
+#: to narrower groups; retune on hardware via PIGEON_FUSED_BWD_GROUPS
+#: without a code change.
+BWD_FUSED_GROUPS = 4
+
 
 def _heads_attention(q_all, k_all, v_all, *, hg: int, dh: int,
                      scale: float, out_dtype):
@@ -324,14 +334,147 @@ def _fused_qkv_forward(x, wq, wk, wv, bq, bk, bv, num_heads: int,
     )(x, wq, bq[None, :], wk, bk[None, :], wv, bv[None, :])
 
 
+def _fused_qkv_bwd_kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
+                          bv_ref, g_ref, dx_ref, dq_ref, dk_ref, dv_ref,
+                          acc_ref, *, hg: int, dh: int, scale: float,
+                          groups: int):
+    """Fused QKV+attention BACKWARD: one (batch, group) program
+    recomputes this group's q/k/v projections from the VMEM-resident x
+    (the forward's in-kernel dots — q/k/v never existed in HBM, and the
+    backward never materializes them either), runs the attention
+    backward per head (`_attn_bwd_kernel` math, denominator deferred to
+    the (S, Dh)-shaped tensors), writes the projection cotangents
+    dq/dk/dv in natural head-concat layout (no fold/unfold relayouts),
+    and accumulates the dx partials ``d* @ W*^T`` into an f32 VMEM
+    scratch across the group sweep (group is the INNER grid dim; dx
+    flushes once per batch element at the last group).
+
+    The weight gradients are left to XLA (``x^T @ d*_all`` — one
+    full-width K=B*S MXU dot each from the emitted cotangents); forming
+    them in-kernel needs (D, gw) f32 accumulators that put the program
+    over the ~16 MB VMEM budget next to the two (S, S) f32 buffers."""
+    g_idx = pl.program_id(1)
+    x = x_ref[0]                                       # (S, D) resident
+
+    def proj(w_ref, b_ref):
+        y = jax.lax.dot_general(
+            x, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (y + b_ref[...].astype(jnp.float32)).astype(x.dtype)
+
+    q_all = proj(wq_ref, bq_ref)                       # (S, gw)
+    k_all = proj(wk_ref, bk_ref)
+    v_all = proj(wv_ref, bv_ref)
+    g_all = g_ref[0]
+
+    for h in range(hg):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = q_all[:, sl]
+        k = k_all[:, sl]
+        v = v_all[:, sl]
+        gh = g_all[:, sl].astype(jnp.float32)
+
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * np.float32(scale)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        u = jnp.exp(logits - m)                        # (S, S) f32
+        den = jnp.sum(u, axis=1, keepdims=True)
+
+        g_n = (gh / den).astype(v.dtype)               # (S, Dh)
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            u.astype(v.dtype), g_n, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+        dp = jax.lax.dot_general(
+            gh.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (S, S)
+        r = jnp.sum(dp * u, axis=1, keepdims=True) / den
+        dl = (u * (dp - r) * (np.float32(scale) / den)).astype(x.dtype)
+
+        dq_ref[0, :, sl] = jax.lax.dot_general(
+            dl, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = jax.lax.dot_general(
+            dl, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+    # dx partials: (S, gw) @ (D, gw)^T with the contraction over this
+    # group's projection columns — read back from the just-written
+    # cotangent output blocks (still VMEM-resident), full-width dots.
+    @pl.when(g_idx == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for d_ref, w_ref in ((dq_ref, wq_ref), (dk_ref, wk_ref),
+                         (dv_ref, wv_ref)):
+        acc_ref[...] += jax.lax.dot_general(
+            d_ref[0], w_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(g_idx == groups - 1)
+    def _():
+        dx_ref[0] = acc_ref[...].astype(dx_ref.dtype)
+
+
+def _fused_qkv_backward(x, wq, wk, wv, bq, bk, bv, g, num_heads: int,
+                        head_dim=None):
+    """Pallas fused backward: (B, S, D) x + weights + (B, S, P) g ->
+    (dx, dq_all, dk_all, dv_all). The weight/bias grads are formed by
+    the caller from the returned cotangents (single XLA dots)."""
+    import os
+
+    b, s, d = x.shape
+    dh = head_dim if head_dim is not None else d // num_heads
+    p = num_heads * dh
+    groups_pref = int(os.environ.get("PIGEON_FUSED_BWD_GROUPS",
+                                     BWD_FUSED_GROUPS))
+    groups = next(gr for gr in (groups_pref, 4, 2, 1)
+                  if num_heads % gr == 0)
+    hg = num_heads // groups
+    gw = hg * dh
+
+    xspec = pl.BlockSpec((1, s, d), lambda bb, gr: (bb, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((d, gw), lambda bb, gr: (0, gr),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, gw), lambda bb, gr: (0, gr),
+                         memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((1, s, gw), lambda bb, gr: (bb, 0, gr),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fused_qkv_bwd_kernel, hg=hg, dh=dh,
+                          scale=dh ** -0.5, groups=groups),
+        out_shape=(jax.ShapeDtypeStruct((b, s, d), x.dtype),
+                   jax.ShapeDtypeStruct((b, s, p), x.dtype),
+                   jax.ShapeDtypeStruct((b, s, p), x.dtype),
+                   jax.ShapeDtypeStruct((b, s, p), x.dtype)),
+        grid=(b, groups),
+        in_specs=[xspec, wspec, bspec, wspec, bspec, wspec, bspec,
+                  gspec],
+        out_specs=(xspec, gspec, gspec, gspec),
+        scratch_shapes=[pltpu.VMEM((s, d), jnp.float32)],
+    )(x, wq, bq[None, :], wk, bk[None, :], wv, bv[None, :], g)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def fused_qkv_mha(x, wq, wk, wv, bq, bk, bv, num_heads, head_dim=None):
     """Fused QKV projection + attention: (B, S, D) -> (B, S, D).
 
-    Forward runs the Pallas fusion; backward rematerializes q/k/v with
-    XLA einsums and reuses the fused attention backward kernel, then
-    projects the gradients (dx, dW*, db*). Exact same math as the
-    Dense-projections + `mha` path (parity-tested).
+    Forward runs the Pallas fusion; the backward is selected by
+    ``PIGEON_FUSED_BWD`` (read at trace time):
+
+    * ``xla`` (default): rematerialize q/k/v with XLA einsums and reuse
+      the fused attention backward kernel, then project the gradients.
+    * ``kernel``: the fused backward Pallas kernel
+      (`_fused_qkv_bwd_kernel`) — q/k/v recomputed IN-kernel from the
+      resident x block, dq/dk/dv emitted in natural layout, dx
+      accumulated in VMEM; no q/k/v HBM round-trip and no fold/unfold
+      relayouts in the backward either.
+
+    Both produce exactly the same math as the Dense-projections +
+    `mha` path (parity-tested); flip the default only on hardware
+    evidence (docs/PERF.md).
 
     ``head_dim``: see `_fused_qkv_forward` — pass it (with
     ``num_heads`` = LOCAL heads) when the weights are a head-dim shard
@@ -347,26 +490,32 @@ def _fused_qkv_fwd(x, wq, wk, wv, bq, bk, bv, num_heads, head_dim=None):
 
 
 def _fused_qkv_bwd(num_heads, head_dim, res, g):
+    import os
+
     x, wq, wk, wv, bq, bk, bv = res
     b, s, d = x.shape
     dh = head_dim if head_dim is not None else d // num_heads
     p = num_heads * dh                                 # projection width
 
-    def fold(t):                                       # (B,S,P)->(BH,S,Dh)
-        return jnp.swapaxes(t.reshape(b, s, num_heads, dh), 1, 2) \
-            .reshape(b * num_heads, s, dh)
+    if os.environ.get("PIGEON_FUSED_BWD", "xla") == "kernel":
+        dx, dq_u, dk_u, dv_u = _fused_qkv_backward(
+            x, wq, wk, wv, bq, bk, bv, g.astype(x.dtype), num_heads, dh)
+    else:
+        def fold(t):                                   # (B,S,P)->(BH,S,Dh)
+            return jnp.swapaxes(t.reshape(b, s, num_heads, dh), 1, 2) \
+                .reshape(b * num_heads, s, dh)
 
-    def unfold(t):                                     # (BH,S,Dh)->(B,S,P)
-        return jnp.swapaxes(t.reshape(b, num_heads, s, dh), 1, 2) \
-            .reshape(b, s, p)
+        def unfold(t):                                 # (BH,S,Dh)->(B,S,P)
+            return jnp.swapaxes(t.reshape(b, num_heads, s, dh), 1, 2) \
+                .reshape(b, s, p)
 
-    q = fold((x @ wq + bq).astype(x.dtype))
-    k = fold((x @ wk + bk).astype(x.dtype))
-    v = fold((x @ wv + bv).astype(x.dtype))
-    dq, dk, dv = _flash_backward(q, k, v, fold(g.astype(x.dtype)))
-    dq_u, dk_u, dv_u = unfold(dq), unfold(dk), unfold(dv)
+        q = fold((x @ wq + bq).astype(x.dtype))
+        k = fold((x @ wk + bk).astype(x.dtype))
+        v = fold((x @ wv + bv).astype(x.dtype))
+        dq, dk, dv = _flash_backward(q, k, v, fold(g.astype(x.dtype)))
+        dq_u, dk_u, dv_u = unfold(dq), unfold(dk), unfold(dv)
+        dx = dq_u @ wq.T + dk_u @ wk.T + dv_u @ wv.T
 
-    dx = dq_u @ wq.T + dk_u @ wk.T + dv_u @ wv.T
     flat_x = x.reshape(b * s, d)
 
     def wgrad(dt):

@@ -12,8 +12,10 @@ may carry a per-variant remat as "impl:remat", e.g.
 "flash_fused_mlp:none" — under the fused custom_vjp layers the outer
 jax.checkpoint re-runs the Pallas forward whose output the vjp never
 reads, so remat='none' stores only per-layer block inputs (~0.9 GB at
-bs32) and drops that third pass), BENCH_REMAT (full | attn_out | none;
-the default for entries without a suffix).
+bs32) and drops that third pass — and an optional third field
+"impl:remat:bwd" selecting the fused-QKV backward, e.g.
+"flash_fused:full:kernel" -> PIGEON_FUSED_BWD=kernel), BENCH_REMAT
+(full | attn_out | none; the default for entries without a suffix).
 
 A variant that fails (e.g. remote-compile HTTP 500 on an
 out-of-memory graph) is reported and skipped — the A/B continues so
@@ -78,8 +80,14 @@ def main() -> None:
     rng = jax.random.PRNGKey(7)
 
     for entry in attn_impls:
-        attn_impl, _, remat = entry.partition(":")
+        attn_impl, _, rest = entry.partition(":")
+        remat, _, bwd = rest.partition(":")
         remat = remat or default_remat
+        # Optional third field selects the fused-QKV backward
+        # ("impl:remat:kernel" -> PIGEON_FUSED_BWD=kernel, read at
+        # trace time by `_fused_qkv_bwd`); empty leaves the env as-is.
+        if bwd:
+            os.environ["PIGEON_FUSED_BWD"] = bwd
         try:
             model = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.bfloat16,
                                 attn_impl=attn_impl, remat=remat)
@@ -105,14 +113,16 @@ def main() -> None:
                 per_iter = (time.perf_counter() - t0) / iters
                 rates.append(batch / per_iter)
         except Exception as e:  # noqa: BLE001 — e.g. compile OOM/500
-            print(f"# {attn_impl}:remat-{remat} FAILED "
-                  f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
+            print(f"# {attn_impl}:remat-{remat}{':' + bwd if bwd else ''}"
+                  f" FAILED {type(e).__name__}: {str(e)[:300]}",
+                  file=sys.stderr)
             continue
         rates.sort()
         rate = rates[len(rates) // 2]
         print(json.dumps({
             "metric": f"vit_l14_336_train_images_per_sec_bs{batch}"
-                      f"_{attn_impl}_remat-{remat}",
+                      f"_{attn_impl}_remat-{remat}"
+                      + (f"_bwd-{bwd}" if bwd else ""),
             "value": round(rate, 2),
             "unit": "images/sec",
             "loss": round(loss, 3),

@@ -15,11 +15,11 @@ pins so acting on a recovered tunnel is mechanical:
      e2e beats 'flash' AND every int8 kernel that impl routes through
      has a hardware parity record WITH an error bound (a record
      missing its max_err key is a timing row whose XLA reference
-     failed — no parity claim). flash_fused needs the step-1
-     int8_fused row; flash_fused_mlp additionally the step-3
-     fused_int8_ln_mlp row; flash_fused_block needs its step-1
-     int8_block row (parity vs the int8_block_xla twin) plus the
-     fused_int8_ln_mlp row.
+     failed — no parity claim). flash_fused and flash_fused_mlp need
+     the step-1 int8_fused row (since r5 the MLP half is XLA
+     QuantDense under every impl — `fused_ln_mlp_int8` was deleted
+     after its r4 parity FAIL); flash_fused_block needs its step-1
+     int8_block row (parity vs the int8_block_xla twin).
   4. BENCH_BATCH: step-7 re-optimum for the winning bf16 impl
      (bs32 comes from step 4's flash_fused row).
 
@@ -41,8 +41,12 @@ TRAIN_RE = re.compile(
     # step-9 PRETRAIN metric embeds 'train...' inside the word
     # 'pretrain' — anchoring on the token boundary excludes it and any
     # future compound ('retrain', ...) instead of special-casing the
-    # 'pre' prefix (advisor r3).
-    r"(?:^|_)train_images_per_sec_bs(\d+)_(\w+?)_remat-(\w+)$")
+    # 'pre' prefix (advisor r3). The optional _bwd-<sel> suffix is the
+    # r5 fused-QKV-backward selector (bench_train "impl:remat:bwd"
+    # entries -> PIGEON_FUSED_BWD); \w+? before _remat- must stay lazy
+    # so it never swallows the suffix.
+    r"(?:^|_)train_images_per_sec_bs(\d+)_(\w+?)_remat-(\w+?)"
+    r"(?:_bwd-(\w+))?$")
 
 
 def parse(lines):
@@ -68,8 +72,10 @@ def parse(lines):
             continue
         m = TRAIN_RE.search(metric)
         if m:
-            key = (f"{m.group(2)}:{m.group(3)}", int(m.group(1)))
-            out["train"][key] = rec["value"]
+            variant = f"{m.group(2)}:{m.group(3)}"
+            if m.group(4):                     # fused-QKV backward sel
+                variant += f":{m.group(4)}"
+            out["train"][(variant, int(m.group(1)))] = rec["value"]
     return out
 
 
@@ -131,22 +137,19 @@ def decide(parsed):
                    for r in parsed["component"])
 
     # Which int8 kernels each e2e impl routes through (models/clip.py
-    # static routing), and the hardware parity evidence each requires:
+    # static routing), and the hardware parity evidence each requires.
+    # Since r5 (`fused_ln_mlp_int8` deleted after its r4 parity FAIL)
+    # the MLP half is XLA QuantDense under every impl:
     #   flash_fused       -> fused_qkv_mha_int8          (int8_fused)
-    #   flash_fused_mlp   -> fused_qkv_mha_int8 + fused_ln_mlp_int8
-    #   flash_fused_block -> fused_block_attention_int8 + fused_ln_mlp_int8
+    #   flash_fused_mlp   -> fused_qkv_mha_int8          (int8_fused)
+    #   flash_fused_block -> fused_block_attention_int8  (int8_block)
     qkv_ok = _parity("int8_fused", "max_err_vs_int8_sep")
-    mlp_ok = _parity("fused_int8_ln_mlp", "max_err_vs_xla")
     blk_ok = _parity("int8_block", "max_err_vs_xla")
     impl_gates = {
         "flash_fused": (qkv_ok, "step-1 int8_fused parity record"),
-        "flash_fused_mlp": (
-            qkv_ok and mlp_ok,
-            "step-1 int8_fused + step-3 fused_int8_ln_mlp parity"),
+        "flash_fused_mlp": (qkv_ok, "step-1 int8_fused parity record"),
         "flash_fused_block": (
-            blk_ok and mlp_ok,
-            "step-1 int8_block (vs int8_block_xla) + step-3 "
-            "fused_int8_ln_mlp parity"),
+            blk_ok, "step-1 int8_block (vs int8_block_xla) parity"),
     }
     best_int8 = _best(int8)
     if best_int8:

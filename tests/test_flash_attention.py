@@ -152,6 +152,126 @@ class TestFusedQKV:
                                        atol=5e-4)
 
 
+class TestFusedQKVBackwardKernel:
+    """PIGEON_FUSED_BWD=kernel selects the fused BACKWARD Pallas kernel
+    (`_fused_qkv_bwd_kernel`): q/k/v recomputed in-kernel, dq/dk/dv in
+    natural layout, dx accumulated in VMEM scratch across the group
+    sweep. Must match the XLA-recompute backward (the shipping default)
+    and the dense-composition grads exactly on every argument."""
+
+    _setup = TestFusedQKV._setup
+    _reference = staticmethod(TestFusedQKV._reference)
+
+    def _grads(self, x, ws, bs, h, loss):
+        return jax.grad(loss, argnums=tuple(range(7)))(x, *ws, *bs)
+
+    @pytest.mark.parametrize("s,h,dh", [(64, 4, 16), (100, 4, 16),
+                                        (80, 8, 16), (64, 3, 16)])
+    def test_grads_match_xla_backward(self, s, h, dh, monkeypatch):
+        from pigeon_tpu.kernels.flash_attention import fused_qkv_mha
+
+        x, ws, bs, h, dh = self._setup(s=s, h=h, dh=dh)
+
+        def loss(x, wq, wk, wv, bq, bk, bv):
+            return jnp.sum(fused_qkv_mha(x, wq, wk, wv, bq, bk, bv, h)
+                           ** 2)
+
+        monkeypatch.setenv("PIGEON_FUSED_BWD", "xla")
+        g_xla = self._grads(x, ws, bs, h, loss)
+        monkeypatch.setenv("PIGEON_FUSED_BWD", "kernel")
+        g_kern = self._grads(x, ws, bs, h, loss)
+        for a, b in zip(g_kern, g_xla):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-4)
+
+    def test_grads_match_dense_composition(self, monkeypatch):
+        from pigeon_tpu.kernels.flash_attention import fused_qkv_mha
+
+        monkeypatch.setenv("PIGEON_FUSED_BWD", "kernel")
+        x, ws, bs, h, dh = self._setup(s=80)
+
+        def loss_fused(x, wq, wk, wv, bq, bk, bv):
+            return jnp.sum(fused_qkv_mha(x, wq, wk, wv, bq, bk, bv, h)
+                           ** 2)
+
+        def loss_ref(x, wq, wk, wv, bq, bk, bv):
+            return jnp.sum(
+                self._reference(x, (wq, wk, wv), (bq, bk, bv), h, dh)
+                ** 2)
+
+        g1 = self._grads(x, ws, bs, h, loss_fused)
+        g2 = self._grads(x, ws, bs, h, loss_ref)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4)
+
+    def test_head_dim_shard_grads(self, monkeypatch):
+        """The TP case: weights are a head-dim shard (P = h_local * dh
+        < D) with explicit head_dim — the kernel derives everything
+        from (num_heads, head_dim), exactly like the forward."""
+        from pigeon_tpu.kernels.flash_attention import fused_qkv_mha
+
+        b, s, d, h_local, dh = 2, 64, 64, 2, 16
+        p = h_local * dh
+        x = jnp.asarray(RNG.normal(size=(b, s, d)).astype(np.float32)
+                        * .3)
+        ws = [jnp.asarray(RNG.normal(size=(d, p)).astype(np.float32)
+                          * .1) for _ in range(3)]
+        bs = [jnp.asarray(RNG.normal(size=(p,)).astype(np.float32) * .1)
+              for _ in range(3)]
+
+        def loss(x, wq, wk, wv, bq, bk, bv):
+            return jnp.sum(fused_qkv_mha(x, wq, wk, wv, bq, bk, bv,
+                                         h_local, dh) ** 2)
+
+        monkeypatch.setenv("PIGEON_FUSED_BWD", "xla")
+        g_xla = jax.grad(loss, argnums=tuple(range(7)))(x, *ws, *bs)
+        monkeypatch.setenv("PIGEON_FUSED_BWD", "kernel")
+        g_kern = jax.grad(loss, argnums=tuple(range(7)))(x, *ws, *bs)
+        for a, b in zip(g_kern, g_xla):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-4)
+
+    def test_groups_env_override(self, monkeypatch):
+        from pigeon_tpu.kernels.flash_attention import fused_qkv_mha
+
+        monkeypatch.setenv("PIGEON_FUSED_BWD", "kernel")
+        monkeypatch.setenv("PIGEON_FUSED_BWD_GROUPS", "2")
+        x, ws, bs, h, dh = self._setup(h=8, dh=16)
+
+        def loss(x, wq, wk, wv, bq, bk, bv):
+            return jnp.sum(fused_qkv_mha(x, wq, wk, wv, bq, bk, bv, h)
+                           ** 2)
+
+        g1 = self._grads(x, ws, bs, h, loss)
+        monkeypatch.delenv("PIGEON_FUSED_BWD_GROUPS")
+        g2 = self._grads(x, ws, bs, h, loss)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-4)
+
+    def test_bf16(self, monkeypatch):
+        from pigeon_tpu.kernels.flash_attention import fused_qkv_mha
+
+        x, ws, bs, h, dh = self._setup(s=64)
+        xb = x.astype(jnp.bfloat16)
+        wsb = [w.astype(jnp.bfloat16) for w in ws]
+        bsb = [b.astype(jnp.bfloat16) for b in bs]
+
+        def loss(x, wq, wk, wv, bq, bk, bv):
+            return jnp.sum(fused_qkv_mha(x, wq, wk, wv, bq, bk, bv, h)
+                           .astype(jnp.float32) ** 2)
+
+        monkeypatch.setenv("PIGEON_FUSED_BWD", "xla")
+        g_xla = jax.grad(loss, argnums=tuple(range(7)))(xb, *wsb, *bsb)
+        monkeypatch.setenv("PIGEON_FUSED_BWD", "kernel")
+        g_kern = jax.grad(loss, argnums=tuple(range(7)))(xb, *wsb, *bsb)
+        for a, b in zip(g_kern, g_xla):
+            np.testing.assert_allclose(
+                np.asarray(a, dtype=np.float32),
+                np.asarray(b, dtype=np.float32), atol=0.12, rtol=0.05)
+
+
 class TestFusedLNQKV:
     """`fused_ln_qkv_mha`: LayerNorm folded into the fused QKV kernel
     must match nn.LayerNorm + dense projections + attention."""

@@ -25,10 +25,10 @@ def e2e(impl, bs, value, quant=False):
         "mfu": 0.7})
 
 
-def train(impl, bs, value, remat="full"):
+def train(impl, bs, value, remat="full", bwd=None):
     return json.dumps({
         "metric": f"vit_l14_336_train_images_per_sec_bs{bs}_{impl}"
-                  f"_remat-{remat}",
+                  f"_remat-{remat}" + (f"_bwd-{bwd}" if bwd else ""),
         "value": value, "unit": "images/sec", "loss": 5.4})
 
 
@@ -79,6 +79,20 @@ def test_train_flip_requires_beating_flash():
     assert any("TRAIN default stays 'flash'" in h for h in heads)
 
 
+def test_train_fused_bwd_kernel_variant_parses_and_wins():
+    # r5 fused-QKV-backward rows carry a third "_bwd-<sel>" field
+    # (bench_train "impl:remat:kernel" -> PIGEON_FUSED_BWD=kernel);
+    # the lazy \w+? before _remat- must not swallow it, and a winning
+    # kernel-backward row must name the FULL three-part combo.
+    p = hw.parse([train("flash", 32, 81.7),
+                  train("flash_fused", 32, 76.4),
+                  train("flash_fused", 32, 88.2, bwd="kernel")])
+    assert p["train"][("flash_fused:full:kernel", 32)] == 88.2
+    heads = [h for h, _ in hw.decide(p)]
+    assert any("TRAIN default -> 'flash_fused:full:kernel'" in h
+               for h in heads)
+
+
 def test_train_remat_none_variant_wins():
     # The impl x remat cross product: a fused no-remat row beating the
     # flash:full baseline must name BOTH halves of the winning combo.
@@ -110,8 +124,10 @@ def test_quant_flip_gated_on_mosaic_parity():
 
 def test_quant_block_impl_gated_on_its_own_kernel_parity():
     # fused_block_attention_int8's evidence is the int8_block row WITH
-    # max_err_vs_xla (vs the int8_block_xla twin) plus the fused int8
-    # MLP row: a timing-only int8_block record must not pass.
+    # max_err_vs_xla (vs the int8_block_xla twin): a timing-only
+    # int8_block record must not pass. (Since r5 the MLP half is XLA
+    # QuantDense — `fused_ln_mlp_int8` was deleted — so no MLP row is
+    # required.)
     rows = [e2e("flash", 24, 450.0, quant=True),
             e2e("flash_fused_block", 24, 520.0, quant=True),
             e2e("flash_fused", 24, 500.0, quant=True),
@@ -125,26 +141,23 @@ def test_quant_block_impl_gated_on_its_own_kernel_parity():
     # ...and the flip falls through to the fastest GATED impl.
     assert any("QUANT route -> 'flash_fused'" in h for h in heads)
 
-    # With the parity bound + the fused int8 MLP row, the block wins.
+    # With its own parity bound the block wins.
     rows[-1] = json.dumps({"variant": "int8_block", "ms_per_call": 0.9,
                            "max_err_vs_xla": 0.002})
-    rows.append(json.dumps({"variant": "fused_int8_ln_mlp",
-                            "ms_per_call": 2.0,
-                            "max_err_vs_xla": 0.001}))
     heads = [h for h, _ in hw.decide(hw.parse(rows))]
     assert any("QUANT route -> 'flash_fused_block'" in h for h in heads)
 
 
-def test_quant_mlp_impl_needs_both_parity_records():
+def test_quant_mlp_impl_needs_qkv_parity_record():
+    # flash_fused_mlp under quant computes exactly what flash_fused
+    # does since r5 (int8 QKV kernel + XLA quant MLP) — its gate is
+    # the int8_fused row alone.
     rows = [e2e("flash", 24, 450.0, quant=True),
-            e2e("flash_fused_mlp", 24, 505.0, quant=True),
-            json.dumps({"variant": "int8_fused", "ms_per_call": 1.0,
-                        "max_err_vs_int8_sep": 0.001})]
+            e2e("flash_fused_mlp", 24, 505.0, quant=True)]
     heads = [h for h, _ in hw.decide(hw.parse(rows))]
     assert any("BLOCKED" in h for h in heads)
-    rows.append(json.dumps({"variant": "fused_int8_ln_mlp",
-                            "ms_per_call": 2.0,
-                            "max_err_vs_xla": 0.002}))
+    rows.append(json.dumps({"variant": "int8_fused", "ms_per_call": 1.0,
+                            "max_err_vs_int8_sep": 0.001}))
     heads = [h for h, _ in hw.decide(hw.parse(rows))]
     assert any("QUANT route -> 'flash_fused_mlp'" in h for h in heads)
 
