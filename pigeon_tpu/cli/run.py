@@ -120,8 +120,10 @@ def _attn_impl(train: bool = False) -> str:
     Inference defaults to the QKV-projection+attention fusion
     (`flash_fused`, r3: 374 vs 316 img/s same-session; under masks or
     int8 quant the module falls back to 'flash' semantics per-layer).
-    Training keeps the separate-projection 'flash' kernels until the
-    fused custom_vjp path is measured on hardware (docs/PERF.md).
+    Training ALSO defaults to `flash_fused` since the r5 HW session:
+    with the fused BACKWARD kernel (PIGEON_FUSED_BWD=kernel, now the
+    default) and remat='attn_out' it measured 87.6 img/s vs 81.7 for
+    the separate-projection flash:full baseline (+7.2%; docs/PERF.md).
 
     Multi-chip: `pallas_call` under a plain GSPMD jit REQUIRES Manual
     (shard_map) mesh axes — with sharded operand avals it raises
@@ -145,7 +147,7 @@ def _attn_impl(train: bool = False) -> str:
     override = os.environ.get("PIGEON_ATTN_IMPL")
     if override:
         return override
-    return "flash" if train else "flash_fused"
+    return "flash_fused"
 
 
 def _default_batch(quant: bool) -> int:
@@ -1271,10 +1273,13 @@ def cmd_pretrain(args) -> int:
     # ("xla", no remat) — on a real chip that forfeits the Pallas
     # kernels and OOMs HBM at the production batch (full activation
     # storage for 24 layers does not fit one v5e; docs/PERF.md).
+    # remat='attn_out' is the r5 training winner (pretrain 82.9 vs the
+    # r4 full-remat 77.4 img/s); CPU keeps no-remat (compile speed).
     model = CLIPModel(cfg.vision, cfg.text, dtype=jnp.bfloat16,
                       eos_token_id=getattr(tokenizer, "eos_id", 49407),
                       attn_impl=_attn_impl(train=True),
-                      remat=jax.default_backend() == "tpu")
+                      remat=("attn_out" if jax.default_backend() == "tpu"
+                             else False))
 
     import pandas as pd
 

@@ -13,8 +13,9 @@ Backward: `mha` is a `jax.custom_vjp` — forward runs the Pallas kernel,
 backward recomputes attention in a fused Pallas kernel
 (rematerialization: no saved probabilities, standard flash-attention
 memory trade). `fused_qkv_mha` additionally has a fused BACKWARD kernel
-(`_fused_qkv_bwd_kernel`, PIGEON_FUSED_BWD=kernel) that recomputes the
-projections in-kernel too — see its docstring.
+(`_fused_qkv_bwd_kernel`, the default since the r5 HW win; opt out with
+PIGEON_FUSED_BWD=xla) that recomputes the projections in-kernel too —
+see its docstring.
 
 Non-causal, no attention mask (the vision tower's case; the text tower's
 577-free causal path stays on XLA — see `models/clip.py`).
@@ -24,6 +25,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -232,14 +234,47 @@ def _flash_backward(q, k, v, g):
 #: and runs attention on them; the weight blocks' index is constant in
 #: the batch dim so they stay VMEM-resident per group sweep. 4 measured
 #: best at the ViT-L shape (g2 fails server-side compile on VMEM).
+#: Override with PIGEON_FUSED_GROUPS; the static default degrades via
+#: `_pick_groups` when the lane constraint demands it (TP local heads).
 FUSED_GROUPS = 4
 
 #: Head groups for the fused QKV BACKWARD kernel. The backward carries
 #: more live VMEM than the forward (dx f32 accumulator + two (S, S)
-#: f32 buffers per head + three gradient output blocks), so it defaults
-#: to narrower groups; retune on hardware via PIGEON_FUSED_BWD_GROUPS
+#: f32 buffers per head + three gradient output blocks), so it needs
+#: NARROWER head groups than the forward's 4: at the flagship shape
+#: (H=16, S=577, D=1024) the r5 HW session measured g8 = 8.16 ms/call
+#: (vs 9.32 separate-projection, 9.95 XLA-remat backward) while g4 and
+#: g2 both FAIL server-side compile on VMEM. 8 groups = 2 heads/program
+#: = the compiling sweet spot; retune via PIGEON_FUSED_BWD_GROUPS
 #: without a code change.
-BWD_FUSED_GROUPS = 4
+BWD_FUSED_GROUPS = 8
+
+
+def _pick_groups(pref: int, fallbacks, num_heads: int, dh: int,
+                 p=None, honor_pref: bool = False) -> int:
+    """Head-group count for the fused kernels, respecting the Mosaic
+    lane constraint: a block's last dim must be 128-divisible OR equal
+    the full array dim (the r5 HW session hit this live — g16 at the
+    flagship shape makes the weight block (D, 64) and fails lowering).
+    The constraint matters beyond tuning: under tensor parallelism the
+    kernel sees LOCAL heads (16/tp), so a statically 'good' group count
+    can shrink the block width below one lane tile — e.g. the bwd
+    default g8 at tp=2 (8 local heads) would emit (D, 64) blocks.
+    Interpret mode (CPU tests) doesn't enforce this, so pick correctly
+    here rather than discovering it on a pod.
+
+    ``honor_pref``: an EXPLICIT operator preference (env var set) is
+    honored on divisibility alone — interpret-mode validation runs and
+    future hardware may want widths this check would veto."""
+    p = p if p is not None else num_heads * dh
+    if honor_pref and pref and num_heads % pref == 0:
+        return pref
+    for g in (pref, *fallbacks):
+        if g and num_heads % g == 0:
+            gw = (num_heads // g) * dh
+            if gw % LANE == 0 or gw == p:
+                return g
+    return 1    # gw == p: always a legal single-block width
 
 
 def _heads_attention(q_all, k_all, v_all, *, hg: int, dh: int,
@@ -311,7 +346,10 @@ def _fused_qkv_forward(x, wq, wk, wv, bq, bk, bv, num_heads: int,
         raise ValueError(
             f"fused_qkv_mha: weight shape {wq.shape} != (D={d}, "
             f"num_heads*head_dim={p}) — mis-sharded operands?")
-    groups = next(g for g in (FUSED_GROUPS, 2, 1) if num_heads % g == 0)
+    groups = _pick_groups(
+        int(os.environ.get("PIGEON_FUSED_GROUPS", FUSED_GROUPS)),
+        (2, 1), num_heads, dh,
+        honor_pref="PIGEON_FUSED_GROUPS" in os.environ)
     hg = num_heads // groups
     gw = hg * dh
 
@@ -429,8 +467,9 @@ def _fused_qkv_backward(x, wq, wk, wv, bq, bk, bv, g, num_heads: int,
     p = num_heads * dh
     groups_pref = int(os.environ.get("PIGEON_FUSED_BWD_GROUPS",
                                      BWD_FUSED_GROUPS))
-    groups = next(gr for gr in (groups_pref, 4, 2, 1)
-                  if num_heads % gr == 0)
+    groups = _pick_groups(
+        groups_pref, (8, 4, 2, 1), num_heads, dh, p,
+        honor_pref="PIGEON_FUSED_BWD_GROUPS" in os.environ)
     hg = num_heads // groups
     gw = hg * dh
 
@@ -464,16 +503,18 @@ def fused_qkv_mha(x, wq, wk, wv, bq, bk, bv, num_heads, head_dim=None):
     Forward runs the Pallas fusion; the backward is selected by
     ``PIGEON_FUSED_BWD`` (read at trace time):
 
-    * ``xla`` (default): rematerialize q/k/v with XLA einsums and reuse
-      the fused attention backward kernel, then project the gradients.
-    * ``kernel``: the fused backward Pallas kernel
+    * ``kernel`` (default since r5): the fused backward Pallas kernel
       (`_fused_qkv_bwd_kernel`) — q/k/v recomputed IN-kernel from the
       resident x block, dq/dk/dv emitted in natural layout, dx
       accumulated in VMEM; no q/k/v HBM round-trip and no fold/unfold
-      relayouts in the backward either.
+      relayouts in the backward either. r5 HW: 8.16 ms/call vs 9.32
+      (sep-proj) / 9.95 (xla route) at the flagship shape, Mosaic grad
+      parity 0.006 — and it carried e2e (train 87.6 vs 81.7 img/s).
+    * ``xla``: rematerialize q/k/v with XLA einsums and reuse the fused
+      attention backward kernel, then project the gradients.
 
     Both produce exactly the same math as the Dense-projections +
-    `mha` path (parity-tested); flip the default only on hardware
+    `mha` path (parity-tested); the default follows hardware
     evidence (docs/PERF.md).
 
     ``head_dim``: see `_fused_qkv_forward` — pass it (with
@@ -497,7 +538,7 @@ def _fused_qkv_bwd(num_heads, head_dim, res, g):
     dh = head_dim if head_dim is not None else d // num_heads
     p = num_heads * dh                                 # projection width
 
-    if os.environ.get("PIGEON_FUSED_BWD", "xla") == "kernel":
+    if os.environ.get("PIGEON_FUSED_BWD", "kernel") == "kernel":
         dx, dq_u, dk_u, dv_u = _fused_qkv_backward(
             x, wq, wk, wv, bq, bk, bv, g.astype(x.dtype), num_heads, dh)
     else:
@@ -579,7 +620,10 @@ def _fused_ln_qkv_forward(x, ln_scale, ln_bias, wq, wk, wv, bq, bk, bv,
     """Pallas LN+QKV+attention fusion: (B, S, D) raw -> (B, S, D)."""
     b, s, d = x.shape
     dh = d // num_heads
-    groups = next(g for g in (FUSED_GROUPS, 2, 1) if num_heads % g == 0)
+    groups = _pick_groups(
+        int(os.environ.get("PIGEON_FUSED_GROUPS", FUSED_GROUPS)),
+        (2, 1), num_heads, dh,
+        honor_pref="PIGEON_FUSED_GROUPS" in os.environ)
     hg = num_heads // groups
     gw = hg * dh
 
@@ -706,7 +750,10 @@ def _fused_block_attn_forward(x, ln_scale, ln_bias, wq, wk, wv, bq, bk,
                               bv, wo, bo, num_heads: int, eps: float):
     b, s, d = x.shape
     dh = d // num_heads
-    groups = next(g for g in (FUSED_GROUPS, 2, 1) if num_heads % g == 0)
+    groups = _pick_groups(
+        int(os.environ.get("PIGEON_FUSED_GROUPS", FUSED_GROUPS)),
+        (2, 1), num_heads, dh,
+        honor_pref="PIGEON_FUSED_GROUPS" in os.environ)
     hg = num_heads // groups
     gw = hg * dh
 
@@ -858,7 +905,10 @@ def fused_block_attention_int8(x, ln_scale, ln_bias, aqkv, wq, sq, bq,
     XLA by an ulp at round() boundaries)."""
     b, s, d = x.shape
     dh = d // num_heads
-    groups = next(g for g in (FUSED_GROUPS, 2, 1) if num_heads % g == 0)
+    groups = _pick_groups(
+        int(os.environ.get("PIGEON_FUSED_GROUPS", FUSED_GROUPS)),
+        (2, 1), num_heads, dh,
+        honor_pref="PIGEON_FUSED_GROUPS" in os.environ)
     hg = num_heads // groups
     gw = hg * dh
 
@@ -955,7 +1005,10 @@ def fused_qkv_mha_int8(x, act_scale, wq, sq, bq, wk, sk, bk, wv, sv, bv,
         raise ValueError(
             f"fused_qkv_mha_int8: weight shape {wq.shape} != (D={d}, "
             f"num_heads*head_dim={p}) — mis-sharded operands?")
-    groups = next(g for g in (FUSED_GROUPS, 2, 1) if num_heads % g == 0)
+    groups = _pick_groups(
+        int(os.environ.get("PIGEON_FUSED_GROUPS", FUSED_GROUPS)),
+        (2, 1), num_heads, dh,
+        honor_pref="PIGEON_FUSED_GROUPS" in os.environ)
     hg = num_heads // groups
     gw = hg * dh
 

@@ -150,9 +150,16 @@ def pretrain(clip_model, state: TrainState, step_fn: Callable,
 
 
 def build_finetune_model(cfg: PigeonConfig, dtype=jnp.bfloat16,
-                         attn_impl: str = "xla", remat: bool = True):
+                         attn_impl: str = "xla", remat="attn_out"):
     """SuperGuessr for pixel finetuning + its partial-freeze mask builder
-    (reference `train_modes.py:67-107`)."""
+    (reference `train_modes.py:67-107`).
+
+    ``remat`` defaults to 'attn_out' (remat the tower but SAVE the
+    per-layer attention outputs so the backward never re-runs the
+    attention kernel): the r5 HW session measured it fastest with the
+    fused-QKV kernel backward — 87.6 img/s vs 86.0 full-remat vs 81.7
+    for the r4 flash:full default; 'none' fails remote compile at
+    production batch (docs/PERF.md). Same math under any policy."""
     from pigeon_tpu.models.super_guessr import (
         SuperGuessr,
         trainable_last_layer_mask,

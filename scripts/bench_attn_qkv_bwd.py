@@ -108,7 +108,10 @@ def main() -> None:
 
     variants = [("flash_sep_proj", sep_proj, {}),
                 ("fused_bwd_xla", fused, {"PIGEON_FUSED_BWD": "xla"})]
-    for groups in (2, 4, 8):
+    # r5 HW session: g2/g4 FAIL server-side compile on VMEM at the
+    # flagship shape; g8 = 8.16 ms vs 9.32 sep-proj. g16 probes the
+    # narrower end (1 head/program: more x re-reads, less live VMEM).
+    for groups in (2, 4, 8, 16):
         variants.append((f"fused_bwd_g{groups}", fused,
                          {"PIGEON_FUSED_BWD": "kernel",
                           "PIGEON_FUSED_BWD_GROUPS": str(groups)}))

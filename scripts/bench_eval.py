@@ -10,7 +10,12 @@ Batches are pre-staged on device (host->device is ~6 MB/s through the
 tunnel; a real run overlaps decode via iter_batches prefetch).
 
 Env knobs: BENCH_BATCH (32), BENCH_BATCHES (8), BENCH_TOPK (40),
-BENCH_REFINE (1), BENCH_ATTN (flash), BENCH_QUANT (0; 1 = int8 W8A8
+BENCH_REFINE (1), BENCH_ATTN (flash_fused — matches the PRODUCT route:
+`cli.run._attn_impl` resolves 'flash_fused' for eval and
+`_quant_attn_impl` keeps it under int8; the r5 session's int8 leg
+accidentally measured the old 'flash' route at 410.9 because this
+default said 'flash' while the product said 'flash_fused' — keep the
+two in lockstep), BENCH_QUANT (0; 1 = int8 W8A8
 tower, the `evaluate --quant` path).
 """
 
@@ -44,7 +49,7 @@ def main() -> None:
     n_batches = int(os.environ.get("BENCH_BATCHES", "8"))
     topk = int(os.environ.get("BENCH_TOPK", "40"))
     refine = os.environ.get("BENCH_REFINE", "1") == "1"
-    attn_impl = os.environ.get("BENCH_ATTN", "flash")
+    attn_impl = os.environ.get("BENCH_ATTN", "flash_fused")
 
     num_cells, protos, dim, members = 2203, 64, 1024, 100_000
     vision_cfg = vit_l14_336_vision()

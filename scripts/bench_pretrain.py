@@ -7,8 +7,9 @@ there). Protocol identical to scripts/bench_train.py: on-device inputs,
 scalar-readback sync, median of BENCH_WINDOWS windows.
 
 Env knobs: BENCH_BATCH (32, the reference's per-device pretrain batch),
-BENCH_ITERS (6), BENCH_WINDOWS (5), BENCH_ATTN (flash),
-BENCH_REMAT (full), BENCH_TOKENS (77).
+BENCH_ITERS (6), BENCH_WINDOWS (5), BENCH_ATTN (flash_fused),
+BENCH_REMAT (attn_out — the r5 winner: pretrain 82.9 vs 77.4 img/s
+full-remat), BENCH_TOKENS (77).
 """
 
 from __future__ import annotations
@@ -39,8 +40,8 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "6"))
     windows = int(os.environ.get("BENCH_WINDOWS", "5"))
-    attn_impl = os.environ.get("BENCH_ATTN", "flash")
-    remat = os.environ.get("BENCH_REMAT", "full")
+    attn_impl = os.environ.get("BENCH_ATTN", "flash_fused")
+    remat = os.environ.get("BENCH_REMAT", "attn_out")
     tokens = int(os.environ.get("BENCH_TOKENS", "77"))
 
     cfg = pigeon_config()

@@ -6,7 +6,9 @@ readback for synchronization (block_until_ready is a no-op through the
 axon tunnel), median of BENCH_WINDOWS timing windows.
 
 Env knobs: BENCH_BATCH (32), BENCH_ITERS (6), BENCH_WINDOWS (5),
-BENCH_ATTN (flash; comma-separated list runs an in-process A/B so the
+BENCH_ATTN (flash_fused — the r5 training winner with remat='attn_out'
+and the kernel backward, 87.6 img/s vs 81.7 flash:full; comma-separated
+list runs an in-process A/B so the
 variants share one tunnel session — e.g. "flash,flash_fused"; an entry
 may carry a per-variant remat as "impl:remat", e.g.
 "flash_fused_mlp:none" — under the fused custom_vjp layers the outer
@@ -49,8 +51,8 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "6"))
     windows = int(os.environ.get("BENCH_WINDOWS", "5"))
-    attn_impls = os.environ.get("BENCH_ATTN", "flash").split(",")
-    default_remat = os.environ.get("BENCH_REMAT", "full")
+    attn_impls = os.environ.get("BENCH_ATTN", "flash_fused").split(",")
+    default_remat = os.environ.get("BENCH_REMAT", "attn_out")
 
     vision_cfg = vit_l14_336_vision()
     head_cfg = HeadConfig(num_cells=2203, embed_dim=1024, panorama=False,

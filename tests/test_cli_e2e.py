@@ -932,11 +932,13 @@ class TestAttnImplMultiChipGuard:
 
     def test_single_chip_defaults(self, monkeypatch):
         assert self._impl(monkeypatch, 1) == "flash_fused"
-        assert self._impl(monkeypatch, 1, train=True) == "flash"
+        # r5: training flipped to the fused impl (kernel backward +
+        # remat='attn_out' measured 87.6 vs 81.7 img/s flash:full).
+        assert self._impl(monkeypatch, 1, train=True) == "flash_fused"
 
     def test_multi_chip_defaults_match_single_chip(self, monkeypatch):
         assert self._impl(monkeypatch, 8) == "flash_fused"
-        assert self._impl(monkeypatch, 8, train=True) == "flash"
+        assert self._impl(monkeypatch, 8, train=True) == "flash_fused"
 
     def test_override_wins_on_multi_chip(self, monkeypatch):
         assert self._impl(monkeypatch, 8,

@@ -9,9 +9,18 @@ RNG = np.random.default_rng(30)
 
 
 @pytest.fixture(autouse=True)
-def interpret_mode():
+def interpret_mode(monkeypatch):
     from jax.experimental.pallas import tpu as pltpu
 
+    # Tiny test shapes (dh=16) resolve to groups=1 under the
+    # lane-aware picker (`_pick_groups`), which would leave the
+    # multi-group sweep (weight-block index maps, dx accumulation
+    # across groups) untested. An EXPLICIT group count is honored on
+    # divisibility alone, so pin 2 module-wide; the default/degenerate
+    # g1 path is covered by test_default_groups_tiny_shapes and the
+    # picker unit test.
+    monkeypatch.setenv("PIGEON_FUSED_GROUPS", "2")
+    monkeypatch.setenv("PIGEON_FUSED_BWD_GROUPS", "2")
     with pltpu.force_tpu_interpret_mode():
         yield
 
@@ -249,6 +258,58 @@ class TestFusedQKVBackwardKernel:
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4, rtol=1e-4)
+
+    def test_group_picker_respects_lane_constraint(self):
+        """Mosaic requires a block's last dim be 128-divisible or equal
+        the full array dim (g16 FAILED lowering on hardware in r5:
+        weight block (D, 64)). Under TP the kernel sees LOCAL heads,
+        so the static defaults must degrade: e.g. the bwd default g8
+        at 8 local heads (tp=2) would emit 64-wide blocks."""
+        from pigeon_tpu.kernels.flash_attention import _pick_groups
+
+        fwd = lambda h: _pick_groups(4, (2, 1), h, 64)
+        bwd = lambda h: _pick_groups(8, (8, 4, 2, 1), h, 64)
+        # flagship single-chip (16 heads, dh 64): measured optima hold
+        assert fwd(16) == 4 and bwd(16) == 8
+        # tp=2 (8 local heads): g8 would be 64-wide -> bwd degrades
+        assert fwd(8) == 4 and bwd(8) == 4
+        # tp=4 (4 local heads): both degrade to 128-wide blocks
+        assert fwd(4) == 2 and bwd(4) == 2
+        # tp=8 (2 local heads): only the full-width single block is
+        # legal (gw == p == 128 happens at g1)
+        assert fwd(2) == 1 and bwd(2) == 1
+        assert fwd(1) == 1 and bwd(1) == 1
+        # tiny CPU-test shapes (dh 16): full-width block
+        assert _pick_groups(4, (2, 1), 4, 16) == 1
+        # explicit operator pref is honored on divisibility alone
+        assert _pick_groups(16, (8, 4, 2, 1), 16, 64,
+                            honor_pref=True) == 16
+
+    def test_default_groups_tiny_shapes(self, monkeypatch):
+        """Without the module fixture's explicit group pins, tiny
+        (dh=16) shapes resolve to the degenerate single-group block
+        (gw == p) — forward and backward must still be exact."""
+        from pigeon_tpu.kernels.flash_attention import fused_qkv_mha
+
+        monkeypatch.delenv("PIGEON_FUSED_GROUPS", raising=False)
+        monkeypatch.delenv("PIGEON_FUSED_BWD_GROUPS", raising=False)
+        monkeypatch.setenv("PIGEON_FUSED_BWD", "kernel")
+        x, ws, bs, h, dh = self._setup(s=64)
+
+        def loss(x, wq, wk, wv, bq, bk, bv):
+            return jnp.sum(fused_qkv_mha(x, wq, wk, wv, bq, bk, bv, h)
+                           ** 2)
+
+        def loss_ref(x, wq, wk, wv, bq, bk, bv):
+            return jnp.sum(
+                self._reference(x, (wq, wk, wv), (bq, bk, bv), h, dh)
+                ** 2)
+
+        g1 = self._grads(x, ws, bs, h, loss)
+        g2 = self._grads(x, ws, bs, h, loss_ref)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4)
 
     def test_bf16(self, monkeypatch):
         from pigeon_tpu.kernels.flash_attention import fused_qkv_mha
@@ -819,12 +880,17 @@ class TestShardedMha:
         np.testing.assert_allclose(np.asarray(pooled_f),
                                    np.asarray(pooled_x), atol=5e-5)
 
-    def test_fused_tower_under_registered_mesh_matches_xla(self):
+    @pytest.mark.parametrize("bwd", ["xla", "kernel"])
+    def test_fused_tower_under_registered_mesh_matches_xla(
+            self, bwd, monkeypatch):
         """flash_fused under the registry: the fused QKV kernel runs
         per-shard on its local Megatron-split heads (sharded_fused_
         qkv_mha). Forward AND gradients must match the XLA tower —
         the grad check exercises shard_map's transpose psum of the
-        replicated x block."""
+        replicated x block. Parametrized over PIGEON_FUSED_BWD so the
+        fused BACKWARD kernel is certified under shard_map too (the
+        multi-chip train path inherits whatever the env selects)."""
+        monkeypatch.setenv("PIGEON_FUSED_BWD", bwd)
         from jax.sharding import Mesh, NamedSharding
         from jax.sharding import PartitionSpec as P
 

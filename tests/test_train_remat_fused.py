@@ -56,9 +56,36 @@ def xla_twins(monkeypatch):
         xn = fa._layer_norm_f32(x, ls, lb, eps).astype(x.dtype)
         return fused_qkv(xn, wq, wk, wv, bq, bk, bv, num_heads)
 
+    def fused_qkv_backward(x, wq, wk, wv, bq, bk, bv, g, num_heads,
+                           head_dim=None):
+        # XLA twin of the fused BACKWARD kernel (the PIGEON_FUSED_BWD
+        # default since r5): same contract — (dx, dq_u, dk_u, dv_u)
+        # cotangents with the weight/bias grads left to the caller.
+        b, s, d = x.shape
+        dh = head_dim if head_dim is not None else d // num_heads
+        p = num_heads * dh
+
+        def fold(t):
+            return jnp.swapaxes(
+                t.reshape(b, s, num_heads, dh), 1, 2) \
+                .reshape(b * num_heads, s, dh)
+
+        def unfold(t):
+            return jnp.swapaxes(
+                t.reshape(b, num_heads, s, dh), 1, 2).reshape(b, s, p)
+
+        q, k, v = (fold((x @ w + bb).astype(x.dtype))
+                   for w, bb in ((wq, bq), (wk, bk), (wv, bv)))
+        _, vjp = jax.vjp(fa._xla_attention_bshd, q, k, v)
+        dq, dk, dv = vjp(fold(g.astype(x.dtype)))
+        dq_u, dk_u, dv_u = unfold(dq), unfold(dk), unfold(dv)
+        dx = dq_u @ wq.T + dk_u @ wk.T + dv_u @ wv.T
+        return dx, dq_u, dk_u, dv_u
+
     monkeypatch.setattr(fa, "_flash_forward", flash_fwd)
     monkeypatch.setattr(fa, "_flash_backward", flash_bwd)
     monkeypatch.setattr(fa, "_fused_qkv_forward", fused_qkv)
+    monkeypatch.setattr(fa, "_fused_qkv_backward", fused_qkv_backward)
     monkeypatch.setattr(fa, "_fused_ln_qkv_forward", fused_ln_qkv)
     monkeypatch.setattr(
         fa, "_fused_block_attn_forward",
