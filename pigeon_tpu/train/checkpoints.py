@@ -26,6 +26,65 @@ def _manager(directory: str, max_to_keep: int = 3):
     )
 
 
+class CheckpointSession:
+    """One CheckpointManager held open for a whole training run.
+
+    The module-level helpers below open/close a manager per call — fine
+    for one-shot saves, but inside a training loop that (a) pays the
+    manager setup per checkpoint and (b) forces `wait=True` semantics,
+    stalling the step pipeline while arrays hit disk. This session keeps
+    the manager open so saves run ASYNC (orbax snapshots device arrays
+    up front, then writes on a background thread while training
+    continues) and joins the writer only where correctness needs it:
+    before a restore, and at close.
+
+    Use as a context manager; `close()` (or `__exit__`) blocks until
+    every in-flight save is durable.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = directory
+        self._mgr = _manager(directory, max_to_keep)
+
+    def save(self, state: Any, step: Optional[int] = None,
+             wait: bool = False) -> int:
+        """Save a TrainState at `step` (default: state.step). Returns the
+        step. With ``wait=False`` the write completes in the background
+        (orbax serializes overlapping saves internally)."""
+        import orbax.checkpoint as ocp
+
+        step = int(step if step is not None else jax.device_get(state.step))
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if wait:
+            self._mgr.wait_until_finished()
+        return step
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, target: Any, step: Optional[int] = None) -> Any:
+        """Restore into ``target``'s structure/shardings (see module
+        ``restore_checkpoint``), joining any in-flight save first so a
+        rollback to the step being written cannot read a half-commit."""
+        import orbax.checkpoint as ocp
+
+        self._mgr.wait_until_finished()
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {self.directory}")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+    def __enter__(self) -> "CheckpointSession":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def save_checkpoint(directory: str, state: Any, step: Optional[int] = None,
                     max_to_keep: int = 3, wait: bool = True) -> None:
     """Save a TrainState (or any pytree) at `step`."""

@@ -193,7 +193,8 @@ def train_model(state, train_step: Callable, eval_step: Callable,
                 batch_to_device: Optional[Callable] = None,
                 log_every: int = 10,
                 divergence_guard: bool = True,
-                max_recoveries: int = 3):
+                max_recoveries: int = 3,
+                preemption: bool = True):
     """Epoch loop with per-epoch eval, best-ckpt save, early stopping.
 
     Args:
@@ -208,11 +209,24 @@ def train_model(state, train_step: Callable, eval_step: Callable,
             checkpoint yet (or recoveries exhausted) it raises instead
             of silently training on poisoned weights. The reference has
             no failure detection at all (SURVEY §5).
+        preemption: graceful shutdown — SIGTERM (what a TPU-VM reclaim
+            or an orchestrator delivers) checkpoints the full TrainState
+            at the next step boundary and returns, so ``--resume``
+            continues exactly; see `train/preemption.py`. The in-flight
+            epoch's eval is skipped (the grace window is for saving, not
+            metrics).
+
+    Checkpoints are written through one ASYNC `CheckpointSession` —
+    best-checkpoint saves overlap the next epoch's compute, and the
+    session joins the background writer before any rollback/return.
 
     Returns ``(state, history)`` where history is the list of per-epoch
     eval metric dicts. Selection metric: ``Geocell_accuracy`` (maximized),
     the reference's best-model criterion (`train_eval_loop.py:161`).
     """
+    from pigeon_tpu.train.checkpoints import CheckpointSession
+    from pigeon_tpu.train.preemption import PreemptionGuard
+
     writer = MetricWriter(log_dir)
     profiler = ProfilerWindow(profile_dir)
     best_acc = -np.inf
@@ -220,6 +234,9 @@ def train_model(state, train_step: Callable, eval_step: Callable,
     history = []
     recoveries = 0
     global_step = int(jax.device_get(state.step))
+    session = (CheckpointSession(checkpoint_dir)
+               if checkpoint_dir is not None else None)
+    guard = PreemptionGuard() if preemption else None
 
     def flush(pending):
         """Write pending losses; return False if a non-finite one hit."""
@@ -240,76 +257,101 @@ def train_model(state, train_step: Callable, eval_step: Callable,
         if recoveries > max_recoveries:
             raise RuntimeError(
                 f"training diverged {recoveries} times; giving up")
-        if checkpoint_dir is None:
+        if session is None:
             raise RuntimeError(
                 "training diverged with no checkpoint to roll back to")
-        from pigeon_tpu.train.checkpoints import (
-            latest_step,
-            restore_checkpoint,
-        )
-
-        step = latest_step(checkpoint_dir)
-        if step is None:
+        if session.latest_step() is None:
             raise RuntimeError(
                 "training diverged before the first checkpoint")
-        state = restore_checkpoint(checkpoint_dir, state)
+        state = session.restore(state)
         global_step = int(jax.device_get(state.step))
         logger.warning("rolled back to checkpoint step %d (recovery %d)",
                        global_step, recoveries)
         return state
 
-    for epoch in range(num_epochs):
-        t0 = time.time()
-        # Losses stay DEVICE scalars until the periodic flush: float()
-        # every step awaits the dispatch round-trip and stalls the next
-        # step's dispatch (~32 ms on a tunneled TPU). By flush time the
-        # older steps have long completed, so only the newest await
-        # costs anything.
-        pending: list = []
-        diverged = False
-        for batch in train_batches_fn(epoch):
-            dev_batch = batch_to_device(batch) if batch_to_device else batch
-            state, metrics = train_step(state, dev_batch, rng)
-            global_step += 1
-            profiler.step()
-            pending.append((global_step, metrics["loss"]))
-            if global_step % log_every == 0 and not flush(pending):
+    import contextlib
+
+    stack = contextlib.ExitStack()
+    if guard is not None:
+        stack.enter_context(guard)
+    preempted = False
+    try:
+        for epoch in range(num_epochs):
+            t0 = time.time()
+            # Losses stay DEVICE scalars until the periodic flush: float()
+            # every step awaits the dispatch round-trip and stalls the next
+            # step's dispatch (~32 ms on a tunneled TPU). By flush time the
+            # older steps have long completed, so only the newest await
+            # costs anything.
+            pending: list = []
+            diverged = False
+            for batch in train_batches_fn(epoch):
+                if guard is not None and guard.requested:
+                    preempted = True
+                    break
+                dev_batch = (batch_to_device(batch) if batch_to_device
+                             else batch)
+                state, metrics = train_step(state, dev_batch, rng)
+                global_step += 1
+                profiler.step()
+                pending.append((global_step, metrics["loss"]))
+                if global_step % log_every == 0 and not flush(pending):
+                    diverged = True
+                    break
+            if not diverged and not flush(pending):
                 diverged = True
-                break
-        if not diverged and not flush(pending):
-            diverged = True
-        if diverged:
-            state = recover(state)
-            continue
-
-        eval_metrics = evaluate_model(
-            eval_step, state.params, eval_batches_fn(),
-            refine_fn=refine_fn, scaler=scaler,
-            batch_to_device=batch_to_device)
-        history.append(eval_metrics)
-        for key, value in eval_metrics.items():
-            writer.scalar(f"eval/{key}", value, global_step)
-        writer.flush()
-        logger.info(
-            "epoch %d: loss=%.4f acc=%.4f median_km=%.1f (%.1fs)",
-            epoch, eval_metrics["Eval_loss"],
-            eval_metrics.get("Geocell_accuracy", float("nan")),
-            eval_metrics.get("Median_km_error", float("nan")),
-            time.time() - t0)
-
-        acc = eval_metrics.get("Geocell_accuracy", -eval_metrics["Eval_loss"])
-        if acc > best_acc:
-            best_acc = acc
-            stale = 0
-            if checkpoint_dir is not None:
-                from pigeon_tpu.train.checkpoints import save_checkpoint
-
-                save_checkpoint(checkpoint_dir, state)
-        else:
-            stale += 1
-            if stale >= early_stopping_patience:
-                logger.info("early stopping at epoch %d", epoch)
+            if diverged:
+                state = recover(state)
+                continue
+            if preempted:
+                # Save the CURRENT state (not best-only): resume needs
+                # optimizer continuity, and the grace window is short —
+                # wait so the write is durable before the process dies.
+                if session is not None:
+                    saved = session.save(state, wait=True)
+                    logger.warning(
+                        "preempted at step %d — checkpoint saved, "
+                        "resume with the same --name/--resume",
+                        saved)
+                else:
+                    logger.warning("preempted at step %d with no "
+                                   "checkpoint dir — state is lost "
+                                   "unless the caller saves it",
+                                   global_step)
                 break
 
-    profiler.close()
+            eval_metrics = evaluate_model(
+                eval_step, state.params, eval_batches_fn(),
+                refine_fn=refine_fn, scaler=scaler,
+                batch_to_device=batch_to_device)
+            history.append(eval_metrics)
+            for key, value in eval_metrics.items():
+                writer.scalar(f"eval/{key}", value, global_step)
+            writer.flush()
+            logger.info(
+                "epoch %d: loss=%.4f acc=%.4f median_km=%.1f (%.1fs)",
+                epoch, eval_metrics["Eval_loss"],
+                eval_metrics.get("Geocell_accuracy", float("nan")),
+                eval_metrics.get("Median_km_error", float("nan")),
+                time.time() - t0)
+
+            acc = eval_metrics.get("Geocell_accuracy",
+                                   -eval_metrics["Eval_loss"])
+            if acc > best_acc:
+                best_acc = acc
+                stale = 0
+                if session is not None:
+                    # Async: the background write overlaps the next
+                    # epoch; session.close()/restore() joins it.
+                    session.save(state)
+            else:
+                stale += 1
+                if stale >= early_stopping_patience:
+                    logger.info("early stopping at epoch %d", epoch)
+                    break
+    finally:
+        profiler.close()
+        if session is not None:
+            session.close()
+        stack.close()
     return state, history

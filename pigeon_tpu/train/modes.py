@@ -20,6 +20,7 @@ Rebuilds `training/train_modes.py:22-133` the TPU way:
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Callable, Iterable, Optional, Tuple
 
 import jax
@@ -29,6 +30,8 @@ import optax
 
 from pigeon_tpu.config import PigeonConfig
 from pigeon_tpu.train.train_loop import TrainState, adamw
+
+logger = logging.getLogger("pigeon_tpu.train")
 
 
 def linear_warmup_schedule(peak_lr: float, total_steps: int,
@@ -128,24 +131,52 @@ def pretrain(clip_model, state: TrainState, step_fn: Callable,
              checkpoint_dir: Optional[str] = None,
              save_steps: int = 50,
              batch_to_device: Optional[Callable] = None,
-             log_fn: Optional[Callable] = None) -> TrainState:
+             log_fn: Optional[Callable] = None,
+             preemption: bool = True) -> TrainState:
     """Contrastive pretraining loop with periodic checkpoints
-    (reference `train_modes.py:30-64`: Trainer with save_steps=50)."""
-    from pigeon_tpu.train.checkpoints import save_checkpoint
+    (reference `train_modes.py:30-64`: Trainer with save_steps=50).
+
+    Periodic saves run ASYNC through one `CheckpointSession` (the write
+    overlaps the next `save_steps` of compute); SIGTERM checkpoints the
+    full TrainState at the next step boundary and returns, so a
+    preempted pretrain resumes exactly (`train/preemption.py`)."""
+    import contextlib
+
+    from pigeon_tpu.train.checkpoints import CheckpointSession
+    from pigeon_tpu.train.preemption import PreemptionGuard
 
     global_step = int(jax.device_get(state.step))
-    for epoch in range(num_epochs):
-        for batch in batches_fn(epoch):
-            if batch_to_device is not None:
-                batch = batch_to_device(batch)
-            state, metrics = step_fn(state, batch)
-            global_step += 1
-            if log_fn is not None:
-                log_fn(global_step, metrics)
-            if checkpoint_dir and global_step % save_steps == 0:
-                save_checkpoint(checkpoint_dir, state, step=global_step)
-    if checkpoint_dir:
-        save_checkpoint(checkpoint_dir, state, step=global_step)
+    session = (CheckpointSession(checkpoint_dir)
+               if checkpoint_dir else None)
+    stack = contextlib.ExitStack()
+    guard = stack.enter_context(PreemptionGuard()) if preemption else None
+    preempted = False
+    try:
+        for epoch in range(num_epochs):
+            for batch in batches_fn(epoch):
+                if guard is not None and guard.requested:
+                    preempted = True
+                    break
+                if batch_to_device is not None:
+                    batch = batch_to_device(batch)
+                state, metrics = step_fn(state, batch)
+                global_step += 1
+                if log_fn is not None:
+                    log_fn(global_step, metrics)
+                if session and global_step % save_steps == 0:
+                    session.save(state, step=global_step)
+            if preempted:
+                break
+        if session:
+            session.save(state, step=global_step, wait=True)
+            if preempted:
+                logger.warning(
+                    "pretrain preempted at step %d — checkpoint saved",
+                    global_step)
+    finally:
+        if session:
+            session.close()
+        stack.close()
     return state
 
 
