@@ -151,17 +151,18 @@ def _attn_impl(train: bool = False) -> str:
 
 
 def _default_batch(quant: bool) -> int:
-    """Measured batch optima are ROUTE-specific (docs/PERF.md, r4):
-    int8 `flash_fused` peaks at bs32 (565.9 img/s; bs48 VMEM-spills to
-    408) while the separate-projection 'flash' route peaked at bs24
-    (450); bf16 `flash_fused` peaks at bs48 (374.8) but plain 'flash'
-    measured 313 at bs48 vs 317 at bs32. The default therefore follows
-    the RESOLVED attention impl so a PIGEON_ATTN_IMPL /
-    PIGEON_QUANT_ATTN_IMPL override doesn't silently land on the wrong
-    batch curve (advisor r3)."""
+    """Measured batch optima are ROUTE-specific (docs/PERF.md, r6):
+    int8 `flash_fused` peaks at bs40 (577.9 img/s; 570.8 bs36 / 572.8
+    bs42; bs48 VMEM-spills to 408) while the separate-projection
+    'flash' route peaked at bs24 (450); bf16 `flash_fused` peaks at
+    bs56 (378.4 bench / 368.4 product eval, vs 374.9 / 361.8 at the
+    old bs48 default) but plain 'flash' measured 313 at bs48 vs 317 at
+    bs32. The default therefore follows the RESOLVED attention impl so
+    a PIGEON_ATTN_IMPL / PIGEON_QUANT_ATTN_IMPL override doesn't
+    silently land on the wrong batch curve (advisor r3)."""
     if quant:
-        return 32 if _quant_attn_impl().startswith("flash_fused") else 24
-    return 48 if _attn_impl().startswith("flash_fused") else 32
+        return 40 if _quant_attn_impl().startswith("flash_fused") else 24
+    return 56 if _attn_impl().startswith("flash_fused") else 32
 
 
 def _quant_attn_impl() -> str:
@@ -285,10 +286,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve: micro-batch up to N concurrent requests "
                         "into one device dispatch (0 = serialized bs1)")
     p.add_argument("--quant", action="store_true",
-                   help="serve/evaluate: int8 W8A8 tower (models/quant.py; "
-                        "+33%% throughput on v5e). serve calibrates "
+                   help="serve/evaluate/predict/embed: int8 W8A8 tower "
+                        "(models/quant.py; +53%% throughput on v5e, r6). "
+                        "serve calibrates "
                         "activation scales on a synthetic batch at startup; "
-                        "evaluate calibrates on the first real benchmark "
+                        "evaluate/embed calibrate on the first real "
                         "batch — run evaluate with/without --quant to bound "
                         "the int8 quality delta before serving it")
     p.add_argument("--tp", type=int, default=1,
@@ -745,11 +747,15 @@ def cmd_embed(args) -> int:
     if use_vit:
         from pigeon_tpu.models.vit_embedder import ViTEmbedder
 
+        if getattr(args, "quant", False):
+            raise SystemExit("embed --quant supports the CLIP embedder "
+                             "only (the ViT tower has no quant twin)")
         model = ViTEmbedder(cfg.vision, dtype=jnp.bfloat16,
                             attn_impl=_attn_impl())
         logger.warning("using the generic ViT embedder for %r", args.name)
     else:
-        model = ClipEmbedder(cfg.vision, dtype=jnp.bfloat16)
+        model = ClipEmbedder(cfg.vision, dtype=jnp.bfloat16,
+                             attn_impl=_attn_impl())
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3))
@@ -799,9 +805,41 @@ def cmd_embed(args) -> int:
             "--sample: wrote the sampled metadata to %s — use it as "
             "--metadata for prototypes/finetune/evaluate against these "
             "embeddings", sampled_csv)
-    embed_splits_to_disk(
-        model, params, splits, out,
-        batch_size=args.batch_size or cfg.train.embed_batch_size_per_device)
+    batch_size = args.batch_size or cfg.train.embed_batch_size_per_device
+    if getattr(args, "quant", False):
+        # int8 W8A8 embed sweep: the sweep is the heaviest offline job in
+        # the product (the reference fans it over every GPU,
+        # `preprocessing/embed.py:16-83`); the int8 tower runs it at the
+        # bench-measured +53% over bf16 (577.9 vs 378.4 img/s, r6).
+        # Same recipe as `evaluate --quant`: per-channel weight quant +
+        # activation scales calibrated on the first REAL batch. The
+        # token-mean embedding quality bound is pinned by
+        # tests/test_quant.py (cosine) and the embed CLI e2e test.
+        from pigeon_tpu.data.image_ops import normalize_images
+        from pigeon_tpu.data.pipeline import iter_batches
+        from pigeon_tpu.models.quant import quantize_and_calibrate
+
+        if not splits:
+            raise SystemExit("no non-empty split to calibrate --quant on")
+        first_ds = next(iter(splits.values()))
+        first = next(iter(iter_batches(first_ds, min(8, len(first_ds)))))
+        pixels = jnp.asarray(first["inputs"])
+        if pixels.ndim == 5:               # panorama: fold views
+            pixels = pixels.reshape(-1, *pixels.shape[2:])
+        calib = normalize_images(pixels)
+        dyn = ClipEmbedder(cfg.vision, dtype=jnp.bfloat16,
+                           attn_impl=_quant_attn_impl(), quant=True)
+        params = quantize_and_calibrate(dyn, params, calib,
+                                        tower_key="vision")
+        model = ClipEmbedder(cfg.vision, dtype=jnp.bfloat16,
+                             attn_impl=_quant_attn_impl(), quant="static")
+        # The int8 kernel's batch optimum (docs/PERF.md r6: bs40; bs48+
+        # VMEM-spills) replaces the bf16 sweep batch unless overridden.
+        batch_size = args.batch_size or _default_batch(True)
+        logger.warning("embedding through the int8 W8A8 tower "
+                       "(calibrated on %d images, batch %d)",
+                       int(calib.shape[0]), batch_size)
+    embed_splits_to_disk(model, params, splits, out, batch_size=batch_size)
     logger.warning("wrote embeddings for %s to %s", sorted(splits), out)
     return 0
 
@@ -1052,12 +1090,12 @@ def cmd_evaluate(args) -> int:
         logger.warning("evaluating on %d devices (mesh %s)",
                        jax.device_count(), dict(mesh.shape))
 
-    # Measured eval-pipeline optima (docs/PERF.md, r4): on the
-    # validated flash_fused int8 route the optimum moved to bs32
-    # (530.3 img/s refined vs 416.3 for the old flash bs24 route;
-    # bench forward 565.9 bs32 / 553.7 bs24 / 408.3 bs48 — bs48 spills
-    # VMEM on the int8 kernel). bf16 follows the step-7 re-optimum to
-    # bs48. Route-aware: an impl override shifts the default with it.
+    # Measured eval-pipeline optima (docs/PERF.md, r6): on the
+    # validated flash_fused int8 route the optimum is bs40 (544.4
+    # img/s refined vs 530.3 bs32; bench forward 577.9 bs40 — bs48
+    # spills VMEM on the int8 kernel). bf16 follows the r6 re-optimum
+    # to bs56 (368.4 refined vs 361.8 bs48). Route-aware: an impl
+    # override shifts the default with it.
     default_batch = _default_batch(getattr(args, "quant", False))
     for benchmark in names:
         ds = get_ds(benchmark)
@@ -1133,8 +1171,8 @@ def cmd_predict(args) -> int:
                              image_size=size, panorama=cfg.head.panorama,
                              normalize=False)
 
-    # r4 optima (docs/PERF.md): int8 flash_fused peaks at bs32 (565.9
-    # vs 553.7 bs24 / 408.3 bs48); bf16 flash_fused at bs48 (374.8).
+    # r6 optima (docs/PERF.md): int8 flash_fused peaks at bs40 (577.9;
+    # 408.3 at bs48 — VMEM spill); bf16 flash_fused at bs56 (378.4).
     batch = args.batch_size or _default_batch(getattr(args, "quant",
                                                       False))
 

@@ -36,11 +36,13 @@ class ClipEmbedder(nn.Module):
     config: VisionConfig
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
+    quant: Any = False  # False | True (dynamic act) | "static" (serving)
     remat: Any = False  # False | True("full") | "attn_out" | "none"
 
     @nn.compact
     def __call__(self, pixel_values):
         last_hidden, _ = CLIPVisionTower(
             self.config, dtype=self.dtype, attn_impl=self.attn_impl,
-            remat=self.remat, name="vision")(pixel_values)
+            quant=self.quant, remat=self.remat,
+            name="vision")(pixel_values)
         return token_mean_embedding(last_hidden)

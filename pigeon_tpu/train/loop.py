@@ -225,8 +225,10 @@ def train_model(state, train_step: Callable, eval_step: Callable,
     the reference's best-model criterion (`train_eval_loop.py:161`).
     """
     from pigeon_tpu.train.checkpoints import CheckpointSession
+    from pigeon_tpu.train.multihost import coordinated_flag
     from pigeon_tpu.train.preemption import PreemptionGuard
 
+    nproc = jax.process_count()
     writer = MetricWriter(log_dir)
     profiler = ProfilerWindow(profile_dir)
     best_acc = -np.inf
@@ -286,7 +288,14 @@ def train_model(state, train_step: Callable, eval_step: Callable,
             pending: list = []
             diverged = False
             for batch in train_batches_fn(epoch):
-                if guard is not None and guard.requested:
+                # Single-process: stop on the local flag at any step.
+                # Multi-process: the decision must be COLLECTIVE (a lone
+                # host breaking out would strand the others at their
+                # next collective / deadlock the orbax save), so hosts
+                # poll `coordinated_flag` at the shared log_every
+                # boundaries below instead — log_every bounds the
+                # preemption latency on pods.
+                if nproc == 1 and guard is not None and guard.requested:
                     preempted = True
                     break
                 dev_batch = (batch_to_device(batch) if batch_to_device
@@ -295,14 +304,24 @@ def train_model(state, train_step: Callable, eval_step: Callable,
                 global_step += 1
                 profiler.step()
                 pending.append((global_step, metrics["loss"]))
-                if global_step % log_every == 0 and not flush(pending):
-                    diverged = True
-                    break
+                if global_step % log_every == 0:
+                    if not flush(pending):
+                        diverged = True
+                        break
+                    if nproc > 1 and guard is not None and \
+                            coordinated_flag(guard.requested):
+                        preempted = True
+                        break
             if not diverged and not flush(pending):
                 diverged = True
             if diverged:
                 state = recover(state)
                 continue
+            if not preempted and nproc > 1 and guard is not None \
+                    and coordinated_flag(guard.requested):
+                # Epoch-boundary poll: catches a signal that arrived
+                # after the last in-epoch boundary, before eval starts.
+                preempted = True
             if preempted:
                 # Save the CURRENT state (not best-only): resume needs
                 # optimizer continuity, and the grace window is short —

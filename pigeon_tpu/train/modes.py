@@ -132,19 +132,25 @@ def pretrain(clip_model, state: TrainState, step_fn: Callable,
              save_steps: int = 50,
              batch_to_device: Optional[Callable] = None,
              log_fn: Optional[Callable] = None,
-             preemption: bool = True) -> TrainState:
+             preemption: bool = True,
+             preempt_poll_steps: int = 10) -> TrainState:
     """Contrastive pretraining loop with periodic checkpoints
     (reference `train_modes.py:30-64`: Trainer with save_steps=50).
 
     Periodic saves run ASYNC through one `CheckpointSession` (the write
     overlaps the next `save_steps` of compute); SIGTERM checkpoints the
     full TrainState at the next step boundary and returns, so a
-    preempted pretrain resumes exactly (`train/preemption.py`)."""
+    preempted pretrain resumes exactly (`train/preemption.py`). On a
+    multi-host pod the stop decision is COLLECTIVE (a lone host exiting
+    would strand the others at their next collective): hosts agree via
+    `multihost.coordinated_flag` every ``preempt_poll_steps`` steps."""
     import contextlib
 
     from pigeon_tpu.train.checkpoints import CheckpointSession
+    from pigeon_tpu.train.multihost import coordinated_flag
     from pigeon_tpu.train.preemption import PreemptionGuard
 
+    nproc = jax.process_count()
     global_step = int(jax.device_get(state.step))
     session = (CheckpointSession(checkpoint_dir)
                if checkpoint_dir else None)
@@ -154,7 +160,7 @@ def pretrain(clip_model, state: TrainState, step_fn: Callable,
     try:
         for epoch in range(num_epochs):
             for batch in batches_fn(epoch):
-                if guard is not None and guard.requested:
+                if nproc == 1 and guard is not None and guard.requested:
                     preempted = True
                     break
                 if batch_to_device is not None:
@@ -165,6 +171,11 @@ def pretrain(clip_model, state: TrainState, step_fn: Callable,
                     log_fn(global_step, metrics)
                 if session and global_step % save_steps == 0:
                     session.save(state, step=global_step)
+                if (nproc > 1 and guard is not None
+                        and global_step % preempt_poll_steps == 0
+                        and coordinated_flag(guard.requested)):
+                    preempted = True
+                    break
             if preempted:
                 break
         if session:

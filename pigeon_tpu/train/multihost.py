@@ -65,6 +65,26 @@ def allgather_hosts(x):
     return np.asarray(multihost_utils.process_allgather(x))
 
 
+def coordinated_flag(local_flag: bool, name: str = "preempt") -> bool:
+    """Agree on a boolean across hosts: True ANYWHERE -> True everywhere.
+
+    Used for coordinated preemption (`train/preemption.py`): a TPU-VM
+    reclaim delivers SIGTERM to ONE host's process, but if that host
+    breaks out of the step loop alone the remaining hosts hang at their
+    next collective (and an orbax multi-process save would deadlock).
+    All hosts therefore poll this at the SAME step boundaries and take
+    the same branch. Single-process: returns the flag unchanged; the
+    reference (single-node accelerate-DDP) has no counterpart.
+    """
+    if jax.process_count() == 1:
+        return bool(local_flag)
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(
+        np.asarray([bool(local_flag)]))
+    return bool(np.any(flags))
+
+
 def host_slice(n: int, pid: Optional[int] = None,
                nproc: Optional[int] = None) -> slice:
     """This host's contiguous slice of ``n`` global samples.

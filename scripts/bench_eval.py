@@ -9,7 +9,9 @@ this bench validates that on hardware.
 Batches are pre-staged on device (host->device is ~6 MB/s through the
 tunnel; a real run overlaps decode via iter_batches prefetch).
 
-Env knobs: BENCH_BATCH (32), BENCH_BATCHES (8), BENCH_TOPK (40),
+Env knobs: BENCH_BATCH (route-aware like the product CLI: 40 int8 /
+56 bf16 on the fused route — the r6 optima; 32 otherwise),
+BENCH_BATCHES (8), BENCH_TOPK (40),
 BENCH_REFINE (1), BENCH_ATTN (flash_fused — matches the PRODUCT route:
 `cli.run._attn_impl` resolves 'flash_fused' for eval and
 `_quant_attn_impl` keeps it under int8; the r5 session's int8 leg
@@ -45,11 +47,18 @@ def main() -> None:
     from pigeon_tpu.models.super_guessr import SuperGuessr
     from pigeon_tpu.train import make_eval_step
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "8"))
     topk = int(os.environ.get("BENCH_TOPK", "40"))
     refine = os.environ.get("BENCH_REFINE", "1") == "1"
     attn_impl = os.environ.get("BENCH_ATTN", "flash_fused")
+    # Default batch mirrors `cli.run._default_batch` (r6 optima) so this
+    # bench measures the batch the product actually dispatches.
+    if attn_impl.startswith("flash_fused"):
+        default_batch = "40" if os.environ.get("BENCH_QUANT") == "1" \
+            else "56"
+    else:
+        default_batch = "32"
+    batch = int(os.environ.get("BENCH_BATCH", default_batch))
 
     num_cells, protos, dim, members = 2203, 64, 1024, 100_000
     vision_cfg = vit_l14_336_vision()

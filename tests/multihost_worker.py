@@ -117,6 +117,42 @@ def main() -> int:
     result["pipeline_rows"] = rows
     result["pipeline_sum"] = total
 
+    # ---- coordinated preemption: SIGTERM on ONE host stops BOTH ---------
+    # (at the same step, through the same collective checkpoint save —
+    # a lone host exiting would strand the other at its next collective)
+    import signal
+
+    from pigeon_tpu.train import make_eval_step
+    from pigeon_tpu.train.checkpoints import latest_step
+    from pigeon_tpu.train.loop import train_model
+    from pigeon_tpu.train.multihost import coordinated_flag
+
+    assert coordinated_flag(False) is False
+    assert coordinated_flag(pid == 0) is True      # host 0's flag reaches 1
+
+    fired = {"n": 0}
+
+    def train_batches(_epoch=None):
+        # state.step starts at 2 (the phase above). Host 0 receives
+        # SIGTERM while producing its 3rd batch; with log_every=2 both
+        # hosts poll the coordinated flag at global steps 4 and 6 and
+        # must stop TOGETHER at step 6.
+        for _ in range(6):
+            fired["n"] += 1
+            if pid == 0 and fired["n"] == 3:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield batch
+
+    eval_step = make_eval_step(hmodel, cfg.head, cells, num_candidates=3)
+    ckpt_dir = os.path.join(workdir, "preempt_ckpt")
+    state2, hist = train_model(
+        state, step, eval_step, train_batches, lambda: [],
+        num_epochs=1, rng=jax.random.PRNGKey(7),
+        checkpoint_dir=ckpt_dir, log_every=2, early_stopping_patience=5)
+    result["preempt_step"] = int(jax.device_get(state2.step))
+    result["preempt_hist"] = len(hist)
+    result["preempt_ckpt_step"] = latest_step(ckpt_dir)
+
     with open(os.path.join(workdir, f"result_{pid}.json"), "w") as f:
         json.dump(result, f)
     print(f"proc {pid} OK", flush=True)

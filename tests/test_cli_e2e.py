@@ -61,6 +61,43 @@ def test_embed_then_finetune_on_embeddings(tiny_world, monkeypatch):
     assert latest_step(str(tmp / "saved_models" / "run1")) is not None
 
 
+def test_embed_quant_int8_sweep(tiny_world, monkeypatch):
+    """`embed --quant` runs the sweep through the int8 W8A8 tower
+    (calibrated on the first real batch) and produces embeddings close
+    to the bf16 sweep's — the +53% serving-rate path for the product's
+    heaviest offline job (reference `preprocessing/embed.py:16-83`
+    fans the f32 version over every GPU)."""
+    tmp = tiny_world
+    monkeypatch.chdir(tmp)
+
+    for name, extra in (("ref", []), ("q8", ["--quant"])):
+        rc = main(["embed", f"emb_{name}", "--tiny",
+                   "--metadata", str(tmp / "meta.csv"),
+                   "--images", str(tmp / "imgs"),
+                   "--output", str(tmp / f"emb_{name}"),
+                   "--batch-size", "8"] + extra)
+        assert rc == 0
+
+    ref = np.load(tmp / "emb_ref" / "train.npy")
+    q8 = np.load(tmp / "emb_q8" / "train.npy")
+    assert q8.shape == ref.shape
+    assert np.isfinite(q8).all()
+    # Row order must align (same indices contract).
+    np.testing.assert_array_equal(
+        np.load(tmp / "emb_ref" / "train_indices.npy"),
+        np.load(tmp / "emb_q8" / "train_indices.npy"))
+    cos = np.sum(ref * q8, -1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(q8, axis=-1))
+    assert cos.mean() > 0.97, cos.mean()
+
+    # The ViT embedder has no quant twin — explicit error, not silence.
+    with pytest.raises(SystemExit, match="CLIP embedder only"):
+        main(["embed", "vitq", "--tiny", "--embedder", "vit",
+              "--metadata", str(tmp / "meta.csv"),
+              "--images", str(tmp / "imgs"),
+              "--output", str(tmp / "emb_vq"), "--quant"])
+
+
 def test_evaluate_command_with_registry_and_refiner(tiny_world, monkeypatch):
     """CLI evaluate: benchmark registry + prototypes + embeddings -> metrics."""
     import json

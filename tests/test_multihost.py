@@ -153,3 +153,13 @@ class TestTwoProcessCluster:
             assert r["pipeline_rows"] == 8
         assert results[0]["pipeline_sum"] == \
             pytest.approx(results[1]["pipeline_sum"], rel=1e-6)
+
+    def test_coordinated_preemption_stops_all_hosts_together(self, results):
+        """SIGTERM lands on host 0 only; the coordinated flag makes BOTH
+        hosts leave the loop at the same log_every boundary (step 6) and
+        participate in one collective checkpoint save — the distributed
+        half of the preemption contract (`train/preemption.py`)."""
+        for r in results:
+            assert r["preempt_step"] == 6
+            assert r["preempt_ckpt_step"] == 6
+            assert r["preempt_hist"] == 0      # stopped before eval
