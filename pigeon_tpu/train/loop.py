@@ -317,10 +317,12 @@ def train_model(state, train_step: Callable, eval_step: Callable,
             if diverged:
                 state = recover(state)
                 continue
-            if not preempted and nproc > 1 and guard is not None \
+            if not preempted and guard is not None \
                     and coordinated_flag(guard.requested):
                 # Epoch-boundary poll: catches a signal that arrived
-                # after the last in-epoch boundary, before eval starts.
+                # after the last in-epoch boundary (single-process: after
+                # the last per-step poll, e.g. during the final step or
+                # flush), before the epoch's eval starts.
                 preempted = True
             if preempted:
                 # Save the CURRENT state (not best-only): resume needs

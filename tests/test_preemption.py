@@ -151,6 +151,35 @@ class TestTrainModelPreemption:
         # Guard exited: SIGTERM handling is back to what it was.
         assert signal.getsignal(signal.SIGTERM) is prior_handler
 
+    def test_sigterm_after_last_step_skips_eval(self, tmp_path):
+        """A SIGTERM that lands AFTER the last per-step poll (here:
+        while the exhausted batch iterator returns) must be caught by
+        the single-process epoch-boundary poll — the epoch's eval is
+        skipped and the checkpoint written before any further work
+        (the grace window is short; a full eval pass could outlive
+        it)."""
+        from pigeon_tpu.train.checkpoints import latest_step
+        from pigeon_tpu.train.loop import train_model
+
+        state, step_fn, eval_step, batch = _world()
+        ckpt = str(tmp_path / "ckpt")
+
+        def batches(_epoch=None):
+            for _ in range(4):
+                yield batch
+            # raised during the loop's final (StopIteration) pull —
+            # after the last pre-step guard check.
+            os.kill(os.getpid(), signal.SIGTERM)
+
+        state, history = train_model(
+            state, step_fn, eval_step, batches, lambda: [batch],
+            num_epochs=3, rng=jax.random.PRNGKey(1),
+            checkpoint_dir=ckpt, log_every=2, early_stopping_patience=50)
+
+        assert int(jax.device_get(state.step)) == 4
+        assert history == []                   # eval never ran
+        assert latest_step(ckpt) == 4
+
     def test_preemption_opt_out_installs_no_handler(self, tmp_path):
         """preemption=False leaves signal handling to the caller (e.g.
         the multihost coordinator owns SIGTERM itself)."""
