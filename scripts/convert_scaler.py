@@ -36,13 +36,13 @@ def convert(scaler, yfcc: bool = False) -> dict:
     mean = getattr(scaler, "mean_", None)
     scale = getattr(scaler, "scale_", None)
     if mean is None or scale is None:
-        raise SystemExit(
+        raise ValueError(
             f"unsupported scaler {type(scaler).__name__}: needs mean_ and "
             "scale_ (the reference uses sklearn StandardScaler)")
     mean = [float(v) for v in mean]
     scale = [float(v) for v in scale]
     if len(mean) != 6 or len(scale) != 6:
-        raise SystemExit(
+        raise ValueError(
             f"expected 6 multi-task columns, got {len(mean)} — is this "
             "the regression scaler?")
     return {"mean": mean, "scale": scale,
@@ -63,7 +63,10 @@ def main(argv=None) -> int:
     except ImportError:  # pragma: no cover - joblib ships with sklearn
         raise SystemExit("joblib is required (ships with scikit-learn)")
 
-    payload = convert(joblib.load(args.joblib_path), yfcc=args.yfcc)
+    try:
+        payload = convert(joblib.load(args.joblib_path), yfcc=args.yfcc)
+    except ValueError as e:
+        raise SystemExit(str(e))
     with open(args.json_path, "w") as f:
         json.dump(payload, f)
     print(f"wrote {args.json_path} (elevation_offset="

@@ -93,3 +93,15 @@ def test_rejects_wrong_width(tmp_path):
     joblib.dump(sk, jl)
     with pytest.raises(SystemExit, match="6 multi-task"):
         cs.main([str(jl), str(tmp_path / "out.json")])
+
+
+def test_convert_raises_value_error_programmatically():
+    # Library-style callers get ValueError; only main() maps to SystemExit
+    # (r4 advisor finding).
+    sk = sklearn_pre.MinMaxScaler().fit(_reference_transform(
+        _raw_values(), 408.0))
+    with pytest.raises(ValueError, match="mean_"):
+        cs.convert(sk)
+    sk4 = sklearn_pre.StandardScaler().fit(RNG.normal(size=(16, 4)))
+    with pytest.raises(ValueError, match="6 multi-task"):
+        cs.convert(sk4)
