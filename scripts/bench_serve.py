@@ -8,6 +8,10 @@ device transfer + ViT-L/14-336 panorama forward + top-k [+ refinement]
 numbers in docs/PERF.md follow this protocol.
 
 Env knobs:
+  SERVE_MODE   (panorama) — "classic": the single-image contract the
+                 extension's classic.js speaks (one `image` field,
+                 `--panorama` off; `bot/chrome_extension/scripts/
+                 classic.js:23-27`). Metric gains a `_classic` suffix.
   SERVE_QUANT  (0) — 1: int8 W8A8 tower (static act scales).
   SERVE_REFINE (0) — 1: production-scale refiner+hedge bank
                      (2203 cells x 64 protos x 1024-d, 100k members).
@@ -65,6 +69,7 @@ def main() -> None:
 
     quant = os.environ.get("SERVE_QUANT", "0") == "1"
     refine = os.environ.get("SERVE_REFINE", "0") == "1"
+    classic = os.environ.get("SERVE_MODE", "panorama") == "classic"
     n = int(os.environ.get("SERVE_N", "20"))
     px = int(os.environ.get("SERVE_PX", "512"))
 
@@ -75,17 +80,20 @@ def main() -> None:
                                   hidden_size=64, intermediate_size=128,
                                   num_layers=2, num_heads=4,
                                   projection_dim=32)
-        head_cfg = HeadConfig(num_cells=32, embed_dim=64, panorama=True,
-                              multi_task=True)
+        head_cfg = HeadConfig(num_cells=32, embed_dim=64,
+                              panorama=not classic, multi_task=True)
     else:
         vision_cfg = vit_l14_336_vision()
         head_cfg = HeadConfig(num_cells=2203, embed_dim=1024,
-                              panorama=True, multi_task=True)
-    attn = "xla" if os.environ.get("SERVE_TINY") == "1" else "flash"
+                              panorama=not classic, multi_task=True)
+    # Match the product `cli serve` route (`cli/run.py::_attn_impl` /
+    # `_quant_attn_impl`): flash_fused since r3 (bf16) / r4 (int8).
+    attn = "xla" if os.environ.get("SERVE_TINY") == "1" else "flash_fused"
     model = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.bfloat16,
                         attn_impl=attn)
     size = vision_cfg.image_size
-    example = jnp.zeros((1, 4, size, size, 3))
+    example = (jnp.zeros((1, size, size, 3)) if classic
+               else jnp.zeros((1, 4, size, size, 3)))
     params = jax.jit(model.init)(jax.random.PRNGKey(0), example)["params"]
 
     if quant:
@@ -96,7 +104,7 @@ def main() -> None:
         dyn = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.bfloat16,
                           attn_impl=attn, quant=True)
         calib = jax.random.normal(jax.random.PRNGKey(3),
-                                  (1, 4, size, size, 3), jnp.float32)
+                                  example.shape, jnp.float32)
         params = quantize_and_calibrate(dyn, params, calib,
                                         tower_key="vision", margin=1.25)
         model = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.bfloat16,
@@ -156,14 +164,17 @@ def main() -> None:
         # Warm every bucket executable (shared implementation with
         # `cli serve`; scalar readbacks force execution).
         batcher.warm(example.shape[1:], jnp.uint8)
-    service = PredictionService(serve_fn, image_size=size, panorama=True,
+    service = PredictionService(serve_fn, image_size=size,
+                                panorama=not classic,
                                 refine_fn=refine_fn, batcher=batcher)
     httpd = serve(service, host="127.0.0.1", port=0, block=False)
     port = httpd.server_address[1]
     url = f"http://127.0.0.1:{port}/api/v1/predict"
 
     payload = {"gameID": "bench", "roundID": 1}
-    for i, key in enumerate(("image", "image_2", "image_3", "image_4")):
+    keys = ("image",) if classic else ("image", "image_2", "image_3",
+                                       "image_4")
+    for key in keys:
         payload[key] = _screenshot_b64(rng, px)
     body = json.dumps(payload).encode()
 
@@ -182,8 +193,14 @@ def main() -> None:
     post()
 
     concurrency = int(os.environ.get("SERVE_CONCURRENCY", "1"))
+    mode = "classic" if classic else "panorama"
     suffix = ("_int8" if quant else "") + ("_refined" if refine else "") \
         + (f"_b{serve_batch}" if serve_batch else "")
+
+    def pct(sorted_ms, q):
+        # Nearest-rank percentile on the sorted latency list.
+        i = min(len(sorted_ms) - 1, (len(sorted_ms) * q) // 100)
+        return round(sorted_ms[i], 1)
     if concurrency > 1:
         # Throughput mode: each thread fires n requests; transport and
         # device dispatch overlap across clients (and coalesce into one
@@ -223,12 +240,13 @@ def main() -> None:
         if not times:
             raise SystemExit(f"all {failures[0]} requests failed")
         print(json.dumps({
-            "metric": "serving_panorama_requests_per_sec"
+            "metric": f"serving_{mode}_requests_per_sec"
                       f"{suffix}_c{concurrency}",
             "value": round(len(times) / wall, 2),
             "unit": "requests/sec",
-            "median_ms": round(times[len(times) // 2], 1),
-            "p90_ms": round(times[(len(times) * 9) // 10], 1),
+            "median_ms": pct(times, 50),
+            "p90_ms": pct(times, 90),
+            "p99_ms": pct(times, 99),
             "failed": failures[0],
         }))
         print(f"# clients={concurrency} total={len(times)} "
@@ -245,11 +263,12 @@ def main() -> None:
     median = times[len(times) // 2]
 
     print(json.dumps({
-        "metric": f"serving_panorama_roundtrip_ms{suffix}",
+        "metric": f"serving_{mode}_roundtrip_ms{suffix}",
         "value": round(median, 1),
         "unit": "ms",
-        "p10": round(times[len(times) // 10], 1),
-        "p90": round(times[(len(times) * 9) // 10], 1),
+        "p10": pct(times, 10),
+        "p90": pct(times, 90),
+        "p99": pct(times, 99),
     }))
     print(f"# n={n} px={px} last_guess={result['results']}",
           file=sys.stderr)
