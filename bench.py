@@ -31,8 +31,11 @@ Env knobs: BENCH_BATCH (route-specific default — bf16 56, the r6
 flash_fused re-optimum: 378.4 vs 374.9 bs48 / 375.8 bs40 / 372.9 bs52 /
 369.4 bs60 / 365.0 bs64, all one session (the pre-fusion
 serial-VPU-share argument that picked 32 no longer binds once the
-projections run in-kernel); int8 40: 577.9 vs 570.8 bs36 / 572.8 bs42 /
-572.0 bs44, and bs48 VMEM-spills to 408.3), BENCH_ITERS (16 — at bs32 a window is
+projections run in-kernel); int8 48: 586.2 — full r7 curve 577.1 bs40 /
+572.1 bs44 / 554.2 bs52 / 555.5 bs56 / 568.4 bs64 / 575.7 bs72; the r4
+"bs48 VMEM-spill to 408.3" did NOT reproduce on a clean rebuild — one
+pathological server-side compile, not a shape property
+(docs/PERF.md)), BENCH_ITERS (16 — at bs32 a window is
 ~1.6 s, long enough to drown scheduling jitter), BENCH_SEGMENTS (1),
 BENCH_WINDOWS (5), BENCH_ATTN (flash_fused — the QKV-projection+
 attention fusion, measured 374 vs 316 img/s for 'flash' same-session;
@@ -80,17 +83,18 @@ def main() -> None:
     # hardware-validated in the r4 session (parity err 0.0, 565.9 vs
     # 434.1 img/s for the separate-projection 'flash' route).
     attn_impl = os.environ.get("BENCH_ATTN", "flash_fused")
-    # Measured optima differ per ROUTE: the r6 fill-in sweep moved both
-    # fused curves — bf16 flash_fused peaks at bs56 (378.4 vs 374.9
-    # bs48 / 372.9 bs52 / 369.4 bs60, a grid-divisibility bump measured
-    # in ONE session) and int8 flash_fused at bs40 (577.9 vs 570.8 bs36
-    # / 572.8 bs42; bs48 VMEM-spills to 408.3). The old
+    # Measured optima differ per ROUTE: bf16 flash_fused peaks at bs56
+    # (r6: 378.4 vs 374.9 bs48 / 372.9 bs52 / 369.4 bs60, a
+    # grid-divisibility bump measured in ONE session) and int8
+    # flash_fused at bs48 (r7: 586.2 vs 577.1 bs40 / 572.1 bs44 /
+    # 554.2 bs52 — the r4 "bs48 VMEM spill" was one pathological
+    # server-side compile and did not reproduce). The old
     # separate-projection 'flash' route keeps bs32 bf16 (317 vs 313
     # bs48) / bs24 int8 (450). The default follows the selected impl
     # (advisor r3).
     fused = attn_impl.startswith("flash_fused")
     if os.environ.get("BENCH_QUANT", "0") == "1":
-        default_batch = "40" if fused else "24"
+        default_batch = "48" if fused else "24"
     else:
         default_batch = "56" if fused else "32"
     batch = int(os.environ.get("BENCH_BATCH", default_batch))

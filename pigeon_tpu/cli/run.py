@@ -151,17 +151,20 @@ def _attn_impl(train: bool = False) -> str:
 
 
 def _default_batch(quant: bool) -> int:
-    """Measured batch optima are ROUTE-specific (docs/PERF.md, r6):
-    int8 `flash_fused` peaks at bs40 (577.9 img/s; 570.8 bs36 / 572.8
-    bs42; bs48 VMEM-spills to 408) while the separate-projection
-    'flash' route peaked at bs24 (450); bf16 `flash_fused` peaks at
-    bs56 (378.4 bench / 368.4 product eval, vs 374.9 / 361.8 at the
-    old bs48 default) but plain 'flash' measured 313 at bs48 vs 317 at
-    bs32. The default therefore follows the RESOLVED attention impl so
-    a PIGEON_ATTN_IMPL / PIGEON_QUANT_ATTN_IMPL override doesn't
-    silently land on the wrong batch curve (advisor r3)."""
+    """Measured batch optima are ROUTE-specific (docs/PERF.md, r7):
+    int8 `flash_fused` peaks at bs48 (586.2 img/s; full r7 curve 577.1
+    bs40 / 572.1 bs44 / 554.2 bs52 / 555.5 bs56 / 568.4 bs64 — the
+    r4 "bs48 VMEM-spills to 408" did NOT reproduce on a clean rebuild
+    and is diagnosed as one pathological server-side compilation, see
+    PERF.md) while the separate-projection 'flash' route peaked at
+    bs24 (450); bf16 `flash_fused` peaks at bs56 (378.4 bench / 368.4
+    product eval, vs 374.9 / 361.8 at the old bs48 default) but plain
+    'flash' measured 313 at bs48 vs 317 at bs32. The default therefore
+    follows the RESOLVED attention impl so a PIGEON_ATTN_IMPL /
+    PIGEON_QUANT_ATTN_IMPL override doesn't silently land on the wrong
+    batch curve (advisor r3)."""
     if quant:
-        return 40 if _quant_attn_impl().startswith("flash_fused") else 24
+        return 48 if _quant_attn_impl().startswith("flash_fused") else 24
     return 56 if _attn_impl().startswith("flash_fused") else 32
 
 
@@ -833,8 +836,8 @@ def cmd_embed(args) -> int:
                                         tower_key="vision")
         model = ClipEmbedder(cfg.vision, dtype=jnp.bfloat16,
                              attn_impl=_quant_attn_impl(), quant="static")
-        # The int8 kernel's batch optimum (docs/PERF.md r6: bs40; bs48+
-        # VMEM-spills) replaces the bf16 sweep batch unless overridden.
+        # The int8 route's batch optimum (docs/PERF.md r7: bs48)
+        # replaces the bf16 sweep batch unless overridden.
         batch_size = args.batch_size or _default_batch(True)
         logger.warning("embedding through the int8 W8A8 tower "
                        "(calibrated on %d images, batch %d)",
@@ -1090,12 +1093,11 @@ def cmd_evaluate(args) -> int:
         logger.warning("evaluating on %d devices (mesh %s)",
                        jax.device_count(), dict(mesh.shape))
 
-    # Measured eval-pipeline optima (docs/PERF.md, r6): on the
-    # validated flash_fused int8 route the optimum is bs40 (544.4
-    # img/s refined vs 530.3 bs32; bench forward 577.9 bs40 — bs48
-    # spills VMEM on the int8 kernel). bf16 follows the r6 re-optimum
-    # to bs56 (368.4 refined vs 361.8 bs48). Route-aware: an impl
-    # override shifts the default with it.
+    # Measured eval-pipeline optima (docs/PERF.md, r7): on the
+    # validated flash_fused int8 route the optimum is bs48 (561.1
+    # img/s refined vs 544.4 bs40; bench forward 586.2 bs48). bf16
+    # keeps the r6 re-optimum bs56 (368.4 refined vs 361.8 bs48).
+    # Route-aware: an impl override shifts the default with it.
     default_batch = _default_batch(getattr(args, "quant", False))
     for benchmark in names:
         ds = get_ds(benchmark)
@@ -1171,8 +1173,8 @@ def cmd_predict(args) -> int:
                              image_size=size, panorama=cfg.head.panorama,
                              normalize=False)
 
-    # r6 optima (docs/PERF.md): int8 flash_fused peaks at bs40 (577.9;
-    # 408.3 at bs48 — VMEM spill); bf16 flash_fused at bs56 (378.4).
+    # r7 optima (docs/PERF.md): int8 flash_fused peaks at bs48
+    # (586.2); bf16 flash_fused at bs56 (378.4).
     batch = args.batch_size or _default_batch(getattr(args, "quant",
                                                       False))
 

@@ -9,7 +9,7 @@ this bench validates that on hardware.
 Batches are pre-staged on device (host->device is ~6 MB/s through the
 tunnel; a real run overlaps decode via iter_batches prefetch).
 
-Env knobs: BENCH_BATCH (route-aware like the product CLI: 40 int8 /
+Env knobs: BENCH_BATCH (route-aware like the product CLI: 48 int8 /
 56 bf16 on the fused route — the r6 optima; 32 otherwise),
 BENCH_BATCHES (8), BENCH_TOPK (40),
 BENCH_REFINE (1), BENCH_ATTN (flash_fused — matches the PRODUCT route:
@@ -54,7 +54,7 @@ def main() -> None:
     # Default batch mirrors `cli.run._default_batch` (r6 optima) so this
     # bench measures the batch the product actually dispatches.
     if attn_impl.startswith("flash_fused"):
-        default_batch = "40" if os.environ.get("BENCH_QUANT") == "1" \
+        default_batch = "48" if os.environ.get("BENCH_QUANT") == "1" \
             else "56"
     else:
         default_batch = "32"

@@ -27,6 +27,14 @@ full-model rows (the real `CLIPVisionTower` int8 static / bf16 twins +
 head, exactly bench.py's program) to localize it in the composition
 (scan-stacked weights, patch embed, head, or XLA scheduling).
 
+RESOLVED (r7 session, 2026-08-20): the BENCH_TOWER=1 rows show the
+full int8 model is monotone BETTER per-image through bs32/40/48
+(1.803 / 1.769 / 1.739 ms/img; tower-only tracks it, bf16 twin same
+shape), and a clean rebuild of bench.py itself at bs48 measured 586.2
+img/s — not 408. The r4 "VMEM spill" was ONE pathological server-side
+compilation, not a shape property; the int8 default moved to bs48.
+Full story: docs/PERF.md "r7: the int8 bs48 cliff".
+
 Chained-dispatch protocol, median of BENCH_WINDOWS windows
 (docs/PERF.md). Inputs generated on device (host->device ~6 MB/s).
 
