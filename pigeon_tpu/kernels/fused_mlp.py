@@ -136,129 +136,6 @@ def _fused_ln_mlp_forward(x, ln_scale, ln_bias, w1, b1, w2, b2,
       w2, b2.astype(jnp.float32)[None, :])
 
 
-def _fused_mlp_int8_kernel(x_ref, xq_ref, w1_ref, s1_ref, b1_ref,
-                           a2_ref, w2_ref, s2_ref, b2_ref, o_ref,
-                           acc_ref, *, chunks: int):
-    """One (batch, chunk) program of the static-int8 MLP half.
-
-    Per chunk c over the intermediate dim: int8 MXU fc1 dot on the
-    PRE-quantized input block, f32 scale+bias, quick-GELU in the I/O
-    dtype (matching the XLA QuantDense path's dtype sequence exactly),
-    requantize (divide — not multiply-by-reciprocal — like QuantDense),
-    int8 MXU fc2 partial dot accumulated in an int32 VMEM scratch
-    (integer partial sums across chunks are EXACT, so chunking cannot
-    perturb parity). The (B, S, 4D) fc1/GELU tensor never exists in HBM.
-    """
-    c = pl.program_id(1)
-
-    h = jax.lax.dot_general(
-        xq_ref[0], w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    y1 = (h.astype(jnp.float32) * s1_ref[...]
-          + b1_ref[...]).astype(o_ref.dtype)
-    g = _quick_gelu_f32(y1)              # same dtype math as XLA's act()
-    q2 = jnp.clip(jnp.round(g.astype(jnp.float32) / a2_ref[0, 0]),
-                  -127, 127).astype(jnp.int8)
-    partial = jax.lax.dot_general(
-        q2, w2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-
-    @pl.when(c == 0)
-    def _():
-        acc_ref[...] = partial
-
-    @pl.when(c > 0)
-    def _():
-        acc_ref[...] += partial
-
-    @pl.when(c == chunks - 1)
-    def _():
-        o_ref[0] = (x_ref[0]
-                    + (acc_ref[...].astype(jnp.float32) * s2_ref[...]
-                       + b2_ref[...]).astype(o_ref.dtype))
-
-
-def fused_mlp_int8(x, xn, a1, w1, s1, b1, a2, w2, s2, b2):
-    """Static-int8 MLP half: ``x + fc2(qgelu(fc1(quant(xn))))``.
-
-    The r7 int8 inference profile (`scripts/profile_infer.py`) showed
-    the (B, S, 4D) GELU+requantize pass is 16.2 ms of the 81.9 ms int8
-    forward (plus ~4 ms of smaller quantize passes) — the int8 route's
-    single largest non-MXU cost. This kernel keeps fc1's output, the
-    GELU, and the requantized int8 tensor in VMEM, chunked over the
-    intermediate dim with an int32 accumulator.
-
-    UNLIKE the r4 `fused_ln_mlp_int8` (deleted after failing hardware
-    parity at 0.051): LayerNorm stays OUTSIDE in XLA, and so does the
-    input quantize — ``xn`` is quantized here with the same XLA
-    round/clip/cast the QuantDense path uses, so the int8 input tensor
-    is bit-identical to fc1's in the reference composition. The only
-    in-kernel rounding is the GELU + requantize between fc1 and fc2
-    (Mosaic sigmoid may differ from XLA by an ulp AT round()
-    boundaries — bounded by one dequantized LSB x flip fraction, the
-    int8 cross-backend parity budget of docs/PERF.md).
-
-    Args:
-        x:  (B, S, D) residual input (I/O dtype, e.g. bf16).
-        xn: (B, S, D) LN2(x), computed by the caller in XLA.
-        a1/a2: f32 scalar act scales (fc1 / fc2 inputs).
-        w1/s1/b1: int8 (D, I) kernel, f32 (I,) weight scales, f32 (I,).
-        w2/s2/b2: int8 (I, D) kernel, f32 (D,) scales, f32 (D,).
-    Returns:
-        (B, S, D) in ``x.dtype``.
-
-    Matches `models.quant.QuantDense(static_act=True)` fc1 -> quick_gelu
-    -> fc2 (+ residual) exactly up to the in-kernel GELU ulp; the
-    behavioral contract is the reference's CLIPMLP under W8A8 serving
-    (no reference counterpart — the reference has no quantized path).
-    """
-    b, s, d = x.shape
-    inter = w1.shape[1]
-    chunk = _default_chunk()
-    ck = chunk if inter % chunk == 0 else inter
-    chunks = inter // ck
-
-    a1 = jnp.asarray(a1, jnp.float32)
-    x_q = jnp.clip(jnp.round(xn.astype(jnp.float32) / a1),
-                   -127, 127).astype(jnp.int8)
-    s1f = (a1 * s1.astype(jnp.float32))[None, :]
-    s2f = (jnp.asarray(a2, jnp.float32)
-           * s2.astype(jnp.float32))[None, :]
-
-    return pl.pallas_call(
-        functools.partial(_fused_mlp_int8_kernel, chunks=chunks),
-        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
-        grid=(b, chunks),
-        in_specs=[
-            pl.BlockSpec((1, s, d), lambda bb, c: (bb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda bb, c: (bb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, ck), lambda bb, c: (0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ck), lambda bb, c: (0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ck), lambda bb, c: (0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda bb, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ck, d), lambda bb, c: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda bb, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda bb, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, s, d), lambda bb, c: (bb, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((s, d), jnp.int32),   # exact fc2 accumulator
-        ],
-    )(x, x_q, w1, s1f, b1.astype(jnp.float32)[None, :],
-      jnp.asarray(a2, jnp.float32).reshape(1, 1), w2, s2f,
-      b2.astype(jnp.float32)[None, :])
-
-
 def _reference_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float):
     """XLA reference composition (used by the custom_vjp backward)."""
     xn = _layer_norm_f32(x, ln_scale, ln_bias, eps).astype(x.dtype)

@@ -325,16 +325,18 @@ class TransformerLayer(nn.Module):
         # unchanged: `_LayerNormParams`/`_DenseParams` declare the same
         # ln1/ln2/fc1/fc2 names. Under masks / dynamic-quant
         # calibration both degrade to plain 'flash_fused' + XLA ops.
-        # Int8 static towers default the MLP to XLA QuantDense ops; the
-        # r4 `fused_ln_mlp_int8` (LN folded IN-kernel) FAILED hardware
-        # parity (0.051 — Mosaic rsqrt != XLA rsqrt flips the input
-        # requantize) and was removed. The r7 `fused_mlp_int8` is the
-        # LN-FREE rebuild (LN2 and the input quantize stay in XLA, so
-        # fc1's int8 input is bit-identical; only the GELU+requantize
-        # between fc1 and fc2 moves in-kernel) targeting the 16.2 ms
-        # (B, S, 4D) GELU/requant HBM pass the r7 profile found —
-        # routed by PIGEON_INT8_MLP=kernel, single-chip (no shard_map
-        # hosting; multi-chip keeps XLA QuantDense).
+        # Int8 static towers keep the MLP in XLA QuantDense ops —
+        # settled TWICE on hardware: the r4 `fused_ln_mlp_int8` (LN
+        # folded in-kernel) failed parity at 0.051 (Mosaic rsqrt !=
+        # XLA rsqrt flips the input requantize), and the r7 LN-free
+        # rebuild (`fused_mlp_int8`: only GELU+requantize in-kernel)
+        # measured SLOWER than XLA (5.58 vs 4.93 ms/call standalone)
+        # AND flipped 70% of requantizes (Mosaic's f32 logistic vs
+        # XLA-TPU's native-bf16 logistic). Root cause of the r7
+        # attempt: a misread trace — XLA already fuses fc1+scale+GELU+
+        # requantize into ONE fusion running at ~88% of int8 MXU peak
+        # (docs/PERF.md "r7 int8 floor"). Both kernels deleted; do not
+        # rebuild without new trace evidence.
         ln_impls = ("flash_fused_ln", "flash_fused_mlp",
                     "flash_fused_block")
         fuse_ln = (self.attn_impl in ln_impls and mask is None
@@ -391,24 +393,6 @@ class TransformerLayer(nn.Module):
             return fused_ln_mlp(x.astype(self.dtype), ls2, lb2,
                                 cast(w1), cast(b1), cast(w2), cast(b2),
                                 self.layer_norm_eps)
-        import os as _os
-
-        if (self.quant == "static" and mask is None
-                and self.hidden_act == "quick_gelu"
-                and self.attn_impl.startswith("flash_fused")
-                and _os.environ.get("PIGEON_INT8_MLP", "xla")
-                == "kernel"):
-            from pigeon_tpu.kernels import flash_attention
-            from pigeon_tpu.kernels.fused_mlp import fused_mlp_int8
-
-            if flash_attention.get_attention_mesh() is None:
-                d = x.shape[-1]
-                w1, s1, a1, b1 = _QuantDenseParams(
-                    d, self.intermediate_size, name="fc1")()
-                w2, s2, a2, b2 = _QuantDenseParams(
-                    self.intermediate_size, d, name="fc2")()
-                return fused_mlp_int8(x, ln("ln2")(x), a1, w1, s1, b1,
-                                      a2, w2, s2, b2)
         h = ln("ln2")(x)
         h = mlp_dense(self.intermediate_size, "fc1")(h)
         h = act(h)

@@ -206,123 +206,3 @@ class TestTowerIntegration:
         np.testing.assert_allclose(np.asarray(last_m),
                                    np.asarray(last_f), atol=5e-5)
 
-
-def _setup_int8(b=2, s=64, d=64, inter=256, dtype=jnp.bfloat16):
-    from pigeon_tpu.models.quant import quantize_channelwise
-
-    x = jnp.asarray(RNG.normal(size=(b, s, d)), dtype)
-    xn = jnp.asarray(RNG.normal(size=(b, s, d)), dtype)
-    w1, s1 = quantize_channelwise(
-        RNG.normal(0, .1, (d, inter)).astype(np.float32))
-    w2, s2 = quantize_channelwise(
-        RNG.normal(0, .1, (inter, d)).astype(np.float32))
-    b1 = jnp.asarray(RNG.normal(0, .1, (inter,)), jnp.float32)
-    b2 = jnp.asarray(RNG.normal(0, .1, (d,)), jnp.float32)
-    return x, xn, jnp.float32(0.05), w1, s1, b1, jnp.float32(0.02), \
-        w2, s2, b2
-
-
-def _reference_int8_mlp(x, xn, a1, w1, s1, b1, a2, w2, s2, b2):
-    """The exact QuantDense(static) fc1 -> quick_gelu -> fc2 + residual
-    composition (`models/quant.py::QuantDense`, `models/clip.py`)."""
-    d = x.shape[-1]
-    dt = x.dtype
-
-    def qdense(y, a, wq, sw, bias):
-        yq = jnp.clip(jnp.round(y.astype(jnp.float32) / a),
-                      -127, 127).astype(jnp.int8)
-        o = jax.lax.dot_general(yq, wq, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
-        return (o.astype(jnp.float32) * (a * sw) + bias).astype(dt)
-
-    h = qdense(xn.reshape(-1, d), a1, w1, s1, b1)
-    g = h * jax.nn.sigmoid(1.702 * h)
-    return (x.reshape(-1, d)
-            + qdense(g, a2, w2, s2, b2)).reshape(x.shape)
-
-
-class TestFusedMLPInt8:
-    """LN-free static-int8 MLP kernel (r7): LN2 and the input quantize
-    stay in XLA (fc1's int8 input is bit-identical to the QuantDense
-    path), so the only cross-backend deviation is the in-kernel
-    GELU + requantize between fc1 and fc2. Interpret mode additionally
-    rounds bf16 intermediates differently than XLA (single vs double
-    rounding on casts) — bf16 outputs are bounded at ONE bf16 ulp here;
-    the real Mosaic-vs-XLA parity gate runs on hardware
-    (scripts/bench_mlp_fused.py, the r4 int8 methodology)."""
-
-    def test_matches_quantdense_f32(self):
-        from pigeon_tpu.kernels.fused_mlp import fused_mlp_int8
-
-        args = _setup_int8(dtype=jnp.float32)
-        got = np.asarray(fused_mlp_int8(*args))
-        want = np.asarray(_reference_int8_mlp(*args))
-        # f32 I/O: no requant flips on CPU; ulp-level fma differences.
-        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
-
-    def test_matches_quantdense_bf16_one_ulp(self):
-        from pigeon_tpu.kernels.fused_mlp import fused_mlp_int8
-
-        args = _setup_int8(dtype=jnp.bfloat16)
-        got = np.asarray(fused_mlp_int8(*args), np.float32)
-        want = np.asarray(_reference_int8_mlp(*args), np.float32)
-        # Interpret rounds bf16 intermediates once where XLA rounds
-        # twice, so a small fraction of requantizes flip by one step
-        # (each bounded by one dequantized LSB) on top of 1-ulp bf16
-        # output rounding — the standard cross-backend int8 budget.
-        err = np.abs(got - want)
-        excess = err - 2.0 ** -8 * np.abs(want)   # minus 1 bf16 ulp
-        # One requant flip moves an output element by a2*s2*|w2_q| <=
-        # ~0.009 at this setup; interpret's missing intermediate
-        # roundings can stack a few flips per element. Regression
-        # bound only — hardware parity is the real gate.
-        assert excess.max() <= 0.05, excess.max()
-        assert (excess > 0.008).mean() < 0.05, (excess > 0.008).mean()
-
-    def test_chunked_accumulation_exact(self, monkeypatch):
-        """The int32 accumulator makes chunking EXACT: the 4-chunk
-        sweep must equal the single-chunk kernel bit-for-bit."""
-        from pigeon_tpu.kernels.fused_mlp import fused_mlp_int8
-
-        args = _setup_int8(inter=256)
-        one = np.asarray(fused_mlp_int8(*args), np.float32)
-        monkeypatch.setenv("PIGEON_MLP_CHUNK", "64")
-        four = np.asarray(fused_mlp_int8(*args), np.float32)
-        np.testing.assert_array_equal(one, four)
-
-    def test_static_tower_kernel_route(self, monkeypatch):
-        """PIGEON_INT8_MLP=kernel must keep the identical param tree
-        and match the XLA QuantDense static tower within the int8
-        cross-backend budget."""
-        from pigeon_tpu.config import VisionConfig
-        from pigeon_tpu.models.clip import CLIPVisionTower
-        from pigeon_tpu.models.quant import quantize_and_calibrate
-
-        cfg = VisionConfig(image_size=32, patch_size=8, hidden_size=64,
-                           intermediate_size=128, num_layers=2,
-                           num_heads=4, projection_dim=32)
-        px = jnp.asarray(RNG.normal(size=(2, 32, 32, 3)),
-                         jnp.float32)
-        f32 = CLIPVisionTower(cfg, dtype=jnp.float32)
-        params = jax.jit(f32.init)(jax.random.PRNGKey(1), px)["params"]
-        dyn = CLIPVisionTower(cfg, dtype=jnp.float32, quant=True)
-        qparams = quantize_and_calibrate(dyn, params, px)
-
-        xla_t = CLIPVisionTower(cfg, dtype=jnp.float32, quant="static",
-                                attn_impl="flash_fused")
-        want_h, want_p = xla_t.apply({"params": qparams}, px)
-
-        monkeypatch.setenv("PIGEON_INT8_MLP", "kernel")
-        kern_t = CLIPVisionTower(cfg, dtype=jnp.float32, quant="static",
-                                 attn_impl="flash_fused")
-        assert (jax.tree_util.tree_structure(
-                    jax.jit(kern_t.init)(jax.random.PRNGKey(2),
-                                         px)["params"])
-                == jax.tree_util.tree_structure(
-                    jax.jit(xla_t.init)(jax.random.PRNGKey(2),
-                                        px)["params"]))
-        got_h, got_p = kern_t.apply({"params": qparams}, px)
-        for got, want in ((got_h, want_h), (got_p, want_p)):
-            err = np.abs(np.asarray(got) - np.asarray(want))
-            assert err.max() < 5e-2
-            assert (err > 5e-4).mean() < 5e-3
