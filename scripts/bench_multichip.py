@@ -2,7 +2,7 @@
 
 The 5,000 img/s north star (BASELINE.json) is ~10x past single-chip
 speed of light at 336px (docs/PERF.md §SOL) — it is a MULTI-CHIP number:
-~9-13 chips of the measured int8 rate (577.9 img/s/chip bs40). This
+~9 chips of the measured int8 rate (586.2 img/s/chip bs48, r7). This
 script is the counterpart of `scripts/baseline_gate.py` for hardware:
 virtual-mesh tested today (tests/test_bench_multichip.py), one knob to
 run on a real mesh the day one exists. Reference scope: the embedding
@@ -88,7 +88,7 @@ def main() -> dict:
     attn_impl = os.environ.get("BENCH_ATTN", "flash_fused")
     fused = attn_impl.startswith("flash_fused")
     if quant:
-        default_batch = "40" if fused else "24"
+        default_batch = "48" if fused else "24"
     else:
         default_batch = "56" if fused else "32"
     per_chip = int(os.environ.get("BENCH_BATCH", default_batch))
