@@ -214,7 +214,16 @@ class MultiHeadAttention(nn.Module):
                     out = flash_attention.fused_qkv_mha(
                         x, cast(wq), cast(wk), cast(wv), cast(bq),
                         cast(bk), cast(bv), self.num_heads)
-            return dense("out_proj")(out)
+            # Named for remat='attn_kernel' (r7): the 'attn_out' policy
+            # saves only the POST-out-proj tensor, so the rematerialized
+            # backward still re-ran this kernel to rebuild out_proj's
+            # input (the r7 trace's attn.25, 1.97 ms/layer). Saving the
+            # kernel output too lets the remat pass skip the kernel AND
+            # the (then-dead) LN1.
+            from jax.ad_checkpoint import checkpoint_name
+
+            return dense("out_proj")(checkpoint_name(
+                out, "attn_kernel_out"))
 
         if (self.attn_impl == "flash_fused_block" and mask is None
                 and not self.quant and ln is not None):
@@ -294,7 +303,9 @@ class MultiHeadAttention(nn.Module):
             out = xla_attention(q, k, v, mask, self.dtype)
 
         out = out.reshape(*x.shape[:-1], d)
-        return dense("out_proj")(out)
+        from jax.ad_checkpoint import checkpoint_name
+
+        return dense("out_proj")(checkpoint_name(out, "attn_kernel_out"))
 
 
 class TransformerLayer(nn.Module):
@@ -431,6 +442,15 @@ class TransformerStack(nn.Module):
             if self.remat == "attn_out":
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "attn_out")
+            elif self.remat == "attn_kernel":
+                # r7: ALSO save the pre-out-proj kernel output — the
+                # 'attn_out' policy still re-ran the fused QKV forward
+                # in the remat pass to rebuild out_proj's input (trace:
+                # 1.97 ms/layer); with the kernel output saved that
+                # rerun (and the then-dead LN1) disappears, for one
+                # extra (B, S, d) bf16 saved per layer.
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "attn_kernel_out")
             layer_cls = nn.remat(layer_cls, prevent_cse=False,
                                  policy=policy)
 

@@ -194,3 +194,22 @@ def test_attn_out_remat_policy_with_block_impl():
     state, step = _tiny_setup("flash_fused_block", "attn_out")
     _, metrics = step(state, batch, jax.random.PRNGKey(7))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_attn_kernel_remat_policy_matches_full(monkeypatch):
+    """remat='attn_kernel' (r7: additionally saves the PRE-out-proj
+    kernel output so the remat pass skips the fused QKV forward rerun
+    the trace found under 'attn_out') must produce the SAME train step
+    as remat='full' — the policy changes what's saved, never the math."""
+    batch = _batch()
+    rng = jax.random.PRNGKey(7)
+    state_f, step_f = _tiny_setup("flash_fused", "full")
+    state_k, step_k = _tiny_setup("flash_fused", "attn_kernel")
+    out_f, m_f = step_f(state_f, batch, rng)
+    out_k, m_k = step_k(state_k, batch, rng)
+    np.testing.assert_allclose(float(m_k["loss"]), float(m_f["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(out_f.params),
+                    jax.tree_util.tree_leaves(out_k.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-5)
