@@ -204,8 +204,14 @@ def clip_to_convex(subject: Polygon, clip: Polygon) -> Polygon:
         a, b = clip[i], clip[(i + 1) % len(clip)]
         edge = b - a
         edge_len = float(np.hypot(edge[0], edge[1]))
-        if edge_len == 0.0:
-            continue                  # zero-length edge constrains nothing
+        if edge_len <= 1e-12 * extent:
+            # A (near-)zero-length edge constrains nothing: its normal is
+            # pure rounding noise, and hypothesis found a vertex repeated
+            # to within 1 ulp (edge ~9e-16) whose noise-normal half-plane
+            # sliced a real corner off the subject (rel area loss ~1e-6).
+            # Any genuine edge this short can bound at most
+            # ~extent^2 * 1e-12 of area — below our own tolerances.
+            continue
         rel = output - a
         # inside = left of edge (CCW clip ring). The tolerance must scale
         # with |edge|·|rel| — an absolute epsilon lets near-coincident clip

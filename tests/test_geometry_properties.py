@@ -100,6 +100,21 @@ class TestClipProperties:
         assert abs(geom.polygon_area(out)) == pytest.approx(
             abs(geom.polygon_area(clip)), rel=1e-9, abs=1e-12)
 
+    def test_clip_self_noise_length_edge(self):
+        """Pinned hypothesis falsifier (r7): a vertex repeated to within
+        1 ulp (edge length ~9e-16, NOT exactly 0) produced a pure-noise
+        half-plane normal that sliced a real corner off the subject
+        (rel area loss ~1e-6). Edges negligible vs the clip extent must
+        be skipped like exactly-zero ones."""
+        clip = np.array([
+            [1.000000000000000e+00, 0.000000000000000e+00],
+            [5.403023058681398e-01, 8.414709848078965e-01],
+            [9.999995000000417e-01, -9.999998333348088e-04],
+            [9.999995000000417e-01, -9.999998333339206e-04]])
+        out = geom.clip_to_convex(clip, clip)
+        assert abs(geom.polygon_area(out)) == pytest.approx(
+            abs(geom.polygon_area(clip)), rel=1e-9, abs=1e-12)
+
     @given(subject=simple_polygon(), clip=convex_polygon())
     def test_clip_points_inside_clip(self, subject, clip):
         if abs(geom.polygon_area(clip)) < 1e-3:
