@@ -122,8 +122,9 @@ def _attn_impl(train: bool = False) -> str:
     int8 quant the module falls back to 'flash' semantics per-layer).
     Training ALSO defaults to `flash_fused` since the r5 HW session:
     with the fused BACKWARD kernel (PIGEON_FUSED_BWD=kernel, now the
-    default) and remat='attn_out' it measured 87.6 img/s vs 81.7 for
-    the separate-projection flash:full baseline (+7.2%; docs/PERF.md).
+    default) and remat='attn_kernel' (r7) it measured 95.4 img/s bs48
+    vs 88.4 under the r5 'attn_out' and 81.7 for the separate-
+    projection flash:full baseline (docs/PERF.md).
 
     Multi-chip: `pallas_call` under a plain GSPMD jit REQUIRES Manual
     (shard_map) mesh axes — with sharded operand avals it raises
@@ -1313,12 +1314,16 @@ def cmd_pretrain(args) -> int:
     # ("xla", no remat) — on a real chip that forfeits the Pallas
     # kernels and OOMs HBM at the production batch (full activation
     # storage for 24 layers does not fit one v5e; docs/PERF.md).
-    # remat='attn_out' is the r5 training winner (pretrain 82.9 vs the
-    # r4 full-remat 77.4 img/s); CPU keeps no-remat (compile speed).
+    # remat='attn_kernel' is the r7 training winner (finetune 95.4 vs
+    # 88.4 img/s bs48 under 'attn_out', the prior r5 winner; it
+    # additionally saves the pre-out-proj kernel output so the remat
+    # pass skips the fused QKV forward rerun); CPU keeps no-remat
+    # (compile speed).
     model = CLIPModel(cfg.vision, cfg.text, dtype=jnp.bfloat16,
                       eos_token_id=getattr(tokenizer, "eos_id", 49407),
                       attn_impl=_attn_impl(train=True),
-                      remat=("attn_out" if jax.default_backend() == "tpu"
+                      remat=("attn_kernel"
+                             if jax.default_backend() == "tpu"
                              else False))
 
     import pandas as pd

@@ -431,7 +431,9 @@ class TransformerStack(nn.Module):
     #: False/'none' = save all activations; True/'full' = full per-layer
     #: remat; 'attn_out' = remat but SAVE the attention outputs
     #: ((B, S, d) per layer — cheap in HBM, skips one of the three
-    #: attention executions).
+    #: attention executions); 'attn_kernel' (r7 winner, 95.4 vs 88.4
+    #: img/s bs48) = additionally save the pre-out-proj kernel output
+    #: so the remat pass also skips the fused QKV forward rerun.
     remat: Any = False
 
     @nn.compact
@@ -493,7 +495,7 @@ class CLIPVisionTower(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
     quant: Any = False  # False | True (dynamic act) | "static" (serving)
-    remat: Any = False  # False | True("full") | "attn_out" | "none"
+    remat: Any = False  # False|True("full")|"attn_out"|"attn_kernel"|"none"
 
     @nn.compact
     def __call__(self, pixel_values):
@@ -620,7 +622,7 @@ class CLIPModel(nn.Module):
     dtype: Dtype = jnp.float32
     eos_token_id: int = 49407
     attn_impl: str = "xla"
-    remat: Any = False  # False | True("full") | "attn_out" | "none"
+    remat: Any = False  # False|True("full")|"attn_out"|"attn_kernel"|"none"
     logit_scale_init: float = float(np.log(1.0 / 0.07))
 
     @nn.compact

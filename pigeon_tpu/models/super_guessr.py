@@ -40,7 +40,7 @@ class SuperGuessr(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
     quant: bool = False  # int8 W8A8 tower matmuls (serving; models/quant.py)
-    remat: Any = False  # False | True("full") | "attn_out" | "none"
+    remat: Any = False  # False|True("full")|"attn_out"|"attn_kernel"|"none"
 
     @nn.compact
     def __call__(self, pixel_values, heading=None,

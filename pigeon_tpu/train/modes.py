@@ -192,16 +192,19 @@ def pretrain(clip_model, state: TrainState, step_fn: Callable,
 
 
 def build_finetune_model(cfg: PigeonConfig, dtype=jnp.bfloat16,
-                         attn_impl: str = "xla", remat="attn_out"):
+                         attn_impl: str = "xla", remat="attn_kernel"):
     """SuperGuessr for pixel finetuning + its partial-freeze mask builder
     (reference `train_modes.py:67-107`).
 
-    ``remat`` defaults to 'attn_out' (remat the tower but SAVE the
-    per-layer attention outputs so the backward never re-runs the
-    attention kernel): the r5 HW session measured it fastest with the
-    fused-QKV kernel backward — 87.6 img/s vs 86.0 full-remat vs 81.7
-    for the r4 flash:full default; 'none' fails remote compile at
-    production batch (docs/PERF.md). Same math under any policy."""
+    ``remat`` defaults to 'attn_kernel' (remat the tower but SAVE both
+    the post-residual attention output AND the pre-out-proj kernel
+    output, so the rematerialized backward neither re-runs the fused
+    QKV forward nor LN1): the r7 trace found 'attn_out' still re-ran
+    the forward kernel to rebuild out_proj's input (1.97 ms/layer);
+    saving it measured 95.4 vs 88.4 img/s bs48 same-session (+8%,
+    docs/PERF.md). Earlier ladder: 'attn_out' 87.6 > full 86.0 > r4
+    flash:full 81.7; 'none' fails remote compile at production batch.
+    Same math under any policy (grads bit-exact, pinned by tests)."""
     from pigeon_tpu.models.super_guessr import (
         SuperGuessr,
         trainable_last_layer_mask,

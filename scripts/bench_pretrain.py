@@ -8,8 +8,8 @@ scalar-readback sync, median of BENCH_WINDOWS windows.
 
 Env knobs: BENCH_BATCH (32, the reference's per-device pretrain batch),
 BENCH_ITERS (6), BENCH_WINDOWS (5), BENCH_ATTN (flash_fused),
-BENCH_REMAT (attn_out — the r5 winner: pretrain 82.9 vs 77.4 img/s
-full-remat), BENCH_TOKENS (77).
+BENCH_REMAT (attn_kernel — the r7 winner; the prior r5 'attn_out'
+measured pretrain 82.9 vs 77.4 img/s full-remat), BENCH_TOKENS (77).
 """
 
 from __future__ import annotations
@@ -41,7 +41,7 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "6"))
     windows = int(os.environ.get("BENCH_WINDOWS", "5"))
     attn_impl = os.environ.get("BENCH_ATTN", "flash_fused")
-    remat = os.environ.get("BENCH_REMAT", "attn_out")
+    remat = os.environ.get("BENCH_REMAT", "attn_kernel")
     tokens = int(os.environ.get("BENCH_TOKENS", "77"))
 
     cfg = pigeon_config()

@@ -6,8 +6,9 @@ readback for synchronization (block_until_ready is a no-op through the
 axon tunnel), median of BENCH_WINDOWS timing windows.
 
 Env knobs: BENCH_BATCH (32), BENCH_ITERS (6), BENCH_WINDOWS (5),
-BENCH_ATTN (flash_fused — the r5 training winner with remat='attn_out'
-and the kernel backward, 87.6 img/s vs 81.7 flash:full; comma-separated
+BENCH_ATTN (flash_fused — the r7 training winner with
+remat='attn_kernel' and the kernel backward, 95.4 img/s bs48 vs 88.4
+under the r5 'attn_out'; comma-separated
 list runs an in-process A/B so the
 variants share one tunnel session — e.g. "flash,flash_fused"; an entry
 may carry a per-variant remat as "impl:remat", e.g.
@@ -17,7 +18,8 @@ reads, so remat='none' stores only per-layer block inputs (~0.9 GB at
 bs32) and drops that third pass — and an optional third field
 "impl:remat:bwd" selecting the fused-QKV backward, e.g.
 "flash_fused:full:kernel" -> PIGEON_FUSED_BWD=kernel), BENCH_REMAT
-(full | attn_out | none; the default for entries without a suffix).
+(full | attn_out | attn_kernel | none; the default for entries
+without a suffix).
 
 A variant that fails (e.g. remote-compile HTTP 500 on an
 out-of-memory graph) is reported and skipped — the A/B continues so
@@ -52,7 +54,7 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "6"))
     windows = int(os.environ.get("BENCH_WINDOWS", "5"))
     attn_impls = os.environ.get("BENCH_ATTN", "flash_fused").split(",")
-    default_remat = os.environ.get("BENCH_REMAT", "attn_out")
+    default_remat = os.environ.get("BENCH_REMAT", "attn_kernel")
 
     vision_cfg = vit_l14_336_vision()
     head_cfg = HeadConfig(num_cells=2203, embed_dim=1024, panorama=False,

@@ -79,7 +79,8 @@ def main() -> None:
     rng = jax.random.PRNGKey(7)
 
     model = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.bfloat16,
-                        attn_impl=attn_impl, remat=remat or "attn_out")
+                        attn_impl=attn_impl,
+                        remat=remat or "attn_kernel")
     opt = adamw(2e-5)
     state = create_train_state(jax.random.PRNGKey(0), model, opt,
                                (jnp.zeros((2, size, size, 3)),))

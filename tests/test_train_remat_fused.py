@@ -213,3 +213,15 @@ def test_attn_kernel_remat_policy_matches_full(monkeypatch):
                     jax.tree_util.tree_leaves(out_k.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-5)
+
+
+def test_finetune_build_defaults_to_attn_kernel_remat():
+    """Guard the r7 default flip: build_finetune_model remats with
+    'attn_kernel' (95.4 vs 88.4 img/s bs48 under the r5 'attn_out',
+    same session — docs/PERF.md)."""
+    import inspect
+
+    from pigeon_tpu.train.modes import build_finetune_model
+
+    sig = inspect.signature(build_finetune_model)
+    assert sig.parameters["remat"].default == "attn_kernel"
