@@ -25,3 +25,74 @@ jax.config.update("jax_platforms", "cpu")
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running (excluded with -m 'not slow')")
+    config.addinivalue_line(
+        "markers", "fast: the sub-5-minute lane (`pytest -m fast`); "
+        "auto-applied to everything not marked slow")
+
+
+#: Fast-lane partition (r7): nodeid PREFIXES marked `slow` so that
+#: ``pytest -m fast`` gives a sub-5-minute signal on this 1-core host
+#: (the full suite is ~40 min and remains the merge gate). Derived from
+#: the r7 --durations=60 profile; central here so individual files
+#: don't need decorators. A new heavy test belongs in this list the
+#: moment it pushes `-m fast` past ~5 min.
+_SLOW_PREFIXES = (
+    "tests/test_graft_entry.py",
+    "tests/test_cli_e2e.py",
+    "tests/test_examples.py",
+    "tests/test_train_remat_fused.py",
+    "tests/test_fsdp.py",
+    "tests/test_train_multichip.py",
+    "tests/test_pipeline.py",
+    "tests/test_multihost.py",
+    "tests/test_pretrain_spmd.py",
+    "tests/test_composition_parity.py",
+    "tests/test_bench_multichip.py",
+    "tests/test_fused_mlp.py",
+    "tests/test_pretrain_parity.py",
+    "tests/test_pretrain_data.py::TestPretrainStep",
+    "tests/test_refiner.py::TestManySeedHunt",
+    "tests/test_hw_decide.py::test_int8_component_bench_emits_parity",
+    "tests/test_geocell.py::TestParallelSplit",
+    "tests/test_tokenizer_zeroshot.py::TestZeroShotFunctional",
+    "tests/test_flash_attention.py::TestFusedBlock",
+    "tests/test_flash_attention.py::TestShardedMha",
+    "tests/test_flash_attention.py::TestFusedQKVInt8",
+    "tests/test_data_pipeline.py::TestUint8WireFormat",
+    # Second trim (r8, from the `-m fast --durations=60` profile: the
+    # first cut still measured 9:54):
+    "tests/test_baseline_gate.py::test_dry_assets_and_config3",
+    "tests/test_flash_attention.py::TestFusedLNQKV",
+    "tests/test_flash_attention.py::TestShardedFusedQKVInt8",
+    "tests/test_flash_attention.py::TestModelIntegration",
+    "tests/test_flash_attention.py::TestFusedQKVBackwardKernel",
+    "tests/test_preemption.py::TestPretrainPreemption",
+    "tests/test_serve.py",
+    "tests/test_export.py",
+    "tests/test_segmented.py",
+    "tests/test_bench_ingest.py",
+    "tests/test_tokenizer_zeroshot.py::TestZeroShot",
+    "tests/test_tokenizer_zeroshot.py::TestEmbedSweep",
+    "tests/test_clip_parity.py::TestSuperGuessrCheckpointImport",
+    "tests/test_super_guessr.py::test_frozen_params_immune",
+    "tests/test_super_guessr.py::test_partial_freeze_mask",
+    "tests/test_super_guessr.py::test_panorama_fold_unfold",
+    "tests/test_super_guessr.py::test_predictions_pipeline",
+    "tests/test_native.py::TestOptics::test_parallel_path",
+    "tests/test_checkpoints.py::TestCheckpointing",
+    "tests/test_quant.py::TestQuantTower",
+    "tests/test_kernels.py::TestSmoothLabelsKernel",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        nodeid = item.nodeid.replace(os.sep, "/")
+        if not nodeid.startswith("tests/"):
+            nodeid = "tests/" + nodeid
+        if any(nodeid.startswith(p) for p in _SLOW_PREFIXES):
+            item.add_marker(pytest.mark.slow)
+        elif "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
