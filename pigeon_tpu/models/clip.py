@@ -453,6 +453,15 @@ class TransformerStack(nn.Module):
                 # extra (B, S, d) bf16 saved per layer.
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "attn_out", "attn_kernel_out")
+            elif self.remat == "attn_slim":
+                # r8 candidate: save ONLY the kernel output. The
+                # post-residual 'attn_out' is then recomputed in the
+                # remat pass as x + out_proj(kernel_out) — one (B,S,d)
+                # x (d,d) dense (~0.35 ms/layer MXU) buys back a whole
+                # (B,S,d) bf16 save/stack slice (~1.5 ms/layer of DUS
+                # traffic in the r8 trace). Still no kernel rerun.
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_kernel_out")
             layer_cls = nn.remat(layer_cls, prevent_cse=False,
                                  policy=policy)
 

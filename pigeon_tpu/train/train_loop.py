@@ -102,7 +102,8 @@ def state_shardings(state: TrainState):
 def make_train_step(model, optimizer, head_cfg: HeadConfig, geocells,
                     grad_mask=None, donate: bool = True,
                     normalize_inputs: bool = False,
-                    out_shardings=None) -> Callable:
+                    out_shardings=None,
+                    grad_norm_metric: bool = False) -> Callable:
     """Build the jitted SPMD train step.
 
     Args:
@@ -114,6 +115,14 @@ def make_train_step(model, optimizer, head_cfg: HeadConfig, geocells,
         geocells: ``(num_cells, 2)`` centroid table (closed over as a
             constant — baked into the executable, resident in HBM).
         grad_mask: optional broadcastable mask pytree for partial freezing.
+        grad_norm_metric: include ``grad_norm`` in the metrics. Off by
+            default since r8: `optax.global_norm` re-reads the full
+            gradient tree (1.2 GB on ViT-L = 34 ms/step, 6.8% of the
+            r8 trace) for a metric nothing consumes — torch computes
+            a grad norm only when clipping (`clip_grad_norm_` returns
+            it), and our finetune optimizer doesn't clip. Clipping
+            optimizers still clip either way (optax does its own norm
+            internally); this flag only controls the REPORTED metric.
 
     The returned step has signature ``(state, batch, dropout_rng) ->
     (state, metrics)`` where ``batch`` is a dict with ``inputs`` and label
@@ -162,7 +171,8 @@ def make_train_step(model, optimizer, head_cfg: HeadConfig, geocells,
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state)
-        parts = dict(parts, grad_norm=optax.global_norm(grads))
+        if grad_norm_metric:
+            parts = dict(parts, grad_norm=optax.global_norm(grads))
         return new_state, parts
 
     return train_step

@@ -1,9 +1,9 @@
-"""Per-op trace profile of the CURRENT training winner (r5 route).
+"""Per-op trace profile of the CURRENT training winner (r8 route).
 
 VERDICT r4 weak-#3: the only published per-op training profile
 (docs/PERF.md "Trace profile ... 271 ms backward / 95 ms forward") is of
-the OBSOLETE r2 flash:full route; the r5 winner (flash_fused +
-remat='attn_out' + PIGEON_FUSED_BWD=kernel) has no profile, so the next
+the OBSOLETE r2 flash:full route; the current winner (flash_fused +
+remat='attn_kernel' + PIGEON_FUSED_BWD=kernel) has no profile, so the next
 structural lever is unidentified. This script captures a jax.profiler
 trace of the winner step (same setup as scripts/bench_train.py — the
 reference's hot loop, training/train_eval_loop.py:215-223) and prints:
@@ -14,7 +14,7 @@ reference's hot loop, training/train_eval_loop.py:215-223) and prints:
     the trace against the e2e number.
 
 Env knobs: BENCH_BATCH (48 — the operator throughput batch), BENCH_ATTN
-("flash_fused:attn_out:kernel", same "impl:remat:bwd" syntax as
+("flash_fused:attn_kernel:kernel", same "impl:remat:bwd" syntax as
 bench_train), PROFILE_DIR (/tmp/pigeon_trace_train), PROFILE_STEPS (3),
 PROFILE_TOP (30).
 """
@@ -46,7 +46,8 @@ def main() -> None:
     from pigeon_tpu.train.train_loop import adamw, make_train_step
 
     batch = int(os.environ.get("BENCH_BATCH", "48"))
-    entry = os.environ.get("BENCH_ATTN", "flash_fused:attn_out:kernel")
+    entry = os.environ.get("BENCH_ATTN",
+                           "flash_fused:attn_kernel:kernel")
     attn_impl, _, rest = entry.partition(":")
     remat, _, bwd = rest.partition(":")
     if bwd:

@@ -225,3 +225,22 @@ def test_finetune_build_defaults_to_attn_kernel_remat():
 
     sig = inspect.signature(build_finetune_model)
     assert sig.parameters["remat"].default == "attn_kernel"
+
+
+def test_attn_slim_remat_policy_matches_full():
+    """remat='attn_slim' (r8 candidate: save ONLY the pre-out-proj
+    kernel output; the post-residual attention output is recomputed as
+    x + out_proj(kernel_out) — one dense, still no kernel rerun) must
+    produce the SAME train step as remat='full'."""
+    batch = _batch()
+    rng = jax.random.PRNGKey(7)
+    state_f, step_f = _tiny_setup("flash_fused", "full")
+    state_s, step_s = _tiny_setup("flash_fused", "attn_slim")
+    out_f, m_f = step_f(state_f, batch, rng)
+    out_s, m_s = step_s(state_s, batch, rng)
+    np.testing.assert_allclose(float(m_s["loss"]), float(m_f["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(out_f.params),
+                    jax.tree_util.tree_leaves(out_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-5)
