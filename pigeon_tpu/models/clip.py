@@ -282,7 +282,10 @@ class MultiHeadAttention(nn.Module):
                 out = flash_attention.fused_qkv_mha_int8(
                     x.astype(self.dtype), a_scale, wq, sq, bq, wk, sk,
                     bk, wv, sv, bv, self.num_heads)
-            return dense("out_proj")(out)
+            from jax.ad_checkpoint import checkpoint_name
+
+            return dense("out_proj")(checkpoint_name(
+                out, "attn_kernel_out"))
 
         q = dense("q_proj")(x).reshape(*x.shape[:-1], self.num_heads, head_dim)
         k = dense("k_proj")(x).reshape(*x.shape[:-1], self.num_heads, head_dim)
@@ -411,6 +414,41 @@ class TransformerLayer(nn.Module):
         return x + h
 
 
+def _remat_policy_names(remat, attn_impl: str):
+    """Checkpoint names saved under a named remat policy, or () for
+    'full'.
+
+    * 'attn_out' — the post-residual attention output: the backward
+      never re-runs the attention kernel (the flash backward recomputes
+      softmax internally anyway, so full remat runs attention THREE
+      times).
+    * 'attn_kernel' (r7 winner, 95.4 vs 88.4 img/s bs48) — ALSO the
+      pre-out-proj kernel output: the 'attn_out' policy still re-ran
+      the fused QKV forward in the remat pass to rebuild out_proj's
+      input (trace: 1.97 ms/layer); one extra (B, S, d) bf16 save per
+      layer removes that rerun and the then-dead LN1.
+    * 'attn_slim' (r8, −0.3% vs 'attn_kernel') — ONLY the kernel
+      output; attn_out is recomputed as x + out_proj(kernel_out) (one
+      dense, still no kernel rerun). A memory knob: one less (B, S, d)
+      bf16 save per layer.
+
+    Under `attn_impl='flash_fused_block'` the out-projection and
+    residual live INSIDE the kernel, so no pre-out-proj tensor exists
+    to name: 'attn_kernel'/'attn_slim' fall back to saving the block
+    output ('attn_out') — without this, `save_only_these_names` would
+    match NOTHING on that path and the run silently measured FULL
+    remat (r8 review finding)."""
+    if remat == "attn_out":
+        return ("attn_out",)
+    if remat in ("attn_kernel", "attn_slim"):
+        if attn_impl == "flash_fused_block":
+            return ("attn_out",)
+        if remat == "attn_kernel":
+            return ("attn_out", "attn_kernel_out")
+        return ("attn_kernel_out",)
+    return ()
+
+
 class TransformerStack(nn.Module):
     """`nn.scan`-stacked encoder: params carry a leading layer axis.
 
@@ -440,28 +478,9 @@ class TransformerStack(nn.Module):
     def __call__(self, x, mask=None):
         layer_cls = TransformerLayer
         if self.remat and self.remat != "none":
-            policy = None
-            if self.remat == "attn_out":
-                policy = jax.checkpoint_policies.save_only_these_names(
-                    "attn_out")
-            elif self.remat == "attn_kernel":
-                # r7: ALSO save the pre-out-proj kernel output — the
-                # 'attn_out' policy still re-ran the fused QKV forward
-                # in the remat pass to rebuild out_proj's input (trace:
-                # 1.97 ms/layer); with the kernel output saved that
-                # rerun (and the then-dead LN1) disappears, for one
-                # extra (B, S, d) bf16 saved per layer.
-                policy = jax.checkpoint_policies.save_only_these_names(
-                    "attn_out", "attn_kernel_out")
-            elif self.remat == "attn_slim":
-                # r8 candidate: save ONLY the kernel output. The
-                # post-residual 'attn_out' is then recomputed in the
-                # remat pass as x + out_proj(kernel_out) — one (B,S,d)
-                # x (d,d) dense (~0.35 ms/layer MXU) buys back a whole
-                # (B,S,d) bf16 save/stack slice (~1.5 ms/layer of DUS
-                # traffic in the r8 trace). Still no kernel rerun.
-                policy = jax.checkpoint_policies.save_only_these_names(
-                    "attn_kernel_out")
+            names = _remat_policy_names(self.remat, self.attn_impl)
+            policy = (jax.checkpoint_policies.save_only_these_names(
+                *names) if names else None)
             layer_cls = nn.remat(layer_cls, prevent_cse=False,
                                  policy=policy)
 

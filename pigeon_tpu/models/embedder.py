@@ -37,7 +37,7 @@ class ClipEmbedder(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
     quant: Any = False  # False | True (dynamic act) | "static" (serving)
-    remat: Any = False  # False | True("full") | "attn_out" | "none"
+    remat: Any = False  # False|True("full")|"attn_out"|"attn_kernel"|"none"
 
     @nn.compact
     def __call__(self, pixel_values):

@@ -107,7 +107,7 @@ def _main(root: str) -> list:
         head_cfg = HeadConfig(num_cells=2203, embed_dim=1024,
                               panorama=False, multi_task=True)
         fused = attn_impl.startswith("flash_fused")
-        default_batch = ("40" if fused else "24") if quant \
+        default_batch = ("48" if fused else "24") if quant \
             else ("56" if fused else "32")
     batch = int(os.environ.get("BENCH_BATCH", default_batch))
     size = vision_cfg.image_size

@@ -10,7 +10,7 @@ Batches are pre-staged on device (host->device is ~6 MB/s through the
 tunnel; a real run overlaps decode via iter_batches prefetch).
 
 Env knobs: BENCH_BATCH (route-aware like the product CLI: 48 int8 /
-56 bf16 on the fused route — the r6 optima; 32 otherwise),
+56 bf16 on the fused route — the r7/r6 optima; 32 otherwise),
 BENCH_BATCHES (8), BENCH_TOPK (40),
 BENCH_REFINE (1), BENCH_ATTN (flash_fused — matches the PRODUCT route:
 `cli.run._attn_impl` resolves 'flash_fused' for eval and
@@ -51,7 +51,8 @@ def main() -> None:
     topk = int(os.environ.get("BENCH_TOPK", "40"))
     refine = os.environ.get("BENCH_REFINE", "1") == "1"
     attn_impl = os.environ.get("BENCH_ATTN", "flash_fused")
-    # Default batch mirrors `cli.run._default_batch` (r6 optima) so this
+    # Default batch mirrors `cli.run._default_batch` (bf16 r6 / int8
+    # r7 optima) so this
     # bench measures the batch the product actually dispatches.
     if attn_impl.startswith("flash_fused"):
         default_batch = "48" if os.environ.get("BENCH_QUANT") == "1" \

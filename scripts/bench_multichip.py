@@ -24,7 +24,7 @@ drains every device's queue), median of BENCH_WINDOWS windows.
 
 Env knobs:
   BENCH_BATCH     per-CHIP batch (route defaults mirror bench.py:
-                  56 bf16 / 40 int8 — the r6 single-chip optima; the
+                  56 bf16 (r6) / 48 int8 (r7) single-chip optima; the
                   global batch is BENCH_BATCH x dp).
   BENCH_QUANT     (0) 1 = int8 W8A8 static route (serving default).
   BENCH_ATTN      (flash_fused) attention impl.

@@ -244,3 +244,40 @@ def test_attn_slim_remat_policy_matches_full():
                     jax.tree_util.tree_leaves(out_s.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-5)
+
+
+def test_remat_policy_names_block_fallback():
+    """r8 review finding: under attn_impl='flash_fused_block' the
+    out-projection+residual live INSIDE the kernel, so no
+    'attn_kernel_out' tensor exists — 'attn_kernel'/'attn_slim' must
+    fall back to saving the block output instead of silently matching
+    nothing (= full remat)."""
+    from pigeon_tpu.models.clip import _remat_policy_names
+
+    assert _remat_policy_names("attn_out", "flash_fused") == ("attn_out",)
+    assert _remat_policy_names("attn_kernel", "flash_fused") == (
+        "attn_out", "attn_kernel_out")
+    assert _remat_policy_names("attn_slim", "flash_fused") == (
+        "attn_kernel_out",)
+    for remat in ("attn_kernel", "attn_slim"):
+        assert _remat_policy_names(remat, "flash_fused_block") == (
+            "attn_out",)
+    assert _remat_policy_names(True, "flash_fused") == ()
+    assert _remat_policy_names("full", "flash_fused") == ()
+
+
+def test_attn_kernel_remat_with_block_impl_matches_full():
+    """The fallback policy must keep the math identical under the
+    block kernel too."""
+    batch = _batch()
+    rng = jax.random.PRNGKey(7)
+    state_f, step_f = _tiny_setup("flash_fused_block", "full")
+    state_k, step_k = _tiny_setup("flash_fused_block", "attn_kernel")
+    out_f, m_f = step_f(state_f, batch, rng)
+    out_k, m_k = step_k(state_k, batch, rng)
+    np.testing.assert_allclose(float(m_k["loss"]), float(m_f["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(out_f.params),
+                    jax.tree_util.tree_leaves(out_k.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-5)
