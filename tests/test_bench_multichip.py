@@ -56,3 +56,37 @@ def test_bench_multichip_virtual_mesh(monkeypatch, env):
     # the 2-decimal payload carries the rounding error relatively
     assert result["chips_to_target"] == pytest.approx(
         math.ceil(5000.0 / result["per_chip"]), rel=0.01)
+
+
+@pytest.mark.parametrize("env", [
+    {},                                         # bf16 DP train
+    {"BENCH_FSDP": "1"},                        # ZeRO-3 storage
+    {"BENCH_TP": "2"},                          # (data, model) mesh
+], ids=["train_dp", "train_fsdp", "train_tp2"])
+def test_bench_multichip_train_virtual_mesh(monkeypatch, env):
+    """BENCH_TRAIN=1: the multi-chip TRAINING leg (full finetune step —
+    forward + backward + AdamW — with the r8 remat route) must execute
+    end-to-end on the virtual mesh for every sharding it will time on
+    a real mesh."""
+    import numpy as np
+
+    n = len(jax.devices())
+    result = _run(monkeypatch, BENCH_TRAIN="1", **env)
+    assert result["unit"] == "images/sec"
+    assert result["value"] > 0
+    assert "_sharded_train_" in result["metric"]
+    # tiny mode remats 'none': interpret Pallas + jax.checkpoint are
+    # incompatible (OrderedIOEffect); real meshes default attn_kernel.
+    assert "_remat-none" in result["metric"]
+    tp = int(env.get("BENCH_TP", "1"))
+    assert f"_n{n}_tp{tp}_" in result["metric"]
+    if env.get("BENCH_FSDP") == "1":
+        assert "_fsdp" in result["metric"]
+    assert np.isfinite(result["loss"])
+    assert result["per_chip"] == pytest.approx(result["value"] / n,
+                                               abs=0.011)
+
+
+def test_bench_multichip_train_rejects_quant(monkeypatch):
+    with pytest.raises(SystemExit):
+        _run(monkeypatch, BENCH_TRAIN="1", BENCH_QUANT="1")
