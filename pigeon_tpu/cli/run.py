@@ -151,6 +151,18 @@ def _attn_impl(train: bool = False) -> str:
     return "flash_fused"
 
 
+def _remat_override() -> dict:
+    """``PIGEON_REMAT`` env override for the training remat policy
+    (r8): empty dict = keep the measured default
+    (`build_finetune_model`'s 'attn_kernel', 95.8 img/s bs48).
+    Operator values: 'attn_slim' (one less (B, S, d) bf16 save per
+    layer, −0.3% — the memory knob), 'attn_out' (the r5 winner),
+    'full', 'none' (fails remote compile at production batch;
+    docs/PERF.md). Mirrors the PIGEON_ATTN_IMPL override pattern."""
+    value = os.environ.get("PIGEON_REMAT")
+    return {"remat": value} if value else {}
+
+
 def _default_batch(quant: bool) -> int:
     """Measured batch optima are ROUTE-specific (docs/PERF.md, r7):
     int8 `flash_fused` peaks at bs48 (586.2 img/s; full r7 curve 577.1
@@ -654,7 +666,8 @@ def _finetune_on_pixels(args) -> int:
     cells, _ = load_geocells(args)
     cfg = config_with_cells(args, cells)
     model, mask_builder = build_finetune_model(
-        cfg, attn_impl=_attn_impl(train=True))
+        cfg, attn_impl=_attn_impl(train=True),
+        **_remat_override())
     tcfg = cfg.train
     batch = args.batch_size or tcfg.batch_size_per_device
     mesh = create_mesh(tp=args.tp)
@@ -1322,9 +1335,11 @@ def cmd_pretrain(args) -> int:
     model = CLIPModel(cfg.vision, cfg.text, dtype=jnp.bfloat16,
                       eos_token_id=getattr(tokenizer, "eos_id", 49407),
                       attn_impl=_attn_impl(train=True),
-                      remat=("attn_kernel"
-                             if jax.default_backend() == "tpu"
-                             else False))
+                      remat=_remat_override().get(
+                          "remat",
+                          "attn_kernel"
+                          if jax.default_backend() == "tpu"
+                          else False))
 
     import pandas as pd
 

@@ -281,3 +281,15 @@ def test_attn_kernel_remat_with_block_impl_matches_full():
                     jax.tree_util.tree_leaves(out_k.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-5)
+
+
+def test_pigeon_remat_env_override(monkeypatch):
+    """PIGEON_REMAT (r8) lets operators pick the remat policy from the
+    CLI environment — e.g. 'attn_slim' (the memory knob) or 'full' —
+    without touching code; unset keeps the measured default."""
+    from pigeon_tpu.cli.run import _remat_override
+
+    monkeypatch.delenv("PIGEON_REMAT", raising=False)
+    assert _remat_override() == {}
+    monkeypatch.setenv("PIGEON_REMAT", "attn_slim")
+    assert _remat_override() == {"remat": "attn_slim"}
