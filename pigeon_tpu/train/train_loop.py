@@ -103,7 +103,7 @@ def make_train_step(model, optimizer, head_cfg: HeadConfig, geocells,
                     grad_mask=None, donate: bool = True,
                     normalize_inputs: bool = False,
                     out_shardings=None,
-                    grad_norm_metric: bool = False) -> Callable:
+                    grad_norm_metric: bool = True) -> Callable:
     """Build the jitted SPMD train step.
 
     Args:
@@ -115,13 +115,17 @@ def make_train_step(model, optimizer, head_cfg: HeadConfig, geocells,
         geocells: ``(num_cells, 2)`` centroid table (closed over as a
             constant — baked into the executable, resident in HBM).
         grad_mask: optional broadcastable mask pytree for partial freezing.
-        grad_norm_metric: include ``grad_norm`` in the metrics. Off by
-            default since r8: `optax.global_norm` re-reads the full
-            gradient tree (1.2 GB on ViT-L = 34 ms/step, 6.8% of the
-            r8 trace) for a metric nothing consumes — torch computes
-            a grad norm only when clipping (`clip_grad_norm_` returns
-            it), and our finetune optimizer doesn't clip. Clipping
-            optimizers still clip either way (optax does its own norm
+        grad_norm_metric: include ``grad_norm`` in the metrics
+            (default True). The r8 session A/B'd removing it — the
+            norm re-reads the full 1.2 GB gradient tree, but XLA
+            overlaps most of it and the residual effect is a
+            batch-dependent COMPILE-SCHEDULE artifact, not a win:
+            ON 95.48 / OFF 94.49 img/s at bs32, ON 95.36 / OFF 95.82
+            at bs48 (same session, docs/PERF.md). The default keeps
+            the metric (and the better number at the reference's
+            bs32); operators at bs48 can pass False (bench_train:
+            BENCH_GRAD_NORM=0) for the last ~0.5%. Clipping
+            optimizers clip either way (optax computes its own norm
             internally); this flag only controls the REPORTED metric.
 
     The returned step has signature ``(state, batch, dropout_rng) ->

@@ -99,7 +99,14 @@ def main() -> None:
             opt = adamw(2e-5)
             state = create_train_state(jax.random.PRNGKey(0), model, opt,
                                        (example,))
-            step = make_train_step(model, opt, head_cfg, cells)
+            # BENCH_GRAD_NORM=0 drops the grad_norm metric — a
+            # batch-dependent compile-schedule artifact, ~+0.5% at
+            # bs48 / -1.0% at bs32 (r8 A/B, PERF.md); default matches
+            # the product step (metric on).
+            step = make_train_step(
+                model, opt, head_cfg, cells,
+                grad_norm_metric=os.environ.get("BENCH_GRAD_NORM",
+                                                "1") == "1")
 
             t0 = time.perf_counter()
             state, metrics = step(state, dev_batch, rng)
