@@ -24,6 +24,12 @@ without a suffix).
 A variant that fails (e.g. remote-compile HTTP 500 on an
 out-of-memory graph) is reported and skipped — the A/B continues so
 one bad combination cannot burn the shared tunnel session.
+
+BENCH_PANORAMA=1 (r8) benches the flagship PIGEON config instead:
+4-view panorama fold + heading features + hierarchical aggregation
+(reference `config.py:96-116`). BENCH_BATCH counts SAMPLES there
+(4x the images); the JSON reports images/s (comparable with the
+single-view row) plus samples_per_sec.
 """
 
 from __future__ import annotations
@@ -56,9 +62,17 @@ def main() -> None:
     attn_impls = os.environ.get("BENCH_ATTN", "flash_fused").split(",")
     default_remat = os.environ.get("BENCH_REMAT", "attn_kernel")
 
+    # BENCH_PANORAMA=1 (r8): the flagship PIGEON config — 4-view
+    # panorama fold + heading features + hierarchical aggregation.
+    # BENCH_BATCH then counts SAMPLES (4x the images); the JSON line
+    # reports images/s for direct comparison with the single-view row
+    # plus a samples_per_sec field.
+    panorama = os.environ.get("BENCH_PANORAMA", "0") == "1"
+    views = 4 if panorama else 1
+
     vision_cfg = vit_l14_336_vision()
-    head_cfg = HeadConfig(num_cells=2203, embed_dim=1024, panorama=False,
-                          multi_task=True)
+    head_cfg = HeadConfig(num_cells=2203, embed_dim=1024,
+                          panorama=panorama, multi_task=True)
     size = vision_cfg.image_size
     import numpy as np
 
@@ -67,10 +81,11 @@ def main() -> None:
                      -1).astype(np.float32)
 
     # On-device batch (host->device is ~6 MB/s through the tunnel).
-    ks = jax.random.split(jax.random.PRNGKey(5), 7)
+    ks = jax.random.split(jax.random.PRNGKey(5), 8)
+    in_shape = ((batch, 4, size, size, 3) if panorama
+                else (batch, size, size, 3))
     dev_batch = {
-        "inputs": jax.random.normal(ks[0], (batch, size, size, 3),
-                                    jnp.float32),
+        "inputs": jax.random.normal(ks[0], in_shape, jnp.float32),
         "labels": jnp.stack(
             [jax.random.uniform(ks[1], (batch,), minval=-170, maxval=170),
              jax.random.uniform(ks[2], (batch,), minval=-55, maxval=65)],
@@ -81,6 +96,10 @@ def main() -> None:
         "labels_climate": jax.random.randint(ks[5], (batch,), 0, 28),
         "labels_month": jax.random.randint(ks[6], (batch,), 0, 12),
     }
+    if panorama:
+        theta = jax.random.uniform(ks[7], (batch, 4), maxval=2 * 3.14159)
+        dev_batch["heading"] = jnp.stack(
+            [jnp.sin(theta), jnp.cos(theta)], -1)
     rng = jax.random.PRNGKey(7)
 
     for entry in attn_impls:
@@ -95,7 +114,8 @@ def main() -> None:
         try:
             model = SuperGuessr(vision_cfg, head_cfg, dtype=jnp.bfloat16,
                                 attn_impl=attn_impl, remat=remat)
-            example = jnp.zeros((2, size, size, 3))
+            example = jnp.zeros((2, 4, size, size, 3) if panorama
+                                else (2, size, size, 3))
             opt = adamw(2e-5)
             state = create_train_state(jax.random.PRNGKey(0), model, opt,
                                        (example,))
@@ -122,7 +142,7 @@ def main() -> None:
                     state, metrics = step(state, dev_batch, rng)
                 loss = float(metrics["loss"])  # scalar readback = sync
                 per_iter = (time.perf_counter() - t0) / iters
-                rates.append(batch / per_iter)
+                rates.append(batch * views / per_iter)
         except Exception as e:  # noqa: BLE001 — e.g. compile OOM/500
             print(f"# {attn_impl}:remat-{remat}{':' + bwd if bwd else ''}"
                   f" FAILED {type(e).__name__}: {str(e)[:300]}",
@@ -130,14 +150,18 @@ def main() -> None:
             continue
         rates.sort()
         rate = rates[len(rates) // 2]
-        print(json.dumps({
+        payload = {
             "metric": f"vit_l14_336_train_images_per_sec_bs{batch}"
-                      f"_{attn_impl}_remat-{remat}"
+                      + ("_pano4" if panorama else "")
+                      + f"_{attn_impl}_remat-{remat}"
                       + (f"_bwd-{bwd}" if bwd else ""),
             "value": round(rate, 2),
             "unit": "images/sec",
             "loss": round(loss, 3),
-        }))
+        }
+        if panorama:
+            payload["samples_per_sec"] = round(rate / 4, 2)
+        print(json.dumps(payload))
         print(f"# windows={[round(r, 1) for r in rates]} "
               f"compile={compile_s:.1f}s", file=sys.stderr)
         sys.stdout.flush()
