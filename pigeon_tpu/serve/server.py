@@ -89,9 +89,16 @@ class PredictionService:
                 continue
             from PIL import Image
 
-            with Image.open(io.BytesIO(raw)) as im:
-                views.append(resize_crop_pil(im.convert("RGB"),
-                                             self.image_size))
+            try:
+                with Image.open(io.BytesIO(raw)) as im:
+                    views.append(resize_crop_pil(im.convert("RGB"),
+                                                 self.image_size))
+            except Exception as e:  # noqa: BLE001 — client error, not 500
+                # Valid base64 carrying undecodable bytes is a CLIENT
+                # error: PIL raises UnidentifiedImageError (an OSError,
+                # not ValueError), which the handler would otherwise
+                # report as a 500 and pollute server-error dashboards.
+                raise ValueError(f"undecodable image bytes: {e}") from e
         pixels = np.stack(views)[None] if self.panorama \
             else views[0][None]
 

@@ -90,6 +90,26 @@ class TestPredictEndpoint:
             status = e.code
         assert status == 400
 
+    def test_garbage_image_bytes_is_400_and_server_survives(self, server):
+        """Valid base64 carrying undecodable bytes is a CLIENT error
+        (r8): PIL's UnidentifiedImageError is an OSError, which the
+        handler used to surface as a 500; it must map to 400, and the
+        server must keep answering good requests afterwards."""
+        import base64
+
+        url, _ = server
+        garbage = base64.b64encode(b"\x00\x01notanimage\x02" * 40).decode()
+        payload = {"gameID": "g", "image": garbage, "image_2": garbage,
+                   "image_3": garbage, "image_4": garbage}
+        status, body = post(f"{url}/api/v1/predict", payload)
+        assert status == 400
+        assert "undecodable" in body["error"]
+        good = {"gameID": "g2", "roundID": 1,
+                "image": b64_image(), "image_2": b64_image(),
+                "image_3": b64_image(), "image_4": b64_image()}
+        status, body = post(f"{url}/api/v1/predict", good)
+        assert status == 200
+
     def test_game_endpoint_and_unknown_path(self, server):
         url, _ = server
         status, body = post(f"{url}/api/v1/game",
