@@ -212,12 +212,18 @@ def iter_batches(dataset: TabularImageDataset, batch_size: int,
         return out
 
     def producer():
+        # A decode/IO failure (e.g. one corrupt JPEG) must surface in
+        # the CONSUMER, not die with this thread: before r8 the stream
+        # just ended early — `predict` wrote 0 rows with rc 0 and a
+        # training epoch would silently truncate. Ship the exception
+        # through the queue and re-raise it at the iteration site.
         try:
             for start in bounds:
                 idx = order[start:start + batch_size]
                 q.put(build_batch(idx))
-        finally:
             q.put(_SENTINEL)
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            q.put(e)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -226,6 +232,8 @@ def iter_batches(dataset: TabularImageDataset, batch_size: int,
             item = q.get()
             if item is _SENTINEL:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         thread.join(timeout=1.0)

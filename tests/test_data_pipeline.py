@@ -333,3 +333,21 @@ class TestUint8WireFormat:
         out_u8 = np.asarray(step(jnp.asarray(u8)))
         out_f32 = np.asarray(step(jnp.asarray(normalize_images(u8))))
         np.testing.assert_allclose(out_u8, out_f32, atol=1e-5)
+
+
+class TestProducerErrorPropagation:
+    def test_corrupt_image_raises_in_consumer(self, image_dataset):
+        """r8: a decode failure in the producer THREAD must re-raise at
+        the consumer's iteration site — before this, the thread died,
+        the stream silently ended, and `predict` wrote 0 rows with
+        rc 0 (a training epoch would silently truncate the same way)."""
+        import pandas as pd
+
+        csv, img_dir = image_dataset
+        with open(os.path.join(img_dir, "img_3.jpg"), "wb") as f:
+            f.write(b"\x00\x01 not a jpeg \x02" * 8)
+        ds = TabularImageDataset(pd.read_csv(csv), image_dir=img_dir,
+                                 image_size=32)
+        with pytest.raises(Exception, match="img_3"):
+            for _ in iter_batches(ds, batch_size=4, num_workers=2):
+                pass
